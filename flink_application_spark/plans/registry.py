@@ -1,0 +1,86 @@
+"""Central query registry.
+
+A ``QuerySpec`` couples a Spark implementation (built from the operator
+library) with the ANSI-SQL oracle text DuckDB runs on the same parquet
+tables. The driver compares the two at sf0.01 (row count + schema +
+order-insensitive value hash); ``tests/test_oracle_parity.py`` runs the
+same comparison locally at sf0.001 so regressions surface before the
+driver does.
+
+Column-name contract: every computed/aggregate column is aliased
+identically on both sides — the driver sorts columns by name before
+hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    # None → non-SQL-expressible; driver records a rows-only check.
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def REGISTRY_GET(name: str) -> QuerySpec:
+    _load_all()
+    return REGISTRY[name]
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    _load_all()
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once (registration side effect)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from flink_application_spark.plans import (  # noqa: F401
+        cdr,
+        dedup_queries,
+        similarity_queries,
+        sql_surface,
+        text_queries,
+    )
+
+    _LOADED = True

@@ -1,0 +1,38 @@
+"""Driver-gate mimic: every registered query with an oracle must
+hash-match DuckDB at sf0.001 (the driver runs the same comparison at
+sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_application_spark.oracle import compare, duckdb_connect
+from flink_application_spark.plans.registry import REGISTRY, _load_all
+
+_load_all()
+_ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connect(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_oracle_parity(name, spark, sf_dir, con):
+    spec = REGISTRY[name]
+    r = compare(name, spec.spark(spark, sf_dir), spec.oracle, con)
+    assert r.rows_spark == r.rows_oracle, (r.rows_spark, r.rows_oracle)
+    assert sorted(r.cols_spark) == sorted(r.cols_oracle), (r.cols_spark, r.cols_oracle)
+    assert r.hash_spark == r.hash_oracle
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without an oracle still must run and return a schema."""
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            df = spec.spark(spark, sf_dir)
+            assert df.columns
+            df.limit(5).collect()
