@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_application_spark.catalog import TABLES
 
-FLOAT_DECIMALS = 4
+# Strict: queries must round float outputs at source (the driver's hash
+# may not round at all); 9 decimals only forgives sub-ulp repr noise.
+FLOAT_DECIMALS = 9
 
 
 def _norm(v: object) -> str:

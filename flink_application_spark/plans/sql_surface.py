@@ -1,1 +1,564 @@
-"""Placeholder — populated in later milestones."""
+"""Generic SQL surface on the TPC-H-ish tables.
+
+The reference rides Flink SQL, so "same query capabilities" includes
+the relational surface any table engine implies (SURVEY §2.4 note):
+group-by aggregates, multi-way joins, window functions, set ops,
+rollup, semi/anti joins, scalar function library, time bucketing,
+sessionization. Every query here is a thin Catalyst passthrough —
+DataFrame API on the Spark side, ANSI SQL oracle on the DuckDB side.
+
+Float discipline: aggregate outputs are ROUNDed in BOTH formulations so
+summation-order ulp differences can't flip the driver's value hash.
+Top-N queries carry a unique-key tie-break so LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.dedup import argmax_dedup
+from flink_application_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = register_views(spark, sf_dir, tables=tuple(names))
+    return [tables[n] for n in names]
+
+
+_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: scan + filter + hash aggregate. "
+    "Partial aggregation map-side; one shuffle on the 2 group keys.",
+    tags=("sql", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_REV), 2).alias("sum_disc_price"),
+            F.round(F.sum(_REV * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l.l_orderkey AS l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3: 3-way join + agg + deterministic top-10 "
+    "(tie-break on unique l_orderkey). customer/orders sides are "
+    "broadcast-eligible after the segment filter.",
+    tags=("sql", "join", "topn"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+SELECT n.n_name AS n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5: 6-way join with local-supplier condition. Dims "
+    "(region/nation/customer/supplier) broadcast; fact tables join on "
+    "orderkey.",
+    tags=("sql", "join"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c, s, n, r = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    return (
+        r.filter(F.col("r_name") == "ASIA")
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name AS n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue per customer, top-20.",
+    tags=("sql", "join", "topn"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c, n = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li.filter(F.col("l_returnflag") == "R"), li.l_orderkey == o.o_orderkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "agg_distinct_and_conditional",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_supps,
+       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS discounted_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Distinct aggregates + conditional (pivot-style) aggregation — "
+    "Catalyst expands distinct aggs into a two-phase expand+agg plan.",
+    tags=("sql", "agg"),
+)
+def q_distinct_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("discounted_price"),
+    )
+
+
+@register(
+    "rollup_order_revenue",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP hierarchy aggregate (status → priority → grand total).",
+    tags=("sql", "agg", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@register(
+    "window_running_revenue",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS running_revenue
+FROM lineitem
+WHERE l_suppkey <= 3
+""",
+    doc="Running-total window over a deterministic total order "
+    "(shipdate, orderkey, linenumber is a unique key). Prefix sums grow "
+    "to ~1e7 where double ulp noise flips 2-decimal rounding, so the "
+    "accumulation is exact DECIMAL; output cast back to double.",
+    tags=("sql", "window"),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rev_dec = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return li.filter(F.col("l_suppkey") <= 3).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(rev_dec).over(w), 2).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "window_topn_per_group",
+    """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (
+           PARTITION BY p_brand
+           ORDER BY p_retailprice DESC, p_partkey ASC
+         ) AS rn
+  FROM part
+)
+WHERE rn <= 3
+""",
+    doc="Top-3 parts by price per brand — the generic form of the "
+    "reference's arg-max dedup (rank instead of max-by).",
+    tags=("sql", "window", "topn"),
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_gap",
+    """
+SELECT user_id, event_id, ts,
+       coalesce(
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id),
+         -1) AS gap_us
+FROM events
+""",
+    doc="lag() inter-event gap per user (µs epoch: exact integers in "
+    "both engines; session tz is UTC).",
+    tags=("sql", "window", "events"),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.coalesce(us - F.lag(us).over(w), F.lit(-1)).alias("gap_us"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+    doc="Set operations: INTERSECT / UNION / EXCEPT chain "
+    "(standard precedence: INTERSECT binds tighter).",
+    tags=("sql", "setops"),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    # SQL set ops are DISTINCT by default: intersect/subtract are; the
+    # UNION needs an explicit distinct before EXCEPT.
+    return building.intersect(f_orders).union(negative).distinct().subtract(machinery)
+
+
+@register(
+    "semi_anti_join",
+    """
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+""",
+    doc="Semi/anti-join surface: per-customer order-existence flag "
+    "(Spark plans left_semi/left_anti; expressed as one query for the "
+    "oracle).",
+    tags=("sql", "join"),
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("has_orders", F.lit(1))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("has_orders", F.lit(0))
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "scalar_function_library",
+    """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       replace(p_brand, 'Brand', 'B') AS brand_short,
+       substr(p_type, 1, 5) AS type_prefix,
+       abs(p_size - 25) AS size_dev,
+       round(p_retailprice * 1.1, 2) AS price_up,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       p_size % 7 AS size_mod
+FROM part
+""",
+    doc="Scalar function library: string (upper/length/replace/substr), "
+    "math (abs/round/floor/ceil/mod) — all JVM-side codegen.",
+    tags=("sql", "scalar"),
+)
+def q_scalar_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_short"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "date_function_library",
+    """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       day(o_orderdate) AS order_day,
+       quarter(o_orderdate) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+    doc="Date/time function library: extraction + truncation "
+    "(P2/P3 generalized).",
+    tags=("sql", "scalar", "date"),
+)
+def q_date_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="Tumbling 1-hour window aggregate over the event stream table — "
+    "batch form of Structured Streaming's window(); date_trunc keeps the "
+    "oracle portable.",
+    tags=("sql", "events", "window-agg"),
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    doc="Batch sessionization (30-min gap): lag → new-session flag → "
+    "running count → per-session agg. Batch twin of the reference's "
+    "processing-time session window (EnrichmentApp.java:147).",
+    tags=("sql", "events", "session"),
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "value", is_new.alias("is_new_session"))
+        .withColumn("session_id", F.sum("is_new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+@register(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    doc="Arg-max dedup on a generic table: latest event per user — the "
+    "reference's W1/W2 max-by pattern reused outside the CDR domain.",
+    tags=("sql", "dedup", "events"),
+)
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return argmax_dedup(
+        ev.select("user_id", "event_id", "ts", "event_type", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
