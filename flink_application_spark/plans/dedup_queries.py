@@ -1,1 +1,259 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication queries over the `documents` table.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join → exact-Jaccard verify), SimHash, and all-pairs n-gram
+Jaccard. The md5 hash family is shared verbatim with the DuckDB
+oracles, so every stage is value-hash-checked, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.functions.text import fingerprint
+from flink_application_spark.operators.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    simhash_expr,
+    verified_near_dup_pairs,
+    with_band_keys,
+    with_minhash_signature,
+    with_shingles,
+)
+from flink_application_spark.plans.registry import register
+
+NEAR_DUP_THRESHOLD = 0.5
+
+# --- shared oracle building blocks -----------------------------------------
+
+# Tokenize + distinct word-3-gram shingles (DuckDB lists are 1-based).
+SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE [lower(trim(text))] END) AS shingles
+  FROM toks
+)
+"""
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+
+
+def _sigs_cte(k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) -> str:
+    rows = k // bands
+    mh = ",\n         ".join(_minhash_sql(i) for i in range(k))
+    band_exprs = ",\n         ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    return f"""
+mh AS (
+  SELECT doc_id,
+         {mh}
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {band_exprs}
+  FROM mh
+)
+"""
+
+
+def _pairs_cte(bands: int = DEFAULT_BANDS) -> str:
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+bands_long AS (
+  SELECT doc_id, unnest([{band_list}]) AS band_key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_long a
+  JOIN bands_long b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+JACCARD_SQL = (
+    "round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 "
+    "/ len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)"
+)
+
+
+# --- queries ----------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup_groups",
+    """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: group by md5 of normalized text; canonical row = "
+    "min doc_id. Single shuffle on an 8-byte-ish hash key, not the body.",
+    tags=("dedup", "documents"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "doc_minhash_signatures",
+    "WITH "
+    + SHINGLES_CTE
+    + ","
+    + _sigs_cte()
+    + """
+SELECT m.doc_id AS doc_id, m.mh0, m.mh1, m.mh2, m.mh3, m.mh4, m.mh5, m.mh6, m.mh7,
+       s.band0, s.band1, s.band2, s.band3
+FROM mh m JOIN sigs s ON m.doc_id = s.doc_id
+""",
+    doc="MinHash signatures (k=8) + LSH band keys (4 bands × 2 rows) per "
+    "document — scan-local expressions, no shuffle.",
+    tags=("dedup", "minhash"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    sig = with_band_keys(with_minhash_signature(with_shingles(docs)))
+    return sig.select(
+        "doc_id",
+        *[f"mh{i}" for i in range(DEFAULT_K)],
+        *[f"band{b}" for b in range(DEFAULT_BANDS)],
+    )
+
+
+@register(
+    "doc_near_dup_pairs_minhash_lsh",
+    "WITH "
+    + SHINGLES_CTE
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f"""
+SELECT id_a, id_b, jaccard FROM (
+  SELECT p.id_a, p.id_b, {JACCARD_SQL} AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+)
+WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+""",
+    doc="MinHash-LSH near-dup detection end-to-end: band-bucket join "
+    "generates candidates (one shuffle on band_key, no O(n²)), exact "
+    "Jaccard verifies ≥ 0.5. The testdata plants ~0.95+ jaccard pairs.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+
+
+def _simhash_oracle(n_bits: int) -> str:
+    votes = []
+    for j in range(n_bits):
+        dp = j // 4 + 1
+        pow_ = 2 ** (3 - (j % 4))
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(shingles, s -> "
+            f"(CAST(floor((strpos('0123456789abcdef', substr(md5(s), {dp}, 1)) - 1) "
+            f"/ {pow_}) AS BIGINT) % 2) * 2 - 1)) > 0 THEN {2 ** j} ELSE 0 END"
+        )
+    return (
+        "WITH "
+        + SHINGLES_CTE
+        + "\nSELECT doc_id, ("
+        + "\n + ".join(votes)
+        + ") AS simhash FROM sh"
+    )
+
+
+@register(
+    "doc_simhash",
+    _simhash_oracle(16),
+    doc="16-bit SimHash per document: per-bit ±1 votes from md5(shingle) "
+    "bits, sign-aggregated. Hex-digit bit extraction is div/mod "
+    "arithmetic shared with the oracle.",
+    tags=("dedup", "simhash"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return with_shingles(docs).select("doc_id", simhash_expr(16).alias("simhash"))
+
+
+@register(
+    "doc_ngram_jaccard_topk",
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {JACCARD_SQL} AS jaccard
+FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 100
+""",
+    doc="All-pairs exact 3-gram Jaccard, top-100 — the exhaustive "
+    "baseline the LSH path approximates (kept quadratic on purpose; "
+    "the scale path is doc_near_dup_pairs_minhash_lsh).",
+    tags=("dedup", "jaccard"),
+)
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    from flink_application_spark.operators.minhash import jaccard_column
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "doc_dedup_keep_canonical",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ORDER BY doc_id ASC
+         ) AS rn
+  FROM documents
+)
+WHERE rn = 1
+""",
+    doc="Dedup materialization: keep the lowest-doc_id representative "
+    "per exact-content fingerprint.",
+    tags=("dedup", "documents"),
+)
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -1,1 +1,110 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed
+variant is the scale path (equi-join on sign-bit bucket instead of a
+cross product). Cosine is computed as explicit double dot/norm folds
+in BOTH engines so the oracle matches bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_ann_topk,
+)
+from flink_application_spark.plans.registry import register
+
+_COS = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def _bucket_sql(col: str, n_bits: int) -> str:
+    return " || ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(n_bits)
+    )
+
+
+@register(
+    "emb_cosine_topk_bruteforce",
+    f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+WHERE rank <= 10
+""",
+    doc="Exact cosine top-10 for 5 query vectors: broadcast queries × "
+    "corpus scan; JVM-side zip_with/aggregate dot products — the "
+    "embeddings never leave the executor.",
+    tags=("similarity", "embeddings"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@register(
+    "emb_lsh_ann_topk",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 8)} AS bucket
+  FROM embeddings
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+)
+WHERE rank <= 5
+""",
+    doc="Approximate NN: 8 sign-bit axis hyperplanes bucket the corpus; "
+    "candidates equi-join on bucket (hash join, no cross product). "
+    "Recall/cost tunes via n_bits.",
+    tags=("similarity", "embeddings", "lsh"),
+)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return lsh_ann_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_bits=8)
+
+
+@register(
+    "emb_cosine_near_dup_pairs",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
+  FROM embeddings
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_COS.format(a='a.embedding', b='c.embedding')} AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+WHERE cosine >= 0.3
+""",
+    doc="Embedding-cosine near-dup pairs ≥ 0.3, LSH-blocked (4 bits) — "
+    "the embedding leg of the dedup family.",
+    tags=("similarity", "dedup", "embeddings"),
+)
+def q_cos_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return cosine_near_dup_pairs(emb, threshold=0.3)

@@ -26,7 +26,9 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -57,8 +59,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REV), 2).alias("sum_disc_price"),
-            F.round(F.sum(_REV * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -99,7 +101,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -137,7 +139,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
 
 
@@ -166,7 +168,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.filter(F.col("l_returnflag") == "R"), li.l_orderkey == o.o_orderkey)
         .join(n, n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)

@@ -1,1 +1,167 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over the `documents` table: token stats,
+quality scoring, language ID, fingerprinting. All scan-local Catalyst
+expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    avg_token_len,
+    distinct_token_count,
+    fingerprint,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from flink_application_spark.plans.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return register_views(spark, sf_dir, tables=("documents",))["documents"]
+
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join("'" + w + "'" for w in words)
+
+
+@register(
+    "doc_token_stats",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens,
+       round(list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0
+             / len({_TOKS}), 4) AS avg_token_len,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    doc="Token counting + document fingerprint (whitespace tokenizer; "
+    "BPE-ish subword counting is doc_subword_count).",
+    tags=("text", "documents"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        avg_token_len(t).alias("avg_token_len"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+@register(
+    "doc_subword_count",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subword_ish,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+           w -> length(w) > 4)) AS n_long_words
+FROM documents
+""",
+    doc="BPE-ish token counting: regex pre-tokenizer (letter runs / "
+    "digit runs / single symbols — the GPT-2 pre-tokenizer shape) "
+    "without a learned merge table.",
+    tags=("text", "documents"),
+)
+def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    subs = F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    words = F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(subs).alias("n_subword_ish"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+SELECT doc_id, lang,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter({_TOKS}, t -> t IN ({_in_list(EN_STOPWORDS)}))) * 1.0
+             / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+       round(0.3 * least(length(text) * 1.0 / 500.0, 1.0)
+           + 0.4 * round(len(list_filter({_TOKS}, t -> t IN ({_in_list(EN_STOPWORDS)}))) * 1.0
+                         / greatest(len({_TOKS}), 1), 6)
+           + 0.3 * (1.0 - round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                                / greatest(length(text), 1), 6)), 6) AS quality
+FROM documents
+""",
+    doc="Quality scoring: length saturation + stopword ratio + "
+    "punctuation density composite (Gopher/C4-style signals).",
+    tags=("text", "quality"),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n       ".join(
+        f"len(list_filter({_TOKS}, t -> t IN ({_in_list(words)}))) AS score_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    max_expr = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{la} = {max_expr} THEN '{la}'" for la in sorted(langs)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_label,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang_label, score_en, score_de, score_fr, score_es, score_zh,
+       CASE {case} END AS lang_predicted
+FROM scored
+"""
+
+
+@register(
+    "doc_lang_id",
+    _lang_id_oracle(),
+    doc="Language ID heuristic: function-word marker hit counts per "
+    "language, arg-max with alphabetical tie-break. (The synthetic "
+    "corpus is English-ish word salad, so the value is the "
+    "deterministic scoring pipeline, not label recovery.)",
+    tags=("text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scores = lang_scores(F.col("text"), LANG_MARKERS)
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[c.alias(f"score_{la}") for la, c in scores.items()],
+    )
+    max_score = F.greatest(*[F.col(f"score_{la}") for la in LANG_MARKERS])
+    expr = None
+    for la in sorted(LANG_MARKERS):
+        cond = F.col(f"score_{la}") == max_score
+        expr = F.when(cond, la) if expr is None else expr.when(cond, la)
+    return out.withColumn("lang_predicted", expr)
