@@ -1,0 +1,102 @@
+"""End-to-end streaming CDR enrichment (the reference job, stream form).
+
+Topology (EnrichmentApp.run(), :59-110):
+
+    src (Kafka CSV / file / rate)                 [streaming]
+      → derive event_date, probe                  (P1-P4)
+      ├─ imsi present  → lookup-join imsi_msisdn  (J1/J2, stream-static)
+      │                  → coalesce writeback     (P7)
+      └─ imsi missing  → explode IP list          (U1/J6)
+                         → theta as-of join ms_ip (J4)
+                         → session-window arg-max (W1/W2)
+      → unionByName → canonical schema → sink     (S4/S5, R4)
+
+The batch pipeline in ``plans/cdr.py`` shares every operator; only the
+dedup stage differs (streaming session window with watermark vs batch
+window-rank) — tests assert batch output ≡ stream output on the same
+input (SURVEY §5 batch-vs-stream equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_application_spark.operators.enrichment import (
+    coalesce_enrich,
+    explode_delimited,
+    extend_with_partition_cols,
+    lookup_join,
+    select_canonical,
+    theta_asof_candidates,
+    with_proc_time,
+)
+from flink_application_spark.plans.cdr import _ASOF_ORDER_SPARK, CANONICAL
+from flink_application_spark.streaming.dedup import session_argmax_dedup
+
+
+def streaming_enrichment(
+    src: DataFrame,
+    imsi_msisdn: DataFrame,
+    ms_ip: DataFrame,
+    *,
+    path_a_how: str = "inner",
+    gap: str = "1 second",
+    watermark_delay: str = "2 seconds",
+    clock: Column | None = None,
+) -> DataFrame:
+    """Full enrichment on a streaming `src`; dims are static DataFrames
+    (re-planned per micro-batch = lookup-join-as-of-processing-time at
+    batch granularity, SURVEY §2.3 J1).
+
+    `clock` injects a deterministic proc-time for tests (P6); the
+    default uses the event's own start_time as the session axis, which
+    makes the stream replayable (proc-time wall clocks are not).
+    """
+    extended = extend_with_partition_cols(src)
+
+    # Path A — imsi present
+    a = lookup_join(
+        extended.filter(F.col("imsi").isNotNull()),
+        imsi_msisdn,
+        on=F.col("imsi") == F.col("_imsi"),
+        project={"_imsi": "imsi", "_msisdn": "msisdn"},
+        how=path_a_how,
+    )
+    a = select_canonical(
+        coalesce_enrich(a, {"imsi": "_imsi", "msisdn": "_msisdn"}), CANONICAL
+    )
+
+    # Path B — imsi missing
+    exploded = explode_delimited(
+        extended.filter(F.col("imsi").isNull()), "ms_ip_address", out_col="ip"
+    )
+    dim = explode_delimited(ms_ip, "ms_ip_address", out_col="ip").select(
+        F.col("start_time").alias("_start_time"),
+        F.col("imsi").alias("_imsi"),
+        F.col("msisdn").alias("_msisdn"),
+        F.col("probe").alias("_probe"),
+        F.col("ip").alias("_ip"),
+    )
+    candidates = theta_asof_candidates(
+        exploded,
+        dim,
+        equi_keys=[("probe", "_probe"), ("ip", "_ip")],
+        left_ts="start_time",
+        right_ts="_start_time",
+    )
+    candidates = with_proc_time(
+        candidates, clock if clock is not None else F.col("start_time")
+    )
+    best = session_argmax_dedup(
+        candidates,
+        key_cols=["unique_cdr_id"],
+        order_col=F.struct(*[F.col(c) for c in _ASOF_ORDER_SPARK]),
+        ts_col="proc_time",
+        gap=gap,
+        watermark_delay=watermark_delay,
+    )
+    b = select_canonical(
+        coalesce_enrich(best, {"imsi": "_imsi", "msisdn": "_msisdn"}), CANONICAL
+    )
+
+    return a.unionByName(b)

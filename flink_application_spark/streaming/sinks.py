@@ -1,0 +1,117 @@
+"""Streaming sinks + runner policies (SURVEY §2.1 S4/S5/S6/S8, §2.6 R1/R4).
+
+Reference sink surface: labeled console print (EnrichmentApp.java:
+97-103), partitioned parquet on HDFS with a rolling policy
+(EnrichmentApp.java:183-204: PARTITIONED BY (event_date, probe),
+file-size 110 MB / check 5 s / rollover 20 s; flink.conf:51-59), two
+INSERTs into one sink table (EnrichmentAppWithoutExplode.java:103-104),
+checkpointing every 180 s (EnrichmentApp.java:48).
+
+Spark mapping: the micro-batch trigger plays the rollover-interval
+role (one file per partition per batch); `maxRecordsPerFile`
+approximates the size cap; `checkpointLocation` is per-query exactly
+like Flink's per-job checkpoint path. Two-queries-one-path fights over
+the committer, so multi-sink fan-in is union-before-write (R4).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _trigger_kwargs(trigger: str | None) -> dict:
+    if trigger is None or trigger == "availableNow":
+        return {"availableNow": True}
+    return {"processingTime": trigger}
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = ("event_date", "probe"),
+    trigger: str | None = "20 seconds",
+    max_records_per_file: int | None = None,
+    query_name: str = "parquet_sink",
+) -> StreamingQuery:
+    """S4: partitioned parquet sink with trigger + checkpoint."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_by)
+        .queryName(query_name)
+        .trigger(**_trigger_kwargs(trigger))
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    return writer.start()
+
+
+def write_console(
+    df: DataFrame, label: str, trigger: str | None = None, num_rows: int = 20
+) -> StreamingQuery:
+    """S5: labeled console sink (print names 'immediately_known...' etc.,
+    EnrichmentApp.java:97-103)."""
+    return (
+        df.writeStream.format("console")
+        .queryName(label)
+        .option("numRows", num_rows)
+        .option("truncate", "false")
+        .trigger(**_trigger_kwargs(trigger))
+        .start()
+    )
+
+
+def write_memory(
+    df: DataFrame, table_name: str, trigger: str | None = None
+) -> StreamingQuery:
+    """Test sink: results land in an in-memory table (batch≡stream
+    equivalence checks read it back with spark.table)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append" if not _has_aggregation(df) else "complete")
+        .trigger(**_trigger_kwargs(trigger))
+        .start()
+    )
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    # session-window aggregations with watermark support append mode;
+    # detect plain (un-watermarked) aggregates that need complete mode.
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan and "EventTimeWatermark" not in plan
+
+
+def write_kafka_csv(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    transactional_id_prefix: str | None = None,
+    trigger: str | None = None,
+) -> StreamingQuery:
+    """S8: Kafka producer sink (Generator.java:51-64 — string serializer,
+    transactional-id prefix). Expects a `value` column (use
+    csv_decode.encode_csv_value). Untestable without a broker."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger_kwargs(trigger))
+    )
+    if transactional_id_prefix is not None:
+        writer = writer.option("kafka.transactional.id", transactional_id_prefix)
+    return writer.start()
+
+
+def fanout_union(dfs: list[DataFrame]) -> DataFrame:
+    """S6/R4: route N result streams into ONE sink — union-before-write
+    keeps a single committer on the output path (the Spark-safe form of
+    the reference's two INSERTs into one sink table)."""
+    return reduce(lambda a, b: a.unionByName(b), dfs)
