@@ -1,0 +1,94 @@
+"""Multimodal-column queries, oracle-checked end-to-end.
+
+Each query runs the REAL binary path — synthesize SGB1 blobs from
+`documents` via mapInPandas, ship them through Arrow, decode them in a
+second Python stage — while the DuckDB oracle computes the closed-form
+expected output directly from the documents columns (header fields are
+functions of doc_id; the payload is the UTF-8 text, which is pure
+ASCII in the testdata, so byte arithmetic = ascii() arithmetic).
+A value-hash match therefore proves the entire encode → Arrow →
+Python → decode loop, not a mock of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.multimodal import (
+    decode_meta,
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from flink_application_spark.plans.registry import register
+
+# Closed-form header fields (synth_media's construction).
+_META_ORACLE_COLS = """
+  doc_id,
+  'SGB1' AS format,
+  CAST(64 + doc_id % 192 AS INTEGER) AS width,
+  CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
+  CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+  octet_length(encode(text)) AS payload_len
+"""
+
+
+@register(
+    "mm_image_meta",
+    f"SELECT {_META_ORACLE_COLS} FROM documents",
+    doc="Binary metadata decode: blobs synthesized and parsed in two "
+    "Arrow-batched mapInPandas stages; oracle checks header round-trip.",
+    tags=("multimodal", "binary"),
+)
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return decode_meta(synth_media(docs))
+
+
+@register(
+    "mm_image_features",
+    f"""
+SELECT {_META_ORACLE_COLS},
+  (list_sum(list_transform(string_split(text, ''), c -> ascii(c))) * 10000
+   // octet_length(encode(text))) / 10000.0 AS mean_byte,
+  CAST((64 + doc_id % 192) AS BIGINT) * (64 + (doc_id * 7) % 192) * (1 + doc_id % 3) AS n_pixels
+FROM documents
+""",
+    doc="Feature extraction over binary payloads (mean byte value via "
+    "numpy over Arrow buffers) — the vectorized-Python feature stage.",
+    tags=("multimodal", "binary"),
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return extract_features(synth_media(docs))
+
+
+@register(
+    "mm_frame_sample",
+    """
+WITH meta AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS plen
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(plen / 256 AS INTEGER) - 1, 4)) AS frame_idx
+  FROM meta
+  WHERE plen >= 256
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(9 + frame_idx * 256 AS BIGINT) AS frame_offset,
+       256 AS frame_len,
+       list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
+                               c -> ascii(c))) AS frame_sum
+FROM frames
+""",
+    doc="Frame sampling: payload as 256-byte frames, every 4th emitted "
+    "with offset + byte-sum — the explode-shaped (1→N) mapInPandas.",
+    tags=("multimodal", "binary", "video"),
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return sample_frames(synth_media(docs), frame_len=256, stride=4)

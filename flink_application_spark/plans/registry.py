@@ -78,6 +78,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import (  # noqa: F401
         cdr,
         dedup_queries,
+        multimodal_queries,
         similarity_queries,
         sql_surface,
         text_queries,
