@@ -564,3 +564,317 @@ def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         ["ts", "event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: joins/aggregation breadth (EXISTS, HAVING, pivot, cube, JSON,
+# exact percentiles, full outer, hopping windows)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+    doc="TPC-H Q6 forecasting revenue change: pure scan + conjunctive "
+    "filter + global agg — every predicate reaches the parquet reader "
+    "(PushedFilters), zero shuffle beyond the final reduce.",
+    tags=("sql", "agg", "tpch"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+""",
+    doc="TPC-H Q14 promotion effect: fact-dim broadcast join + "
+    "conditional aggregation ratio.",
+    tags=("sql", "join", "tpch"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+SELECT c_name, o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 120
+""",
+    doc="TPC-H Q18 large-volume customers: 3-way join + group + HAVING. "
+    "The orderkey aggregation co-partitions with the orders join "
+    "(same key), so AQE reuses the exchange.",
+    tags=("sql", "join", "agg", "tpch"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", F.col("o_totalprice"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q4_priority_exists",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 order-priority checking: correlated EXISTS → left-semi "
+    "join with a non-equi conjunct, then count by priority.",
+    tags=("sql", "join", "semi", "tpch"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    semi = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "pivot_event_type_counts",
+    """
+SELECT user_id % 10 AS cohort,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+""",
+    doc="Pivot (long→wide): per-cohort event-type matrix via "
+    "groupBy().pivot() with an explicit value list (one pass, no "
+    "second distinct-scan job).",
+    tags=("sql", "pivot", "events"),
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "cube_order_priority_stats",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE with grouping() flags: all 4 aggregation lattices in one "
+    "pass (Catalyst Expand), matching the rollup query's pattern.",
+    tags=("sql", "agg", "cube"),
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON column functions: extract a typed field from a JSON "
+    "string column (get_json_object — JVM-side Jackson, no UDF) and "
+    "aggregate it.",
+    tags=("sql", "json", "events"),
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "percentile_quantity_by_flag",
+    """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+       round(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact continuous percentiles (sort-based, not approx sketch) "
+    "per group — deterministic, hence oracle-able; the approximate "
+    "scale path is approx_percentile (same API shape).",
+    tags=("sql", "agg", "percentile"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {q})"), 4).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+
+@register(
+    "full_outer_customer_orders",
+    """
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name,
+       count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+FROM customer c
+FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+    doc="FULL OUTER join + null-side coalesce: customers without orders "
+    "and (if any) orders without customers both survive.",
+    tags=("sql", "join", "outer"),
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    j = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"), F.col("c_name")
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "events_hopping_window",
+    """
+WITH hops AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 5 MINUTE, ts)
+           - unnest([INTERVAL 0 MINUTE, INTERVAL 5 MINUTE]) AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM hops
+GROUP BY 1, 2, 3
+""",
+    doc="Hopping (sliding) window: 10-minute windows every 5 minutes — "
+    "F.window(ts, '10 minutes', '5 minutes'); each event lands in 2 "
+    "windows (Expand), the streaming-native sliding aggregation run "
+    "in batch.",
+    tags=("sql", "window", "events", "streaming-op"),
+)
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
