@@ -76,6 +76,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from flink_application_spark.plans import (  # noqa: F401
+        asof_queries,
         cdr,
         dedup_queries,
         multimodal_queries,

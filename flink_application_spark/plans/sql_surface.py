@@ -878,3 +878,45 @@ def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "salted_agg_lineitem",
+    """
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 2) AS sum_l_extendedprice,
+       count(*) AS count_star,
+       round(min(l_quantity), 2) AS min_l_quantity,
+       round(max(l_quantity), 2) AS max_l_quantity
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Skew-proof two-stage aggregation (operators/skew.py): partial "
+    "agg on (key, salt) then combine on key — same result as the plain "
+    "group-by (this oracle), but a 1B-row hot key spreads over 16 "
+    "tasks instead of one. The pattern AQE can't apply to aggregates.",
+    tags=("sql", "agg", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.skew import salted_aggregate
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            ("l_extendedprice", "sum"),
+            ("*", "count"),
+            ("l_quantity", "min"),
+            ("l_quantity", "max"),
+        ],
+        n_salts=16,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_extendedprice", 2).alias("sum_l_extendedprice"),
+        "count_star",
+        F.round("min_l_quantity", 2).alias("min_l_quantity"),
+        F.round("max_l_quantity", 2).alias("max_l_quantity"),
+    )
