@@ -1,0 +1,72 @@
+"""Physical-plan audits over the whole query registry.
+
+Correctness is the oracle harness's job; these tests pin the *plans*:
+no accidental cartesian products, dimension joins broadcast, filters
+reaching the parquet scan, salted/two-stage shapes present. A
+regression that keeps results right but degrades the plan (the classic
+silent 100×-at-scale bug) fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_application_spark.plans import registry
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Quadratic-by-design queries (documented exhaustive baselines).
+INTENTIONALLY_QUADRATIC = {
+    "doc_ngram_jaccard_topk",   # all-pairs exact Jaccard baseline
+    "emb_cosine_topk_bruteforce",  # brute-force ANN baseline (broadcast NLJ)
+    "emb_cosine_near_dup_pairs",
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    df = registry.REGISTRY_GET(name).spark(spark, sf_dir)
+    plan = _physical(df)
+    if name in INTENTIONALLY_QUADRATIC:
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} degraded to nested-loop join"
+    )
+
+
+def test_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = _physical(registry.REGISTRY_GET("tpch_q6_revenue_forecast").spark(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least one non-empty pushed filter on l_shipdate / l_discount / l_quantity
+    assert "IsNotNull" in plan or "GreaterThan" in plan or "LessThan" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _physical(registry.REGISTRY_GET("tpch_q1_pricing_summary").spark(spark, sf_dir))
+    # ReadSchema must not include unused lineitem columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "l_partkey" not in read[0] and "l_suppkey" not in read[0]
+
+
+def test_cdr_dim_joins_broadcast(spark, sf_dir):
+    plan = _physical(registry.REGISTRY_GET("cdr_enrichment_full").spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    plan = _physical(registry.REGISTRY_GET("salted_agg_lineitem").spark(spark, sf_dir))
+    # pmod salt key present and two HashAggregate pairs (partial+final ×2)
+    assert "pmod" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
+    df = registry.REGISTRY_GET("tpch_q1_pricing_summary").spark(spark, sf_dir)
+    df.count()  # AQE: codegen spans appear in the finalized plan only
+    plan = _physical(df)
+    assert "WholeStageCodegen" in plan
