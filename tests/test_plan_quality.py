@@ -67,6 +67,9 @@ def test_salted_agg_is_two_stage(spark, sf_dir):
 
 def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
     df = registry.REGISTRY_GET("tpch_q1_pricing_summary").spark(spark, sf_dir)
-    df.count()  # AQE: codegen spans appear in the finalized plan only
+    # AQE: codegen spans appear only in the finalized plan, and only
+    # THIS DataFrame's QueryExecution finalizes (count() would build a
+    # separate one)
+    df.collect()
     plan = _physical(df)
     assert "WholeStageCodegen" in plan
