@@ -67,9 +67,16 @@ def test_salted_agg_is_two_stage(spark, sf_dir):
 
 def test_whole_stage_codegen_in_hot_path(spark, sf_dir):
     df = registry.REGISTRY_GET("tpch_q1_pricing_summary").spark(spark, sf_dir)
-    # AQE: codegen spans appear only in the finalized plan, and only
-    # THIS DataFrame's QueryExecution finalizes (count() would build a
-    # separate one)
+    # AQE: the finalized plan exists only after executing THIS
+    # DataFrame's QueryExecution (count() would build a separate one),
+    # and marks whole-stage-codegen'd operators with a '*' prefix.
     df.collect()
-    plan = _physical(df)
-    assert "WholeStageCodegen" in plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    assert "isFinalPlan=false" not in txt
+    assert "* HashAggregate" in txt and "* Filter" in txt
