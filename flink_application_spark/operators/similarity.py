@@ -105,3 +105,115 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — trained-centroid scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample_cap: int = 50_000,
+    seed: int = 42,
+):
+    """Lloyd's k-means on a bounded, deterministic sample.
+
+    Scale contract: only `sample_cap` vectors ever reach the driver
+    (ordered sample by vec_id → stable across runs and partitionings);
+    the clustering itself is O(sample × k × iter) numpy — the corpus
+    is never collected. Returns a (k, dim) float64 ndarray.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r.embedding for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iter):
+        # assign to nearest centroid by cosine (normalize both sides)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _assign_udf(centroids, n_probe: int):
+    """Vectorized centroid assignment: embedding → n_probe nearest
+    centroid ids (Arrow-batched pandas UDF; broadcastable closure)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    # no type hints: module-level `from __future__ import annotations`
+    # turns them into strings pyspark can't resolve (pandas is imported
+    # locally); hint-less pandas_udf defaults to SCALAR, which is right
+    @pandas_udf("array<int>")
+    def nearest(emb):
+        x = np.array(emb.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = xn @ cn.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return nearest
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are inverted-listed under their nearest
+    centroid (1 assignment pass, Arrow-batched); queries probe their
+    `n_probe` nearest centroids and only scan those lists (equi-join on
+    centroid id — no cross product). n_probe = n_centroids degrades to
+    exact brute force; recall tunes monotonically in between.
+
+    At 100 TB: centroids come from a driver-bounded sample, the corpus
+    assignment is a narrow scan writing (centroid_id, vec) —
+    re-partitionable/bucketable by centroid_id so each probe touches
+    only matching partitions (partition pruning on the list id).
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids=n_centroids)
+
+    assign1 = _assign_udf(centroids, 1)
+    c = corpus.select(
+        "vec_id", "embedding", F.element_at(assign1(F.col("embedding")), 1).alias("cluster")
+    )
+    assignp = _assign_udf(centroids, n_probe)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(assignp(F.col("embedding"))).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+        .distinct()  # a (query, vec) pair can meet in several probed lists
+    )
+    return _topk_per_query(scored, k)

@@ -108,3 +108,20 @@ WHERE cosine >= 0.3
 def q_cos_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     return cosine_near_dup_pairs(emb, threshold=0.3)
+
+
+@register(
+    "emb_ivf_ann_topk",
+    None,  # k-means training is not SQL-expressible → rows-only check;
+           # exactness/recall properties are pinned in tests/test_ivf.py
+    doc="IVF ANN top-5: k-means centroids from a driver-bounded sample, "
+    "corpus inverted-listed by nearest centroid (Arrow-batched pandas "
+    "UDF), queries probe 4/16 lists — candidate set shrinks ~4× with "
+    "high recall; the bucketed layout partition-prunes at scale.",
+    tags=("similarity", "embeddings", "ivf", "ann"),
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import ivf_topk
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, n_probe=4)
