@@ -1,0 +1,82 @@
+"""applyInPandasWithState: keyed state must survive micro-batch
+boundaries, and the running arg-max must converge to the batch answer
+regardless of how the input is split into batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.operators.dedup import argmax_dedup
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.stateful import stateful_argmax_dedup
+
+
+@pytest.fixture(scope="module")
+def batched_input(spark, tmp_path_factory):
+    """Three separate parquet files → three micro-batches with
+    maxFilesPerTrigger=1. Key 'a' improves in batches 1 and 3 (state
+    must carry across batch 2); key 'b' peaks in batch 1."""
+    root = tmp_path_factory.mktemp("stateful")
+    batches = [
+        [("a", 10, "a-b1"), ("b", 99, "b-best")],
+        [("a", 5, "a-worse"), ("b", 50, "b-late-worse")],
+        [("a", 77, "a-best")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string, score int, tag string").coalesce(
+            1
+        ).write.parquet(str(root / f"f{i}"), mode="overwrite")
+        # one directory with three files
+    import glob
+    import os
+    import shutil
+    import time
+
+    merged = root / "in"
+    merged.mkdir()
+    base = time.time()
+    for i in range(3):
+        src = glob.glob(str(root / f"f{i}" / "*.parquet"))[0]
+        dst = str(merged / f"part-{i}.parquet")
+        shutil.copy(src, dst)
+        # the file source orders batches by modification time — pin
+        # strictly increasing mtimes so batch order is deterministic
+        os.utime(dst, (base + i * 10, base + i * 10))
+    return merged
+
+
+def test_state_survives_batches_and_converges(spark, batched_input):
+    stream = file_stream(
+        spark, str(batched_input), max_files_per_trigger=1
+    )
+    dedup = stateful_argmax_dedup(stream, ["k"], ["score"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emissions = spark.table("stateful_out")
+
+    # the best emission per key == batch arg-max over the union
+    final = argmax_dedup(emissions, ["k"], ["score"])
+    got = {(r.k, r.score, r.tag) for r in final.collect()}
+    assert got == {("a", 77, "a-best"), ("b", 99, "b-best")}
+
+    # monotone-improvement contract: no key emits a non-improving row,
+    # so per key the emission count ≤ its improving-prefix length and
+    # 'b' (peaks immediately) emits exactly once
+    per_key = {r.k: r.cnt for r in emissions.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert per_key["b"] == 1
+    assert per_key["a"] >= 2  # improved in batch 1 and batch 3
+
+
+def test_batch_caller_rejected(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, score int")
+    with pytest.raises(Exception):
+        # applyInPandasWithState is streaming-only; batch use must fail
+        # loudly, steering callers to operators.dedup.argmax_dedup
+        stateful_argmax_dedup(df, ["k"], ["score"]).collect()
