@@ -165,3 +165,78 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col(f"score_{la}") == max_score
         expr = F.when(cond, la) if expr is None else expr.when(cond, la)
     return out.withColumn("lang_predicted", expr)
+
+
+@register(
+    "doc_rolling_hash",
+    """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007
+       ) AS rolling_hash,
+       length(text) AS n_chars_actual
+FROM documents
+""",
+    doc="Polynomial rolling-hash document fingerprint: "
+    "h = fold(h*31 + byte mod 1e9+7) over the text — the "
+    "Rabin-Karp-style content hash; one fold per row, scan-local, "
+    "identical arithmetic on both engines (products stay < 2^63).",
+    tags=("text", "fingerprint", "documents"),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        h.alias("rolling_hash"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "doc_top_vocab",
+    """
+SELECT token, n_docs, n_occurrences FROM (
+  SELECT token,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occurrences,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY token
+)
+WHERE rn <= 50
+""",
+    doc="Vocabulary building: explode tokens, global term stats, top-50 "
+    "by frequency — the corpus-statistics pass of a tokenizer-training "
+    "pipeline. One explode + one shuffle on token.",
+    tags=("text", "vocab", "documents"),
+)
+def q_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    stats = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("token", "n_docs", "n_occurrences")
+    )

@@ -1,0 +1,76 @@
+"""Config-driven app runner: batch and streaming modes produce the
+same enrichment output from the same config skeleton."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+from flink_application_spark.app import run
+from flink_application_spark.plans.cdr import cdr_views
+
+
+@pytest.fixture(scope="module")
+def app_dirs(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("app")
+    v = cdr_views(spark, sf_dir)
+    v["cdr_src"].withColumn(
+        "start_time", F.col("start_time").cast("timestamp")
+    ).write.parquet(str(root / "src"))
+    v["imsi_msisdn"].write.parquet(str(root / "imsi_msisdn"))
+    v["ms_ip"].withColumn(
+        "start_time", F.col("start_time").cast("timestamp")
+    ).write.parquet(str(root / "ms_ip"))
+    return root
+
+
+def _cfg(root, mode, sink=None):
+    return {
+        "mode": mode,
+        "source": {"format": "parquet", "path": str(root / "src")},
+        "dims": {
+            "imsi_msisdn": str(root / "imsi_msisdn"),
+            "ms_ip": str(root / "ms_ip"),
+        },
+        "dedup": {"gap": "36500 days", "watermark": "0 seconds"},
+        **({"sink": sink} if sink else {}),
+    }
+
+
+def test_batch_mode_returns_dataframe(spark, app_dirs):
+    out = run(spark, _cfg(app_dirs, "batch"))
+    assert isinstance(out, DataFrame)
+    assert out.count() > 0
+    assert set(out.columns) >= {"imsi", "msisdn", "event_date", "probe"}
+
+
+def test_config_file_roundtrip(spark, app_dirs, tmp_path):
+    cfg_path = tmp_path / "app.json"
+    cfg_path.write_text(json.dumps(_cfg(app_dirs, "batch")))
+    out = run(spark, str(cfg_path))
+    assert out.count() > 0
+
+
+def test_streaming_parquet_sink(spark, app_dirs, tmp_path):
+    sink = {
+        "format": "parquet",
+        "path": str(tmp_path / "out"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "trigger": None,
+        "name": "app_sink_test",
+    }
+    # small gap: parquet sink is append-mode → only watermark-closed
+    # sessions emit; batch-equivalence under availableNow is covered in
+    # test_streaming.py — here we check the app wiring end to end for
+    # the path-A rows (no watermark dependency)
+    cfg = _cfg(app_dirs, "streaming", sink)
+    cfg["dedup"] = {"gap": "1 second", "watermark": "0 seconds"}
+    q = run(spark, cfg)
+    q.awaitTermination(300)
+    back = spark.read.parquet(sink["path"])
+    assert back.count() > 0
+    import glob
+
+    assert glob.glob(str(tmp_path / "out" / "event_date=*"))
