@@ -83,6 +83,7 @@ def _load_all() -> None:
         similarity_queries,
         sql_surface,
         text_queries,
+        tpch_extra,
     )
 
     _LOADED = True

