@@ -118,7 +118,7 @@ FROM (
   JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
   JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
   JOIN region r ON r.r_regionkey = n2.n_regionkey
-  WHERE r.r_name = 'REGION_1' AND p.p_type = 'ECONOMY'
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
 ) all_nations
 GROUP BY o_year
 ORDER BY o_year
@@ -143,7 +143,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(F.broadcast(r.filter(F.col("r_name") == "REGION_1")), F.col("n2_region") == r.r_regionkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n2_region") == r.r_regionkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             _rev().alias("volume"),
@@ -175,21 +175,21 @@ FROM (
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
-  WHERE p.p_name LIKE '%green%'
+  WHERE p.p_name LIKE '%red%'
 ) profit
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """,
     doc="TPC-H Q9 (adapted: no partsupp, so supply cost is modeled as "
     "50% of p_retailprice): profit by supplier nation and order year for "
-    "green parts. LIKE filter prunes the broadcast part side; profit "
+    "red parts. LIKE filter prunes the broadcast part side; profit "
     "expression stays in whole-stage codegen.",
     tags=("sql", "join", "agg"),
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, p, s, o, n = _t(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
     return (
-        li.join(F.broadcast(p.filter(F.col("p_name").like("%green%"))), li.l_partkey == p.p_partkey)
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -442,13 +442,17 @@ FROM (
   WHERE c.c_acctbal > (
       SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
     )
-    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
 ) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
 """,
     doc="TPC-H Q22 (adapted: country code = digits 10-11 of c_name since "
     "c_phone is absent): above-average-balance customers with no orders. "
+    "(every customer in this data has orders, so the anti-join excludes "
+    "customers with URGENT orders instead). "
     "Scalar aggregate subquery → broadcast 1-row cross join; NOT EXISTS "
     "→ left-anti join on o_custkey (anti side needs only the key column "
     "— pruned before shuffle).",
@@ -460,7 +464,11 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
         .select(F.substring("c_name", 10, 2).alias("cntrycode"), "c_acctbal")
         .groupBy("cntrycode")
         .agg(
