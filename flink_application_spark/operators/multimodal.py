@@ -226,6 +226,90 @@ def sample_frames(
 
 
 # ---------------------------------------------------------------------------
+# Audio: synthetic PCM + windowed feature extraction
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 160  # samples per analysis window (10 ms @ 16 kHz)
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, window_idx int, mean_sq double, peak int, n_nonneg int"
+)
+
+
+def _audio_n_samples(doc_id: int) -> int:
+    """Closed-form sample count so the oracle can regenerate the signal."""
+    return 800 + doc_id % 320
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic int8 PCM per document: sample t is
+    ``((doc_id*31 + t*17) % 256) - 128``, truncated to complete
+    AUDIO_WINDOW-sample windows, stored +128-biased as uint8 payload in
+    an SGB1 blob (width=window size, height=window count, channels=1).
+
+    Both the sample formula and the length are closed-form in doc_id,
+    so downstream feature extraction has an exact DuckDB
+    generate_series oracle — the Arrow round trip is value-checked,
+    not mocked."""
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                n = (_audio_n_samples(d) // AUDIO_WINDOW) * AUDIO_WINDOW
+                t = np.arange(n, dtype=np.int64)
+                s = (d * 31 + t * 17) % 256 - 128
+                blobs.append(
+                    pack_header(AUDIO_WINDOW, n // AUDIO_WINDOW, 1)
+                    + (s + 128).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(encode, schema="doc_id bigint, media binary")
+
+
+def audio_window_features(media: DataFrame) -> DataFrame:
+    """Per-window audio features over the PCM payload: integer
+    mean-square energy (floor-scaled to 4 dp — the only rounding both
+    engines reproduce bit-identically), peak |amplitude|, and
+    non-negative-sample count. Explode-shaped mapInPandas: one input
+    blob → one row per analysis window."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                win, n_windows, _ = unpack_header(b)
+                payload = np.frombuffer(b, dtype=np.uint8, offset=HEADER_LEN)
+                s = payload.astype(np.int64) - 128
+                for w in range(n_windows):
+                    chunk = s[w * win : (w + 1) * win]
+                    mean_sq = int((chunk * chunk).sum()) * 10_000 // win / 10_000.0
+                    rows.append(
+                        (
+                            int(i),
+                            w,
+                            mean_sq,
+                            int(np.abs(chunk).max()),
+                            int((chunk >= 0).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "window_idx", "mean_sq", "peak", "n_nonneg"],
+            )
+
+    return media.mapInPandas(feats, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Real-codec stubs (libs not in this container)
 # ---------------------------------------------------------------------------
 

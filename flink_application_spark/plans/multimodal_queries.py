@@ -16,9 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.multimodal import (
+    audio_window_features,
     decode_meta,
     extract_features,
     sample_frames,
+    synth_audio,
     synth_media,
 )
 from flink_application_spark.plans.registry import register
@@ -92,3 +94,38 @@ FROM frames
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
     return sample_frames(synth_media(docs), frame_len=256, stride=4)
+
+
+@register(
+    "mm_audio_window_features",
+    """
+WITH ticks AS (
+  SELECT unnest(generate_series(0, 959)) AS t
+),
+samples AS (
+  SELECT d.doc_id AS doc_id, ticks.t AS t,
+         ((d.doc_id * 31 + ticks.t * 17) % 256) - 128 AS s
+  FROM documents d
+  CROSS JOIN ticks
+  WHERE ticks.t < ((800 + d.doc_id % 320) // 160) * 160
+)
+SELECT doc_id,
+       CAST(t // 160 AS INTEGER) AS window_idx,
+       CAST(sum(s * s) * 10000 // 160 AS BIGINT) / 10000.0 AS mean_sq,
+       CAST(max(abs(s)) AS INTEGER) AS peak,
+       CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_nonneg
+FROM samples
+GROUP BY doc_id, window_idx
+""",
+    doc="Audio feature extraction: deterministic int8 PCM synthesized "
+    "per document (sample formula closed-form in doc_id), shipped as a "
+    "binary column through Arrow, windowed into 160-sample frames with "
+    "mean-square energy / peak / sign-count per window in a numpy "
+    "mapInPandas stage. The DuckDB oracle regenerates the identical "
+    "signal via generate_series — a value-hash match proves the whole "
+    "PCM encode → Arrow → numpy → feature loop.",
+    tags=("multimodal", "binary", "audio"),
+)
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return audio_window_features(synth_audio(docs))

@@ -331,3 +331,70 @@ def test_stream_generator_shape(spark, gen_dim):
         "ms_ip_address",
         "unique_cdr_id",
     }
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream event-time interval join (streaming form of J4's range)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    from flink_application_spark.streaming.interval_join import interval_join
+
+    # impressions and clicks: a click joins an impression of the same ad
+    # if it lands within [impression, impression + 30s].
+    imp_rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:01:00"),
+        (2, "2024-01-01 00:00:10"),
+        (3, "2024-01-01 00:02:00"),
+    ]
+    clk_rows = [
+        (1, "2024-01-01 00:00:20"),   # joins imp@00:00 only
+        (1, "2024-01-01 00:01:25"),   # joins imp@01:00 only
+        (2, "2024-01-01 00:00:45"),   # 35s after imp@00:10 → no match
+        (3, "2024-01-01 00:02:05"),   # joins imp@02:00
+        (9, "2024-01-01 00:00:00"),   # no impression at all
+        # far-future sentinel rows advance both watermarks so the
+        # availableNow run flushes all real matches before terminating
+        (99, "2099-01-01 00:00:00"),
+    ]
+    imp_rows.append((99, "2099-01-01 00:00:00"))
+    imp = spark.createDataFrame(
+        [(k, t) for k, t in imp_rows], "ad_id bigint, imp_time string"
+    ).select("ad_id", F.col("imp_time").cast("timestamp").alias("imp_time"))
+    clk = spark.createDataFrame(
+        [(k, t) for k, t in clk_rows], "click_ad_id bigint, click_time string"
+    ).select("click_ad_id", F.col("click_time").cast("timestamp").alias("click_time"))
+    imp.write.parquet(str(tmp_path / "imp"))
+    clk.write.parquet(str(tmp_path / "clk"))
+
+    def run(left, right):
+        return interval_join(
+            left,
+            right,
+            F.col("click_ad_id") == F.col("ad_id"),
+            left_ts="click_time",
+            right_ts="imp_time",
+            lower="30 seconds",   # click_time >= imp_time - 30s (slack)
+            upper="30 seconds",   # click_time <= imp_time + 30s (band)
+            left_watermark="0 seconds",
+            right_watermark="0 seconds",
+        ).filter(F.col("click_time") >= F.col("imp_time"))  # causal half
+
+    batch = run(
+        spark.read.parquet(str(tmp_path / "clk")),
+        spark.read.parquet(str(tmp_path / "imp")),
+    )
+    stream = run(
+        file_stream(spark, str(tmp_path / "clk")),
+        file_stream(spark, str(tmp_path / "imp")),
+    )
+    assert stream.isStreaming
+    q = write_memory(stream, "ij_out")
+    q.awaitTermination(300)
+    got = spark.table("ij_out").filter(F.col("ad_id") != 99)
+    want = batch.filter(F.col("ad_id") != 99)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # expected matches exactly: (1@00:20, 1@01:25, 3@02:05)
+    assert got.count() == 3
