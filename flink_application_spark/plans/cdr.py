@@ -172,6 +172,49 @@ def q_cdr_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdr_exploded_udtf",
+    fixture_cte("cdr_src")
+    + """
+SELECT start_time, measuring_probe_name, imsi, msisdn, ms_ip_address,
+       unique_cdr_id, event_date, probe, trim(ip) AS ip
+FROM (
+  SELECT s.*,
+         CAST(start_time AS DATE) AS event_date,
+         substr(measuring_probe_name, 1, 2) AS probe,
+         unnest(string_split(trim(ms_ip_address), ';')) AS ip
+  FROM cdr_src s
+)
+WHERE trim(ip) <> ''
+""",
+    doc="U1 generic surface: the same lateral explode through a "
+    "registered Python table function invoked from SQL "
+    "(functions/udtf.py:SplitTokens ≙ the reference's named Split UDTF, "
+    "EnrichmentApp.java:364-374/:51). Arrow-batched; the production "
+    "path is the Catalyst explode in `cdr_exploded` — this query "
+    "exists to pin the registered-by-name UDTF machinery end-to-end.",
+    tags=("cdr", "explode", "udtf"),
+)
+def q_cdr_exploded_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.udtf import register_udtfs
+
+    v = cdr_views(spark, sf_dir)
+    register_udtfs(spark)
+    extend_with_partition_cols(v["cdr_src"]).createOrReplaceTempView(
+        "cdr_src_extended_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT e.start_time, e.measuring_probe_name, e.imsi, e.msisdn,
+               e.ms_ip_address, e.unique_cdr_id, e.event_date, e.probe,
+               trim(t.token) AS ip
+        FROM cdr_src_extended_udtf e,
+             LATERAL split_tokens(trim(e.ms_ip_address), ';') t
+        WHERE trim(t.token) <> ''
+        """
+    )
+
+
+@register(
     "cdr_dim_exploded",
     fixture_cte("ms_ip") + MS_IP_EXPLODED_ORACLE,
     doc="Pre-exploded dimension invariant: ms_ip_exploded = "

@@ -240,3 +240,65 @@ def q_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("token", "n_docs", "n_occurrences")
     )
+
+
+@register(
+    "doc_tfidf_topk",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token <> ''
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, token, tf, df, score FROM (
+  SELECT tf.doc_id AS doc_id, tf.token AS token, tf.tf AS tf, df.df AS df,
+         tf.tf * (n.n * 1000000 // df.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n * 1000000 // df.df) DESC, tf.token ASC
+         ) AS rn
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+WHERE rn <= 5
+""",
+    doc="TF-IDF top-5 terms per document with an integer IDF ratio "
+    "(N*1e6 div df — log-free so both engines agree bit-exactly; same "
+    "ranking monotonicity). Shape: scan-local explode → (doc,term) "
+    "partial-agg shuffle → vocab-keyed df agg reusing tf's token "
+    "partitioning → broadcast 1-row N → per-doc window rank. The df "
+    "side joins on the same token key tf is already hashed by, so the "
+    "join adds no extra exchange of the big side.",
+    tags=("text", "tfidf", "documents"),
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from flink_application_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .withColumn("score", F.expr("tf * (n * 1000000 div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "score")
+    )

@@ -30,6 +30,7 @@ INTENTIONALLY_QUADRATIC = {
 # constant column — O(n·1), correct at any scale.
 SCALAR_SUBQUERY_BROADCAST = {
     "tpch_q22_global_sales_opportunity",  # avg(c_acctbal) bound
+    "doc_tfidf_topk",  # corpus size N
 }
 
 
