@@ -259,3 +259,50 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "doc_dup_components",
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.lstrip().lstrip("WITH").lstrip()
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f""",
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM dup
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.v
+)
+SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v
+""",
+    doc="Duplicate-cluster assignment: connected components of the "
+    "verified MinHash-LSH near-dup graph via iterative min-label "
+    "propagation (join + min-agg per round, localCheckpoint lineage "
+    "truncation, O(cluster diameter) rounds). Pair chains a~b~c "
+    "collapse into one component even when a,c were never compared — "
+    "the step that turns near-dup PAIRS into dedup GROUPS. Oracle: "
+    "DuckDB recursive CTE reachability.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.components import connected_components
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    return connected_components(
+        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
+    ).select(F.col("v").alias("doc_id"), "component")

@@ -125,3 +125,36 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "emb_centroid_per_label",
+    """
+WITH dims AS (
+  SELECT unnest(generate_series(0, 63)) AS pos
+)
+SELECT e.label AS label, dims.pos AS pos,
+       round(avg(e.embedding[dims.pos + 1]), 4) + 0.0 AS centroid,
+       count(*) AS n_vectors
+FROM embeddings e
+CROSS JOIN dims
+GROUP BY e.label, dims.pos
+""",
+    doc="Per-class centroid: element-wise mean embedding per label in "
+    "long (label, pos) form. Spark: posexplode is scan-local, the only "
+    "shuffle is the (label, pos) partial-agg — sums are combined "
+    "map-side so the exchange carries |labels|x|dims| partials, not "
+    "vectors. The long form is also the scalable layout (no giant "
+    "array rebuild; downstream dot products join on pos).",
+    tags=("similarity", "embeddings", "agg"),
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid"),  # -0.0 → +0.0
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
