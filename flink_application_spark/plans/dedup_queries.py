@@ -306,3 +306,115 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
     ).select(F.col("v").alias("doc_id"), "component")
+
+
+@register(
+    "doc_dedup_canonical_near",
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.lstrip().lstrip("WITH").lstrip()
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f""",
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM dup
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.v
+),
+comp AS (
+  SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v
+)
+SELECT c.component AS canonical_doc_id,
+       count(*) AS cluster_size,
+       d.lang AS lang,
+       d.n_chars AS n_chars
+FROM comp c
+JOIN documents d ON d.doc_id = c.component
+GROUP BY c.component, d.lang, d.n_chars
+""",
+    doc="Near-dup corpus dedup, end to end: MinHash-LSH pairs → "
+    "connected components → keep the min-doc_id representative per "
+    "cluster with its member count and metadata. The full shape of a "
+    "training-corpus dedup pass: what survives is one doc per "
+    "duplicate cluster plus every never-duplicated doc (cluster_size "
+    "1).",
+    tags=("dedup", "graph", "canonical"),
+)
+def q_dedup_canonical_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.components import connected_components
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    comp = connected_components(
+        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.join(docs, sizes.component == docs.doc_id)
+        .select(
+            F.col("component").alias("canonical_doc_id"),
+            "cluster_size",
+            "lang",
+            "n_chars",
+        )
+    )
+
+
+@register(
+    "doc_near_dup_edit_distance",
+    "WITH "
+    + SHINGLES_CTE.lstrip().lstrip("WITH").lstrip()
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + """
+SELECT p.id_a, p.id_b,
+       levenshtein(da.text, db.text) AS edit_dist,
+       CAST(greatest(length(da.text), length(db.text)) AS INTEGER) AS max_len
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE levenshtein(da.text, db.text) * 10 <= greatest(length(da.text), length(db.text)) * 3
+""",
+    doc="Edit-distance near-dup verification on MinHash-LSH candidate "
+    "pairs: normalized Levenshtein ≤ 0.3 (integer cross-multiplied — "
+    "no float in the predicate). The O(len²) DP runs only on LSH "
+    "candidates, never all pairs; both engines implement the same "
+    "classic DP so distances are integer-exact.",
+    tags=("dedup", "levenshtein", "lsh"),
+)
+def q_near_dup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    from flink_application_spark.operators.minhash import lsh_candidate_pairs, with_shingles
+
+    sh = with_shingles(docs)
+    pairs = lsh_candidate_pairs(sh)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    ed = F.levenshtein("text_a", "text_b")
+    mx = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ed.alias("edit_dist"),
+            mx.alias("max_len"),
+        )
+        .filter(F.col("edit_dist") * 10 <= F.col("max_len") * 3)
+    )

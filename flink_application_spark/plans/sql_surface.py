@@ -920,3 +920,29 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_l_quantity", 2).alias("min_l_quantity"),
         F.round("max_l_quantity", 2).alias("max_l_quantity"),
     )
+
+
+@register(
+    "agg_approx_sketches",
+    None,  # sketch internals (HLL++ / KLL) are engine-specific — no
+           # cross-engine value parity; error bounds are property-tested
+           # in tests/test_approx.py against the exact aggregates
+    doc="Sketch aggregates for 100 TB-scale profiling: HLL++ distinct "
+    "counts (approx_count_distinct, rsd 1%) and KLL quantiles "
+    "(approx_percentile) per return flag — one map-side-combinable "
+    "shuffle regardless of key cardinality, constant memory per key "
+    "vs O(distinct) for exact. The scale path for corpus statistics "
+    "where exact percentile_quantity_by_flag would spill.",
+    tags=("agg", "approx", "sketch"),
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_quantiles"),
+        )
+        .orderBy("l_returnflag")
+    )
