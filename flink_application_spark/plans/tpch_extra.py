@@ -569,3 +569,197 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+WITH part_rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_revenue
+FROM part_rev
+WHERE part_revenue > (SELECT avg(part_revenue) * 1.5 FROM part_rev)
+ORDER BY part_revenue DESC, l_partkey
+""",
+    doc="TPC-H Q11 (adapted: revenue concentration instead of the "
+    "absent partsupp stock value): parts above 1.5x the average "
+    "per-part revenue (scale-invariant threshold) — HAVING against a scalar subquery over the SAME "
+    "aggregate. Spark computes part_rev once; the total is a broadcast "
+    "1-row reaggregation of the (small) per-part result, not a second "
+    "lineitem scan.",
+    tags=("sql", "agg", "subquery"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    part_rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("part_revenue"))
+    )
+    total = part_rev.agg((F.avg("part_revenue") * 1.5).alias("_threshold"))
+    return (
+        part_rev.join(F.broadcast(total))
+        .filter(F.col("part_revenue") > F.col("_threshold"))
+        .select("l_partkey", "part_revenue")
+        .orderBy(F.col("part_revenue").desc(), F.col("l_partkey").asc())
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    """
+SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 (adapted: lineitem as the part-supplier link since "
+    "partsupp is absent; negative-balance suppliers play the "
+    "complaints exclusion): distinct-supplier counts per part class "
+    "with a NOT IN anti-join. The NOT IN subquery is null-free by "
+    "construction (s_suppkey is a key), so anti-join semantics are "
+    "safe; the distinct-agg shuffles on the 3 group keys + suppkey "
+    "then collapses.",
+    tags=("sql", "agg", "subquery"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+                )
+            ),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+SELECT s.s_name AS s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 50
+)
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 (adapted: shipped-quantity threshold instead of the "
+    "absent partsupp availqty comparison): suppliers who moved > 50 "
+    "units of red parts in 1998. IN-subquery with GROUP BY + HAVING → "
+    "aggregate then left-semi join; the part filter broadcasts into "
+    "the lineitem scan before aggregation.",
+    tags=("sql", "subquery", "semi"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p.filter(F.col("p_name").like("red%"))), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "dq_checks_star_schema",
+    """
+SELECT 'orphan_lineitems' AS check_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       ) AS violations
+UNION ALL
+SELECT 'orphan_orders',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'dup_orderkeys',
+       (SELECT count(*) FROM
+         (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+UNION ALL
+SELECT 'null_shipdates',
+       (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+UNION ALL
+SELECT 'negative_prices',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0)
+""",
+    doc="Data-quality audit as a query: referential integrity "
+    "(anti-join orphan counts), key uniqueness, null/negative scans — "
+    "the validation pass a 100 TB ingest runs before publishing a "
+    "snapshot. Each check is one aggregated subplan; Spark unions five "
+    "1-row aggregates, each independently optimized (anti-joins "
+    "broadcast the key side).",
+    tags=("dq", "audit"),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = _t(spark, sf_dir, "lineitem", "orders", "customer")
+
+    def one(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(F.lit(name).alias("check_name"), F.col("violations"))
+
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    orphan_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    null_ship = li.filter(F.col("l_shipdate").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    neg_price = li.filter(F.col("l_extendedprice") < 0).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    return (
+        one("orphan_lineitems", orphan_li)
+        .unionByName(one("orphan_orders", orphan_o))
+        .unionByName(one("dup_orderkeys", dup_keys))
+        .unionByName(one("null_shipdates", null_ship))
+        .unionByName(one("negative_prices", neg_price))
+    )

@@ -31,6 +31,7 @@ INTENTIONALLY_QUADRATIC = {
 SCALAR_SUBQUERY_BROADCAST = {
     "tpch_q22_global_sales_opportunity",  # avg(c_acctbal) bound
     "doc_tfidf_topk",  # corpus size N
+    "tpch_q11_important_parts",  # revenue-fraction threshold
 }
 
 
