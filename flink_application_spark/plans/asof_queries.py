@@ -109,3 +109,51 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["signup_event_id"],
         how="inner",
     )
+
+
+@register(
+    "events_interval_join_purchase_clicks",
+    """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts <= p.ts
+""",
+    doc="Attribution interval join: every click of the same user in the "
+    "10 minutes before a purchase (streaming/interval_join.py on batch "
+    "frames — watermarks no-op, identical condition; the streaming "
+    "equivalence is tests/test_streaming.py::"
+    "test_interval_join_stream_equals_batch). Equi-key user_id keeps "
+    "it a hash join with the band as residual, never a cross product.",
+    tags=("events", "interval", "join"),
+)
+def q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.streaming.interval_join import interval_join
+
+    ev = register_views(spark, sf_dir, tables=("events",))["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = interval_join(
+        c,
+        p,
+        F.col("c_user_id") == F.col("user_id"),
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="10 minutes",
+        upper="0 seconds",
+        left_watermark="0 seconds",
+        right_watermark="0 seconds",
+    )
+    return out.select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")

@@ -129,3 +129,48 @@ GROUP BY doc_id, window_idx
 def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
     return audio_window_features(synth_audio(docs))
+
+
+@register(
+    "mm_frame_delta_scene_changes",
+    """
+WITH meta AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS plen
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, CAST(plen / 256 AS INTEGER) - 1, 4)) AS INTEGER) AS frame_idx,
+         text
+  FROM meta
+  WHERE plen >= 256
+),
+sums AS (
+  SELECT doc_id, frame_idx,
+         list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
+                                 c -> ascii(c))) AS frame_sum
+  FROM frames
+)
+SELECT doc_id, frame_idx, frame_sum,
+       frame_sum - lag(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+FROM sums
+QUALIFY abs(delta) > 200 OR delta IS NULL
+""",
+    doc="Scene-change detection over the sampled video frames: per-doc "
+    "lag() of frame byte-sums, keep jumps > 200 (plus the first frame). "
+    "Exercises a window function OVER THE OUTPUT OF a Python "
+    "mapInPandas stage — the partition key survives the opaque stage, "
+    "so the window shuffle hashes on doc_id without rereading blobs.",
+    tags=("multimodal", "video", "window"),
+)
+def q_mm_frame_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    frames = sample_frames(synth_media(docs), frame_len=256, stride=4)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        frames.withColumn("delta", F.col("frame_sum") - F.lag("frame_sum").over(w))
+        .filter((F.abs(F.col("delta")) > 200) | F.col("delta").isNull())
+        .select("doc_id", "frame_idx", "frame_sum", "delta")
+    )

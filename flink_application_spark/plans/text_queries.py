@@ -302,3 +302,25 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tf", "df", "score")
     )
+
+
+@register(
+    "doc_systematic_sample",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+""",
+    doc="Deterministic 2/16 systematic sample keyed on md5(doc_id) — "
+    "the reproducible sampling a training pipeline needs (same subset "
+    "on every run/engine, no RNG state; engine-native hash functions "
+    "differ, md5 doesn't). Scan-local predicate, no shuffle; at 100 TB "
+    "the sample rate tunes by hex-prefix width (1 digit = 1/16 steps, "
+    "2 digits = 1/256).",
+    tags=("text", "sampling", "documents"),
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "source", "n_chars")
