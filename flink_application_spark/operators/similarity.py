@@ -36,19 +36,31 @@ def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10
 ) -> DataFrame:
     """Exact cosine top-k. `queries` must be small (it is broadcast);
-    rows with query_id == vec_id are excluded (self-match)."""
+    rows with query_id == vec_id are excluded (self-match).
+
+    Norms are projected ONCE per side before the pair join — the
+    interpreted fold runs |Q| + |C| times instead of 2·|Q|·|C|; only
+    the dot product is per-pair. Same arithmetic (sequential fold,
+    dot/(qn·cn)), so oracle hashes are unchanged."""
+    from flink_application_spark.functions.vectors import dot, norm
+
     q = F.broadcast(
         queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("_qn"),
         )
     )
+    c = corpus.select("vec_id", "embedding", norm(F.col("embedding")).alias("_cn"))
     scored = (
-        corpus.crossJoin(q)
+        c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)
@@ -59,13 +71,19 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-bit LSH bucket.
     Equi-join on bucket key — no cross product, shuffle on bucket."""
+    from flink_application_spark.functions.vectors import dot, norm
+
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("_qn"),
         sign_bits(F.col("embedding"), n_bits).alias("bucket"),
     )
     c = corpus.select(
-        "vec_id", "embedding", sign_bits(F.col("embedding"), n_bits).alias("bucket")
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("_cn"),
+        sign_bits(F.col("embedding"), n_bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -73,7 +91,9 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)
