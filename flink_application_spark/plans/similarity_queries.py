@@ -158,3 +158,61 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@register(
+    "emb_knn_classify",
+    f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+  WHERE q.vec_id < 10
+),
+votes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM scored WHERE rank <= 5
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, n_votes FROM (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_votes DESC, label ASC
+         ) AS rn
+  FROM votes
+)
+WHERE rn = 1
+""",
+    doc="k-NN classification: label each query vector by majority vote "
+    "of its 5 nearest corpus neighbors (ties → smallest label). The "
+    "end-use composition of similarity search — top-k scoring feeds a "
+    "per-query vote aggregate; at scale the scoring stage swaps to the "
+    "IVF/LSH ANN path without touching the vote logic.",
+    tags=("similarity", "embeddings", "knn", "classify"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from flink_application_spark.operators.similarity import brute_force_topk
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    topk = brute_force_topk(queries, corpus, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )

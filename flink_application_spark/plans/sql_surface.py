@@ -946,3 +946,55 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "events_two_level_rollup",
+    """
+WITH hourly AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS bucket_hour,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         max(value) AS max_value
+  FROM events
+  GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT user_id,
+       CAST(date_trunc('day', bucket_hour) AS DATE) AS bucket_day,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(sum(sum_value), 2) AS sum_value,
+       max(max_value) AS max_value
+FROM hourly
+GROUP BY user_id, date_trunc('day', bucket_hour)
+""",
+    doc="Hypertable-style two-level rollup: daily aggregates computed "
+    "FROM the hourly continuous aggregate (sum of sums, max of maxes), "
+    "never rescanning raw events — the materialized-rollup pattern "
+    "that makes downsampling O(buckets) instead of O(rows) at 100 TB. "
+    "The oracle recomputes the same two-level plan; hash equality "
+    "proves partial-aggregate reuse is lossless (count/sum/max are "
+    "decomposable; avg must be derived as sum/count, never rolled up).",
+    tags=("events", "rollup", "timeseries"),
+)
+def q_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "user_id",
+            F.date_trunc("day", "bucket_hour").cast("date").alias("bucket_day"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
