@@ -998,3 +998,141 @@ def q_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@register(
+    "stats_price_discount_correlation",
+    """
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty,
+       round(stddev_samp(l_discount), 6) AS sd_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Statistical profile aggregates: Pearson correlation, sample "
+    "covariance, regression slope, stddev per group — the one-pass "
+    "decomposable moments (sum, sum of squares, cross products) that "
+    "partial-aggregate map-side like any sum; one shuffle on the group "
+    "key regardless of row count.",
+    tags=("agg", "stats"),
+)
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+SELECT event_type,
+       CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 1000.0 THEN 21
+                 ELSE floor(value / 50.0) + 1 END AS INTEGER) AS bucket,
+       count(*) AS n,
+       round(min(value), 3) AS lo,
+       round(max(value), 3) AS hi
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+""",
+    doc="Equi-width histogram per event type via width_bucket (the oracle "
+    "spells out the same floor arithmetic — DuckDB has no width_bucket) — the "
+    "distribution-profiling scan a pipeline runs before choosing "
+    "partition bounds. Scan-local bucketing; one shuffle on "
+    "(type, bucket) with map-side partials.",
+    tags=("events", "histogram", "profiling"),
+)
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(1000.0), F.lit(20))
+    return (
+        ev.groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 3).alias("lo"),
+            F.round(F.max("value"), 3).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    AND o_orderstatus <> 'F'
+)
+SELECT CASE
+         WHEN o.o_orderkey IS NULL THEN 'inserted'
+         WHEN n.o_orderkey IS NULL THEN 'deleted'
+         ELSE 'changed'
+       END AS change_type,
+       count(*) AS n
+FROM old o
+FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus <> n.o_orderstatus
+   OR o.o_totalprice <> n.o_totalprice
+GROUP BY 1
+ORDER BY change_type
+""",
+    doc="Snapshot diff (incremental-ingest change detection): full "
+    "outer join of two table generations on the business key, rows "
+    "classified inserted/deleted/changed — what a 100 TB incremental "
+    "pipeline computes to avoid full rewrites. One co-partitioned "
+    "shuffle on the key; unchanged rows are filtered before the "
+    "(tiny) classification aggregate.",
+    tags=("cdc", "diff", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = o.filter(
+        (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderstatus") != "F")
+    ).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    joined = old.join(new, old.old_key == new.new_key, "full_outer")
+    changed = joined.filter(
+        F.col("old_key").isNull()
+        | F.col("new_key").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+        | (F.col("old_price") != F.col("new_price"))
+    )
+    change_type = (
+        F.when(F.col("old_key").isNull(), "inserted")
+        .when(F.col("new_key").isNull(), "deleted")
+        .otherwise("changed")
+    )
+    return (
+        changed.groupBy(change_type.alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
