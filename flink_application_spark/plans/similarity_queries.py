@@ -216,3 +216,38 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+@register(
+    "emb_ivf_full_probe_exact",
+    f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+WHERE rank <= 5
+""",
+    doc="IVF exactness gate, oracle-checked: at n_probe = n_centroids "
+    "every inverted list is scanned, so IVF must equal exact brute "
+    "force REGARDLESS of what k-means learned — the oracle is the "
+    "plain exact top-k SQL. This pins the whole IVF machinery "
+    "(centroid training, Arrow-batched assignment, probe join, "
+    "rank/tie-break) against a closed-form answer; the approximate "
+    "operating point (n_probe < n_centroids) is emb_ivf_ann_topk "
+    "with recall properties in tests/test_ivf.py.",
+    tags=("similarity", "embeddings", "ivf", "ann"),
+)
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import ivf_topk
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=8
+    ).select("query_id", "vec_id", "cosine", "rank")

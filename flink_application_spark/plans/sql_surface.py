@@ -1136,3 +1136,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+""",
+    doc="Explicit GROUPING SETS (beyond the cube/rollup queries): three "
+    "aggregation granularities in one pass with grouping() flags "
+    "disambiguating NULL-as-total from NULL data. Spark expands sets "
+    "into one Expand + single shuffle, not three scans.",
+    tags=("sql", "agg", "grouping"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
