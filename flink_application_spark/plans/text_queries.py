@@ -324,3 +324,56 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "doc_chunk_sliding_window",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / 25.0) AS INTEGER) - 1)) AS chunk_idx
+  FROM toks
+  WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * 25 AS INTEGER) AS chunk_start,
+       CAST(least(50, len(t) - chunk_idx * 25) AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(t[chunk_idx * 25 + 1 : chunk_idx * 25 + least(50, len(t) - chunk_idx * 25)], ' ')) AS chunk_hash
+FROM chunks
+WHERE chunk_idx * 25 < len(t)
+""",
+    doc="Sliding-window chunking: 50-token windows at stride 25 (50% "
+    "overlap), one row per chunk with its md5 — the tokenize-and-chunk "
+    "pass of training-data prep. Scan-local explode (no shuffle); "
+    "chunk text hashed rather than materialized so output width stays "
+    "bounded — at 100 TB the chunk body is re-derivable from "
+    "(doc_id, start, len) and never needs to be stored twice.",
+    tags=("text", "chunking", "documents"),
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n = F.size("t")
+    n_chunks = F.ceil(n / F.lit(25.0)).cast("int")
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    chunked = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") * 25 < F.size("t"))
+    start = F.col("chunk_idx") * 25
+    clen = F.least(F.lit(50), F.size("t") - start)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("chunk_start"),
+        clen.cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), start + 1, clen))).alias("chunk_hash"),
+    )
