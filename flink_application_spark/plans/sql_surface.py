@@ -1171,3 +1171,48 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
         """
     )
+
+
+@register(
+    "collection_function_library",
+    """
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       round(embedding[1], 4) + 0.0 AS first_dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS dim_sum,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 4) + 0.0 AS dim_max,
+       list_contains(list_transform(embedding, x -> x > 0.5), true) AS any_large,
+       round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[CAST(len(embedding)/2 AS INTEGER) + 1], 4) + 0.0 AS upper_median
+FROM embeddings
+WHERE vec_id < 200
+""",
+    doc="Collection-function library over array<float>: size, index, "
+    "filter, fold (aggregate), exists, sort — the higher-order "
+    "expressions custom array logic composes from. All scan-local "
+    "Catalyst expressions (interpreted HOFs, no Python); -0.0 "
+    "normalized via +0.0 on both engines.",
+    tags=("sql", "array", "functions"),
+)
+def q_collection_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    dbl = F.transform(e, lambda x: x.cast("double"))
+    return emb.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        (F.round(F.element_at(e, 1), 4) + F.lit(0.0)).alias("first_dim"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        (F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4) + F.lit(0.0)).alias("dim_sum"),
+        (F.round(F.array_max(dbl), 4) + F.lit(0.0)).alias("dim_max"),
+        F.exists(e, lambda x: x > 0.5).alias("any_large"),
+        (
+            F.round(
+                F.element_at(
+                    F.array_sort(dbl), (F.size(e) / 2).cast("int") + 1
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("upper_median"),
+    )

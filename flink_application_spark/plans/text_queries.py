@@ -377,3 +377,85 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         clen.cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", F.slice(F.col("t"), start + 1, clen))).alias("chunk_hash"),
     )
+
+
+@register(
+    "doc_bigram_collocations",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT w1, w2, count(*) AS n_pair
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+  )
+  WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+),
+unigrams AS (
+  SELECT w, count(*) AS n_uni
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+  GROUP BY w
+)
+SELECT w1, w2, n_pair,
+       CAST(n_pair * 1000000 AS BIGINT) // (u1.n_uni * u2.n_uni) AS assoc_score
+FROM bigrams b
+JOIN unigrams u1 ON u1.w = b.w1
+JOIN unigrams u2 ON u2.w = b.w2
+WHERE n_pair >= 5
+ORDER BY assoc_score DESC, w1, w2
+LIMIT 50
+""",
+    doc="Bigram collocation mining: adjacent-pair counts vs unigram "
+    "counts, integer association score n(w1,w2)*1e6 div (n(w1)*n(w2)) "
+    "(PMI's monotone core without the log — cross-engine exact). "
+    "Scan-local bigram explode, two token-keyed aggregates, unigram "
+    "join reuses the token hash partitioning; top-50 with full "
+    "tie-break.",
+    tags=("text", "collocations", "documents"),
+)
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    unigrams = (
+        docs.select(F.explode(t).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    u1 = unigrams.select(F.col("w").alias("_w1"), F.col("n_uni").alias("_n1"))
+    u2 = unigrams.select(F.col("w").alias("_w2"), F.col("n_uni").alias("_n2"))
+    return (
+        bigrams.filter(F.col("n_pair") >= 5)
+        .join(u1, F.col("w1") == F.col("_w1"))
+        .join(u2, F.col("w2") == F.col("_w2"))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr("CAST(n_pair * 1000000 AS BIGINT) div (_n1 * _n2)").alias("assoc_score"),
+        )
+        .orderBy(F.col("assoc_score").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
+    )
