@@ -80,6 +80,7 @@ def _load_all() -> None:
         cdr,
         dedup_queries,
         multimodal_queries,
+        pipeline_queries,
         similarity_queries,
         sql_surface,
         text_queries,
