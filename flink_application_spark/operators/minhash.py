@@ -207,3 +207,70 @@ def simhash_expr(n_bits: int = SIMHASH_BITS) -> F.Column:
         )
         total = total + F.when(votes > 0, F.lit(2 ** j)).otherwise(F.lit(0))
     return total
+
+
+# ---------------------------------------------------------------------------
+# 60-bit SimHash (scale form)
+# ---------------------------------------------------------------------------
+
+SIMHASH64_BITS = 60  # 15 hex digits — fits a signed BIGINT with room
+
+
+def with_simhash64(df: DataFrame, n_bits: int = SIMHASH64_BITS) -> DataFrame:
+    """(…, simhash) with a 60-bit signature and ONE md5 per shingle.
+
+    The 16-bit ``simhash_expr`` recomputes md5(shingle) inside every
+    per-bit fold (16 md5 per shingle); at 60 bits that construction
+    would do 60. Here the md5 hex strings are materialized once into
+    an array column behind an exchange barrier (same CollapseProject
+    reasoning as ``with_shingles``), and a SINGLE fold carries all
+    ``n_bits`` vote counters as an array accumulator:
+
+        votes[j] += bit_j(md5(s))   (one pass over the shingles)
+
+    Bit j is hex digit j//4 (1-based), weight 2^(3-j%4) — identical
+    digit arithmetic to ``simhash_expr``/the DuckDB oracle, so bit j
+    of the result equals ``sign(sum ±1) > 0`` there: with o ones among
+    n shingles, sum(±1) = 2o - n > 0  ⟺  2·votes[j] > n.
+
+    Per-row cost is n_bits × |shingles| integer ops (no hashing) —
+    scan-local, shuffle payload is (id, 32-byte hex strings).
+    """
+    num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    hashed = df.select(
+        *[c for c in df.columns if c != "shingles"],
+        F.transform(F.col("shingles"), F.md5).alias("_h"),
+        F.size(F.col("shingles")).cast("bigint").alias("_n"),
+    ).repartition(num_partitions)
+
+    weights = F.array(*[F.lit(8 >> r) for r in range(4)])  # 2^(3-j%4)
+    pow2 = F.array(*[F.lit(2 ** j).cast("bigint") for j in range(n_bits)])
+
+    def add_votes(acc, h):
+        # votes[j] += bit j of h, for all j at once
+        def bit(j):
+            pos = F.floor(j / 4).cast("int") + 1
+            digit = F.instr(F.lit("0123456789abcdef"), h.substr(pos, F.lit(1))) - 1
+            return F.floor(digit / F.element_at(weights, (j % 4 + 1).cast("int"))).cast("bigint") % 2
+
+        return F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(n_bits - 1)), lambda a, j: a + bit(j)
+        )
+
+    votes = F.aggregate(
+        F.col("_h"),
+        F.array_repeat(F.lit(0).cast("bigint"), n_bits),
+        add_votes,
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda v, j: F.when(v * 2 > F.col("_n"), F.element_at(pow2, j + 1)).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return hashed.withColumn("simhash", simhash).drop("_h", "_n")

@@ -220,9 +220,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4. SimHash hamming near-dup pairs (banded, integer-exact)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 60  # 15 hex digits of the md5 — fits signed BIGINT
 _HAMMING_MAX = 3
 _N_BANDS = 4  # pigeonhole: hamming <= 3 over 4 bands => >= 1 band equal
+_BAND_WIDTH = _SIMHASH_BITS // _N_BANDS  # 15 bits
+_BAND_MASK = (1 << _BAND_WIDTH) - 1
 
 
 @register(
@@ -235,24 +237,38 @@ FROM s a JOIN s b
   ON a.doc_id < b.doc_id
  AND bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 """,
-    doc=f"SimHash near-duplicate pairs: {_SIMHASH_BITS}-bit signatures, "
-    f"pairs at hamming distance <= {_HAMMING_MAX}. The Spark plan is "
-    f"the scale path — split the signature into {_N_BANDS} 4-bit "
-    f"bands; by pigeonhole any pair within distance {_HAMMING_MAX} "
-    f"agrees on >= 1 band, so candidates come from an equi-join on "
-    f"(band_idx, band_value) (one shuffle on a 2-byte key, no O(n²)), "
-    f"then bit_count(xor) verifies exactly. The oracle is the "
-    f"brute-force quadratic self-join — same rows, integer-exact. "
-    f"Cites the reference dedup role of `EnrichmentApp.java:142-156` "
-    f"(its session-window dedup) generalized to content similarity.",
+    doc=f"SimHash near-duplicate pairs: {_SIMHASH_BITS}-bit signatures "
+    f"(Manku/Jarvelin crawl-dedup operating point — a 16-bit code "
+    f"matches ~1% of RANDOM pairs at distance {_HAMMING_MAX}, pure "
+    f"noise at corpus scale; at 60 bits random collisions are "
+    f"~4e-14), pairs at hamming distance <= {_HAMMING_MAX}. The "
+    f"Spark plan is the scale path — signatures cost ONE md5 per "
+    f"shingle (array-accumulator fold, operators/minhash.py:"
+    f"with_simhash64), split into {_N_BANDS} {_BAND_WIDTH}-bit bands; "
+    f"by pigeonhole any pair within distance {_HAMMING_MAX} agrees "
+    f"on >= 1 band, so candidates come from an equi-join on "
+    f"(band_idx, band_value) (one shuffle on a small int key, no "
+    f"O(n²)), then bit_count(xor) verifies exactly. The oracle is "
+    f"the brute-force quadratic self-join — same rows, integer-"
+    f"exact. Generalizes the reference's dedup stage "
+    f"(`EnrichmentApp.java:142-156`) to content similarity.",
     tags=("dedup", "simhash", "pipeline"),
 )
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_application_spark.operators.minhash import simhash_expr, with_shingles
+    from flink_application_spark.operators.minhash import with_shingles, with_simhash64
 
     docs = _docs(spark, sf_dir)
-    sigs = with_shingles(docs).select(
-        "doc_id", simhash_expr(_SIMHASH_BITS).alias("simhash")
+    # persist() is load-bearing twice over: (a) the a/b self-join below
+    # reads the signatures twice — without it the whole shingle+hash
+    # lineage runs once per side; (b) the join/filter predicates make
+    # Catalyst infer isnotnull(simhash) and push the ENTIRE signature
+    # expression below every exchange into the single-task scan stage
+    # (measured 533 s vs ~10 s at sf0.1). The cached table is 16
+    # bytes/doc — at cluster scale this is the natural checkpoint.
+    sigs = (
+        with_simhash64(with_shingles(docs), _SIMHASH_BITS)
+        .select("doc_id", "simhash")
+        .persist()
     )
     bands = sigs.select(
         "doc_id",
@@ -262,7 +278,9 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.expr(f"shiftright(simhash, {4 * i}) & 15").alias("band_val"),
+                        F.expr(
+                            f"shiftright(simhash, {_BAND_WIDTH * i}) & {_BAND_MASK}"
+                        ).alias("band_val"),
                     )
                     for i in range(_N_BANDS)
                 ]
@@ -398,4 +416,161 @@ def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_floor").cast("double") / F.col("n_tokens"), 6)
             + F.lit(0.0)
         ).alias("sample_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Count-min sketch frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # buckets per row
+
+
+@register(
+    "vocab_count_min_estimate",
+    f"""
+WITH occ AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+exact AS (
+  SELECT w, count(*) AS exact_n FROM occ GROUP BY w
+),
+top20 AS (
+  SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20
+),
+cells AS (
+  SELECT i, {_md5_bucket_sql("i || '|' || w", 1, 8, _CMS_W)} AS bucket,
+         count(*) AS c
+  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT t.w, t.exact_n, i.i,
+         {_md5_bucket_sql("i.i || '|' || t.w", 1, 8, _CMS_W)} AS bucket
+  FROM top20 t CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) i
+)
+SELECT p.w AS word, p.exact_n, min(c.c) AS cms_estimate
+FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+GROUP BY 1, 2
+""",
+    doc=f"Count-min sketch as a first-class distributed aggregate: "
+    f"token occurrences hash into a {_CMS_D}x{_CMS_W} counter grid "
+    f"(md5-derived buckets — deterministic, so the sketch itself is "
+    f"oracle-checkable, unlike RNG-seeded sketch libraries), and the "
+    f"top-20 exact words are probed back with estimate = min over "
+    f"rows — always >= the exact count, equal when no collision. At "
+    f"100 TB the sketch is the point: the grid is {_CMS_D * _CMS_W} "
+    f"cells regardless of vocabulary size, built with map-side "
+    f"partial aggregation (one shuffle of <= d*w rows per partition) "
+    f"while the exact count shuffles the full vocabulary.",
+    tags=("pipeline", "sketch", "documents"),
+)
+def q_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from flink_application_spark.functions.text import tokens
+
+    occ = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    exact = occ.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = exact.orderBy(F.desc("exact_n"), F.asc("w")).limit(20)
+
+    i_col = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    salted = lambda i, w: _md5_bucket(F.concat(i.cast("string"), F.lit("|"), w), 1, 8, _CMS_W)  # noqa: E731
+    cells = (
+        occ.select("w", i_col)
+        .select("i", salted(F.col("i"), F.col("w")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top20.select("w", "exact_n", i_col).select(
+        "w", "exact_n", "i", salted(F.col("i"), F.col("w")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy(F.col("w").alias("word"), "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Int8 embedding quantization error
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_int8_quantization_error",
+    """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 500
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS max_abs
+  FROM v
+),
+q AS (
+  SELECT vec_id, max_abs,
+         list_transform(e, x -> floor(x * 127.0 / max_abs + 0.5)) AS qv,
+         e
+  FROM s WHERE max_abs > 0
+)
+SELECT vec_id,
+       round(max_abs, 6) + 0.0 AS max_abs,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max,
+       round(list_max(list_transform(list_zip(e, qv),
+             p -> abs(p[1] - p[2] * max_abs / 127.0))), 6) + 0.0
+         AS max_abs_err
+FROM q
+""",
+    doc="Symmetric int8 scalar quantization of the embedding column: "
+    "per-vector scale 127/max|x|, code = floor(x*127/scale + 0.5) "
+    "(floor(+0.5) not round() — identical half-handling on both "
+    "engines), reported with the max reconstruction error. This is "
+    "the memory-scale path for ANN: 4x smaller vectors than float32 "
+    "(a 100 TB float corpus becomes 25 TB int8 + one scale per "
+    "vector), dot products stay integer until the final rescale. "
+    "Scan-local HOF arithmetic, no shuffle, no Python.",
+    tags=("pipeline", "quantization", "embeddings"),
+)
+def q_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.filter(F.col("vec_id") < 500).select("vec_id", e.alias("e"))
+    s = v.select(
+        "vec_id", "e", F.array_max(F.transform(F.col("e"), F.abs)).alias("max_abs")
+    )
+    q = s.filter(F.col("max_abs") > 0).select(
+        "vec_id",
+        "max_abs",
+        "e",
+        F.transform(
+            F.col("e"), lambda x: F.floor(x * 127.0 / F.col("max_abs") + 0.5)
+        ).alias("qv"),
+    )
+    recon_err = F.array_max(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda x, c: F.abs(x - c * F.col("max_abs") / 127.0),
+        )
+    )
+    # recon_err must be projected BEFORE the select that re-aliases a
+    # ROUNDED column as "max_abs": Spark's lateral-column-alias
+    # resolution would bind recon_err's max_abs reference to the
+    # rounded alias in the same select list, skewing the error in the
+    # 6th decimal (observed 0.001225 vs 0.001224).
+    out = q.select("vec_id", "max_abs", "qv", recon_err.alias("raw_err"))
+    return out.select(
+        "vec_id",
+        (F.round(F.col("max_abs"), 6) + F.lit(0.0)).alias("max_abs"),
+        F.array_max(F.transform(F.col("qv"), F.abs)).cast("bigint").alias("q_max"),
+        (F.round(F.col("raw_err"), 6) + F.lit(0.0)).alias("max_abs_err"),
     )

@@ -1216,3 +1216,78 @@ def q_collection_library(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("upper_median"),
     )
+
+
+@register(
+    "market_basket_part_pairs",
+    """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(DISTINCT a.l_orderkey) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(DISTINCT a.l_orderkey) >= 2
+""",
+    doc="Market-basket co-occurrence mining: part pairs ordered "
+    "together in >= 2 distinct orders (the support-counting core of "
+    "association rules). The self-join key is l_orderkey whose "
+    "fan-out is bounded by order size (<= 7 lineitems in TPC-H), so "
+    "pair generation is LINEAR in lineitem — one shuffle on orderkey "
+    "producing <= 21 pairs/order, then one aggregate shuffle on the "
+    "pair key. The unbounded-basket variant needs a per-basket cap "
+    "or frequent-item pruning (a-priori) first; with TPC-H's bound "
+    "the naive plan IS the scale plan.",
+    tags=("sql", "basket", "lineitem"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count_distinct(F.col("ok")).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+),
+acts AS (
+  SELECT e.user_id,
+         CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+         CAST(floor(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE)) / 7)
+              AS BIGINT) AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active_users
+FROM acts
+GROUP BY cohort_week, week_offset
+""",
+    doc="Retention cohort matrix: users bucketed by the week they "
+    "first appeared, counted as active per whole-week offset since "
+    "then. Two shuffles on user_id (first-seen aggregate + the "
+    "enrichment join — same key, so AQE/bucketing co-locates them) "
+    "and a final small aggregate on (cohort, offset). The classic "
+    "growth-analytics readout of an event stream; both engines "
+    "truncate weeks to Monday.",
+    tags=("sql", "retention", "events"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    acts = events.join(first_seen, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("t0")).cast("date").alias("cohort_week"),
+        F.floor(F.datediff(F.col("ts").cast("date"), F.col("t0").cast("date")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return acts.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active_users")
+    )
