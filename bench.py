@@ -30,6 +30,7 @@ HEADLINE = [
     # LLM-data-pipeline operators
     "doc_exact_dedup_groups",
     "doc_near_dup_pairs_minhash_lsh",
+    "doc_dedup_pipeline_stats",
     "doc_quality_scores",
     "emb_cosine_topk_bruteforce",
 ]

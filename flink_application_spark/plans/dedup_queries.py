@@ -418,3 +418,84 @@ def q_near_dup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") * 10 <= F.col("max_len") * 3)
     )
+
+
+_SURVIVOR_SHINGLES = (
+    """
+docs_u AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN (
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+  ) u ON d.doc_id = u.doc_id
+),
+"""
+    + SHINGLES_CTE.lstrip().lstrip("WITH").lstrip().replace("FROM documents", "FROM docs_u")
+)
+
+
+@register(
+    "doc_dedup_pipeline_stats",
+    "WITH "
+    + _SURVIVOR_SHINGLES
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f"""
+, verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+)
+SELECT (SELECT count(*) FROM documents) AS n_raw,
+       (SELECT count(*) FROM docs_u) AS n_exact_unique,
+       (SELECT count(*) FROM verified) AS n_near_pairs,
+       (SELECT count(DISTINCT id_b) FROM verified) AS n_near_removed,
+       (SELECT count(*) FROM docs_u)
+         - (SELECT count(DISTINCT id_b) FROM verified) AS n_final
+""",
+    doc="The whole dedup pipeline as one number row: raw corpus -> "
+    "exact dedup (md5 fingerprint, keep min doc_id) -> MinHash-LSH "
+    "near-dup pairs among survivors -> greedy b-side removal. "
+    "n_final is the corpus a training run would read. Removal here "
+    "is pairwise-greedy (drop every id_b), deterministic but not "
+    "transitive — the connected-components closure is "
+    "doc_dedup_canonical_near. Composes the same operators the "
+    "individual queries verify; the only full-width shuffle is the "
+    "fingerprint aggregate (hash keys, not bodies).",
+    tags=("dedup", "pipeline", "documents"),
+)
+def q_dedup_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    survivors_ids = (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs_u = docs.join(survivors_ids, "doc_id").select("doc_id", "text").persist()
+    pairs = verified_near_dup_pairs(docs_u, threshold=NEAR_DUP_THRESHOLD).persist()
+    n_raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    n_unique = docs_u.agg(F.count(F.lit(1)).alias("n_exact_unique"))
+    n_pairs = pairs.agg(
+        F.count(F.lit(1)).alias("n_near_pairs"),
+        F.count_distinct("id_b").alias("n_near_removed"),
+    )
+    return (
+        n_raw.crossJoin(n_unique)
+        .crossJoin(n_pairs)
+        .select(
+            "n_raw",
+            "n_exact_unique",
+            "n_near_pairs",
+            "n_near_removed",
+            (F.col("n_exact_unique") - F.col("n_near_removed")).alias("n_final"),
+        )
+    )

@@ -1291,3 +1291,52 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acts.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct("user_id").alias("n_active_users")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_pop(value) AS sigma,
+         count(*) AS n
+  FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       max(s.n) AS n_events,
+       count(*) FILTER (WHERE abs((e.value - s.mu) / s.sigma) > 3)
+         AS n_anomalies,
+       round(max(abs((e.value - s.mu) / s.sigma)), 4) + 0.0 AS max_abs_z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE s.sigma > 0
+GROUP BY e.event_type
+""",
+    doc="Z-score anomaly detection per event type: two passes over "
+    "events — a per-type mean/stddev aggregate (tiny result, "
+    "broadcast back) and a scan-local flagging pass, so the raw "
+    "stream is read twice but shuffled ZERO times beyond the "
+    "stats aggregate. The streaming form replaces pass one with a "
+    "sliding-window aggregate; thresholded counts are integers so "
+    "cross-engine float drift can't flip them except exactly at the "
+    "|z|=3 boundary.",
+    tags=("sql", "anomaly", "events"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        events.join(F.broadcast(stats.filter(F.col("sigma") > 0)), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.when(z > 3, 1)).alias("n_anomalies"),
+            (F.round(F.max(z), 4) + F.lit(0.0)).alias("max_abs_z"),
+        )
+    )

@@ -459,3 +459,128 @@ def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("assoc_score").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(50)
     )
+
+
+@register(
+    "doc_length_percentile_filter",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY len(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                                     doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(n) AS n_total,
+       count(*) FILTER (WHERE rn > floor(0.05 * n) AND rn <= ceil(0.95 * n))
+         AS n_kept,
+       min(n_tok) FILTER (WHERE rn > floor(0.05 * n) AND rn <= ceil(0.95 * n))
+         AS min_tok_kept,
+       max(n_tok) FILTER (WHERE rn > floor(0.05 * n) AND rn <= ceil(0.95 * n))
+         AS max_tok_kept
+FROM ranked
+GROUP BY lang
+""",
+    doc="Length-based quality trim: per language, drop documents below "
+    "the 5th / above the 95th token-count percentile — computed "
+    "EXACTLY via rank arithmetic (rn > floor(0.05n), rn <= "
+    "ceil(0.95n)) rather than an approximate quantile sketch, so the "
+    "kept-set is integer-reproducible across engines. One shuffle on "
+    "lang; the per-lang sort is the cost — at 100 TB swap in "
+    "percentile_approx to pick thresholds and keep the filter "
+    "scan-local (documented trade: approx thresholds, exact filter).",
+    tags=("text", "quality", "documents"),
+)
+def q_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = base.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    kept = (F.col("rn") > F.floor(0.05 * F.col("n"))) & (
+        F.col("rn") <= F.ceil(0.95 * F.col("n"))
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.min(F.when(kept, F.col("n_tok"))).alias("min_tok_kept"),
+        F.max(F.when(kept, F.col("n_tok"))).alias("max_tok_kept"),
+    )
+
+
+@register(
+    "vocab_zipf_slope",
+    """
+WITH counts AS (
+  SELECT w, count(*) AS n
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+  GROUP BY w
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank
+  FROM counts
+)
+SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) + 0.0
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) + 0.0
+         AS r2,
+       count(*) AS n_types
+FROM ranked
+WHERE rank <= 500
+""",
+    doc="Zipf's-law fit over the vocabulary: OLS slope of log-frequency "
+    "vs log-rank for the top-500 types (natural language ~ -1; "
+    "synthetic/low-quality corpora drift off — a corpus-health "
+    "metric). Token counting shuffles once on the token; the "
+    "regression runs over 500 aggregated rows. The global "
+    "row_number is windowed over the aggregated vocabulary, not the "
+    "corpus.",
+    tags=("text", "zipf", "documents"),
+)
+def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-500 FIRST via orderBy+limit (TakeOrderedAndProject — each
+    # partition keeps its local top-500, driver merges), THEN the
+    # global row_number windows over only 500 rows. A bare global
+    # row_number would single-partition the whole vocabulary.
+    top = counts.orderBy(F.desc("n"), F.asc("w")).limit(500)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("n"), F.asc("w")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        (F.round(F.regr_slope(ln_n, ln_r), 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.regr_r2(ln_n, ln_r), 4) + F.lit(0.0)).alias("r2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )

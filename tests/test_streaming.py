@@ -398,3 +398,42 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # expected matches exactly: (1@00:20, 1@01:25, 3@02:05)
     assert got.count() == 3
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup with BOUNDED state: duplicates arriving
+    within the watermark horizon are dropped even across micro-batches,
+    and state for keys older than the watermark is evictable (the
+    scale contract — unbounded dropDuplicates state OOMs a 100 TB
+    stream; the watermark bound makes dedup state O(horizon), the
+    Spark-native analogue of the reference's 1 s session-gap dedup
+    `EnrichmentApp.java:142-156`)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:00:05", "a-dup"),       # same key, inside horizon
+        (2, "2024-01-01 00:00:10", "b"),
+        (1, "2024-01-01 00:10:00", "a-again"),     # same key, far later
+        (99, "2099-01-01 00:00:00", "sentinel"),   # advances watermark
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, ts string, tag string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    df.write.parquet(str(tmp_path / "dd"))
+
+    stream = (
+        file_stream(spark, str(tmp_path / "dd"))
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    assert stream.isStreaming
+    q = write_memory(stream, "dd_out")
+    q.awaitTermination(300)
+    got = spark.table("dd_out").filter(F.col("k") != 99)
+    tags = sorted(r.tag for r in got.collect())
+    # The contract: key 2 survives, key 1 keeps >= 1 row, and the two
+    # rows 5 s apart NEVER both survive. Which of them wins depends on
+    # in-batch processing order (not event time) — don't pin it; the
+    # far-later key-1 row may also survive once its state expired.
+    assert "b" in tags
+    assert any(t in tags for t in ("a", "a-dup", "a-again"))
+    assert not ("a" in tags and "a-dup" in tags)
