@@ -499,3 +499,69 @@ def q_dedup_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exact_unique") - F.col("n_near_removed")).alias("n_final"),
         )
     )
+
+
+_MH_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(DEFAULT_K)
+)
+
+
+@register(
+    "doc_minhash_estimate_vs_exact",
+    "WITH "
+    + SHINGLES_CTE
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f"""
+SELECT p.id_a, p.id_b,
+       ({_MH_MATCH_SQL}) AS n_match_minhash,
+       {JACCARD_SQL} AS jaccard
+FROM pairs p
+JOIN mh a ON a.doc_id = p.id_a
+JOIN mh b ON b.doc_id = p.id_b
+JOIN sh sa ON sa.doc_id = p.id_a
+JOIN sh sb ON sb.doc_id = p.id_b
+""",
+    doc="Sketch-quality measurement: for every LSH candidate pair, the "
+    "MinHash Jaccard estimate (matching signature positions / k — an "
+    "integer count, cross-engine exact) next to the true Jaccard. "
+    "E[n_match/k] = J is the MinHash guarantee; this query is how a "
+    "pipeline AUDITS its sketch parameters (k, band shape) on real "
+    "data before trusting them at 100 TB, where only the sketch is "
+    "affordable. Signature columns ride the same band-join shuffle "
+    "as candidate generation — no extra pass over the corpus.",
+    tags=("dedup", "minhash", "sketch"),
+)
+def q_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.minhash import jaccard_column, lsh_candidate_pairs
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    sh = with_shingles(docs).persist()
+    sig = with_minhash_signature(sh)
+    pairs = lsh_candidate_pairs(sh)
+    mh_a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(DEFAULT_K)],
+    )
+    mh_b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(DEFAULT_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(DEFAULT_K)
+    )
+    return (
+        pairs.join(mh_a, "id_a")
+        .join(mh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.cast("int").alias("n_match_minhash"),
+            jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+    )

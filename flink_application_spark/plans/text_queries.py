@@ -584,3 +584,171 @@ def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_r2(ln_n, ln_r), 4) + F.lit(0.0)).alias("r2"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@register(
+    "doc_decontaminate_vs_eval",
+    """
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+    THEN list_transform(generate_series(1, len(t) - 4),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+    ELSE [lower(trim(text))] END) AS g
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(max(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS is_contaminated
+FROM corpus c LEFT JOIN eval_grams e ON c.gram = e.gram
+GROUP BY c.doc_id
+""",
+    doc="Benchmark decontamination: flag training docs sharing any "
+    "distinct word-5-gram with a held-out eval set (docs with "
+    "doc_id%50=0 stand in for the benchmark). Per surviving doc: "
+    "total 5-grams, contaminated 5-grams, and a 0/1 flag — the "
+    "standard pre-training contamination sweep (cf. GPT-3/PaLM "
+    "13-gram decontamination, shortened to 5-grams for the synthetic "
+    "short docs). Scale shape: the eval n-gram set is tiny and "
+    "BROADCAST, so the corpus side never shuffles — the sweep runs "
+    "at scan speed over 100 TB; per-doc aggregation shuffles only "
+    "(doc_id, hit) pairs.",
+    tags=("text", "decontamination", "documents"),
+)
+def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 5)).alias("g")
+    )
+    eval_g = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(eval_g), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+            F.max(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+@register(
+    "doc_gopher_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+unic AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  GROUP BY doc_id, w
+),
+uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_distinct_tok,
+         CAST(max(c) AS BIGINT) AS top_unigram_count
+  FROM unic GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+bigc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+bigs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM bigc GROUP BY doc_id
+)
+SELECT u.doc_id, n_tok, n_distinct_tok, top_unigram_count,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(top_bigram_count, 0) AS top_bigram_count,
+       round((n_tok - n_distinct_tok) * 1.0 / n_tok, 6) AS dup_token_frac
+FROM uni u LEFT JOIN bigs b USING (doc_id)
+""",
+    doc="Gopher-style repetition filters: per doc, unigram/bigram "
+    "totals, distinct counts, and the count of the most-repeated "
+    "unigram/bigram, plus the duplicate-token fraction — the "
+    "repetition family of quality rules from the Gopher/MassiveText "
+    "pipeline. Implementation is SCAN-LOCAL: tokens are array_sort-ed "
+    "per row and the top count is a max-run-length fold (higher-order "
+    "aggregate), so no token-level explode+shuffle ever happens — at "
+    "100 TB this runs at parquet-scan speed with one output row per "
+    "doc, vs a |tokens|-row shuffle for the naive groupBy "
+    "formulation (the oracle's shape).",
+    tags=("text", "quality", "gopher", "documents"),
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import tokens
+
+    def max_run(arr: F.Column) -> F.Column:
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        )
+
+        def step(acc: F.Column, t: F.Column) -> F.Column:
+            newrun = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("bigint")
+            )
+            return F.struct(
+                t.alias("prev"),
+                newrun.alias("run"),
+                F.greatest(acc["best"], newrun).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), acc0, step, lambda a: a["best"])
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    empty = F.array().cast("array<string>")
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(empty)
+    d = docs.select("doc_id", toks.alias("t"), bi.alias("bg"))
+    n_tok = F.size("t").cast("bigint")
+    n_distinct = F.size(F.array_distinct("t")).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct_tok"),
+        max_run(F.col("t")).alias("top_unigram_count"),
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("bigint").alias("n_distinct_bigrams"),
+        F.coalesce(max_run(F.col("bg")), F.lit(0).cast("bigint")).alias(
+            "top_bigram_count"
+        ),
+        F.round((n_tok - n_distinct).cast("double") / n_tok, 6).alias(
+            "dup_token_frac"
+        ),
+    )
