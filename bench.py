@@ -36,6 +36,68 @@ HEADLINE = [
 ]
 
 
+def stream_throughput(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end Structured Streaming throughput of the reference
+    pipeline (SURVEY §6: the reference's only throughput operating
+    point is its generator's 10 events/sec — we record events/sec at
+    saturation instead). Snapshot the CDR fixture to parquet (untimed),
+    then time an availableNow file-stream run of the FULL streaming
+    enrichment (stream-static lookup join, explode, theta as-of join,
+    session-window arg-max dedup) into a memory sink. A far-future
+    sentinel row advances the watermark so every real session flushes
+    before the run ends (same pattern as tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.plans.cdr import cdr_views
+    from flink_application_spark.sources.streams import file_stream
+    from flink_application_spark.streaming.pipeline import streaming_enrichment
+    from flink_application_spark.streaming.sinks import write_memory
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        v = cdr_views(spark, sf_dir)
+        src = v["cdr_src"].withColumn(
+            "start_time", F.col("start_time").cast("timestamp")
+        )
+        src.write.parquet(f"{root}/src")
+        sentinel = spark.sql(
+            """SELECT CAST('2099-01-01 00:00:00' AS TIMESTAMP) AS start_time,
+                      'zz-sentinel' AS measuring_probe_name,
+                      CAST(NULL AS BIGINT) AS imsi, CAST(NULL AS BIGINT) AS msisdn,
+                      ';0.0.0.0;' AS ms_ip_address, CAST(-1 AS BIGINT) AS unique_cdr_id"""
+        )
+        sentinel.write.mode("append").parquet(f"{root}/src")
+        imsi_msisdn = v["imsi_msisdn"].persist()
+        ms_ip = v["ms_ip"].withColumn(
+            "start_time", F.col("start_time").cast("timestamp")
+        ).persist()
+        imsi_msisdn.count()  # materialize dim caches before timing
+        ms_ip.count()
+        n_events = src.count()
+
+        t0 = time.perf_counter()
+        result = streaming_enrichment(
+            file_stream(spark, f"{root}/src"),
+            imsi_msisdn,
+            ms_ip,
+            gap="1 hour",
+            watermark_delay="0 seconds",
+        )
+        q = write_memory(result, "bench_stream_out")
+        q.awaitTermination(300)
+        n_out = spark.table("bench_stream_out").count()
+        wall = time.perf_counter() - t0
+        assert n_out > 0
+        imsi_msisdn.unpersist()
+        ms_ip.unpersist()
+        return wall, n_events
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -66,6 +128,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    stream_wall, stream_events = stream_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -75,6 +139,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stream_events_per_sec": round(stream_events / stream_wall, 1),
+                "stream_wall_sec": round(stream_wall, 3),
+                "stream_events": stream_events,
             }
         )
     )
