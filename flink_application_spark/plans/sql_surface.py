@@ -1340,3 +1340,127 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.max(z), 4) + F.lit(0.0)).alias("max_abs_z"),
         )
     )
+
+
+@register(
+    "window_range_frame_trailing_hour",
+    """
+SELECT user_id, event_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing_hour,
+       CAST(round(sum(value) OVER (
+         PARTITION BY user_id
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ), 4) AS DOUBLE) AS sum_trailing_hour
+FROM events
+""",
+    doc="RANGE window frame (value-based, not row-based): per user, "
+    "count and sum of events in the trailing hour of *event time* — "
+    "the micro-batch-free form of a sliding aggregate. Ordering is by "
+    "integer epoch-µs so the frame bound (3.6e9 µs) is exact in both "
+    "engines; ties (same-µs events) share a frame, which RANGE "
+    "semantics require and ROWS would get wrong. One hash exchange on "
+    "user_id; frames evaluate in a single per-partition sort pass.",
+    tags=("sql", "window", "events"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 4).cast("double").alias("sum_trailing_hour"),
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    """
+SELECT o_orderpriority, quartile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+""",
+    doc="ntile() bucketing: price quartiles within each order "
+    "priority, reduced to per-bucket stats. The tie-break on "
+    "o_orderkey makes bucket assignment a pure function of the data "
+    "(ntile on a non-unique order is engine-dependent). Partitioned "
+    "by priority so no global single-partition sort exists; a "
+    "GLOBAL ntile at 100 TB would instead use approx percentiles + "
+    "range partitioning.",
+    tags=("sql", "window"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+WITH wide AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+         CAST(round(sum(l_discount), 2) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, metric, value FROM (
+  SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM wide
+)
+""",
+    doc="Unpivot (wide→long melt, the inverse of pivot): Q1-style "
+    "per-(flag,status) sums unpivoted to one (metric, value) row per "
+    "measure via DataFrame.unpivot — Spark's native UNPIVOT, which "
+    "plans as a scan-local Expand (each input row emits k rows, no "
+    "shuffle beyond the upstream aggregate). Long form is what "
+    "metric stores and plotting layers ingest.",
+    tags=("sql", "reshape"),
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag", "l_linestatus"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
