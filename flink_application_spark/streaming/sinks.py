@@ -115,3 +115,21 @@ def fanout_union(dfs: list[DataFrame]) -> DataFrame:
     keeps a single committer on the output path (the Spark-safe form of
     the reference's two INSERTs into one sink table)."""
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def with_pipeline_metrics(df: DataFrame, name: str = "pipeline_metrics") -> DataFrame:
+    """Attach per-micro-batch observability counters (`df.observe`):
+    row count and null-enrichment count, surfaced on every
+    StreamingQueryProgress under `observedMetrics[name]` — the Spark
+    analogue of the reference's labeled console sinks + Flink metric
+    groups (EnrichmentApp.java:97-103 is its only observability).
+    Metrics ride the existing plan (an extra CollectMetrics node, no
+    second pass / no extra shuffle) and work identically in batch via
+    the QueryExecutionListener."""
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("msisdn").isNull(), 1)).alias("n_unenriched_msisdn"),
+    )

@@ -122,3 +122,38 @@ def test_no_expensive_expression_pushed_to_scan_stage(spark, sf_dir):
             assert "zip_with" not in block and "aggregate(" not in block, (
                 "signature expression leaked into a pre-exchange filter:\n" + block
             )
+
+
+def test_runtime_bloom_filter_join(spark):
+    """AQE runtime filtering: a selective filter on the dim side of a
+    shuffle join injects a bloom_filter_agg on the fact side, so fact
+    rows that cannot match are dropped BEFORE the shuffle. At 100 TB
+    the defaults fire on their own (application side > 10 GB scan);
+    locally we zero the application-side threshold to pin the shape.
+    Broadcast joins are disabled because a broadcast hash join already
+    filters at the probe and needs no bloom filter."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet").filter(
+            F.col("s_acctbal") > 9990
+        )
+        j = li.join(sup, li.l_suppkey == sup.s_suppkey).groupBy("s_name").count()
+        plan = _physical(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -437,3 +437,24 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert "b" in tags
     assert any(t in tags for t in ("a", "a-dup", "a-again"))
     assert not ("a" in tags and "a-dup" in tags)
+
+
+def test_observed_metrics_per_microbatch(spark, cdr_parquet):
+    """df.observe counters appear on StreamingQueryProgress for every
+    micro-batch and count exactly the sink-bound rows."""
+    from flink_application_spark.streaming.sinks import with_pipeline_metrics
+
+    src_stream = file_stream(spark, str(cdr_parquet / "src"))
+    imsi_msisdn = spark.read.parquet(str(cdr_parquet / "imsi_msisdn"))
+    ms_ip = spark.read.parquet(str(cdr_parquet / "ms_ip"))
+    result = with_pipeline_metrics(
+        streaming_enrichment(
+            src_stream, imsi_msisdn, ms_ip, gap="1 hour", watermark_delay="0 seconds"
+        )
+    )
+    q = write_memory(result, "observed_out")
+    q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if "pipeline_metrics" in (p["observedMetrics"] or {})]
+    assert progresses, "no progress carried observedMetrics"
+    total = sum(p["observedMetrics"]["pipeline_metrics"]["n_rows"] for p in progresses)
+    assert total == spark.table("observed_out").count()
