@@ -1464,3 +1464,52 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(*) * 1000000 AS BIGINT)
+         // CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() pairs each event with its predecessor, then "
+    "(prev, next) counts and the row-normalized transition "
+    "probability in integer parts-per-million (exact cross-engine — "
+    "no float division). The sequence-statistics pass of behavioral "
+    "modeling / session-LM data prep. Shuffles once on user_id for "
+    "the lag ordering, once on the (tiny) type-pair key; the window "
+    "over prev_type runs on the already-aggregated matrix (|types|² "
+    "rows), not the raw stream.",
+    tags=("sql", "events", "sequence"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(W.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.floor(F.col("n_transitions") * 1_000_000 / row_total)
+        .cast("bigint")
+        .alias("p_ppm"),
+    )
