@@ -1,0 +1,76 @@
+"""Table-maintenance operators: small-file compaction.
+
+The reference manages file sizing at WRITE time only — its rolling
+policy targets 110 MB files against a 128 MB HDFS block
+(flink.conf:54-55, EnrichmentApp.java:199-201). A streaming sink still
+fragments over time: one file per partition per micro-batch means a
+20 s rollover emits ~4.3k files/day/partition, and at 100 TB the
+resulting scan-planning and NameNode/listing overhead dominates reads.
+Compaction is the read-side complement the reference lacks.
+
+`compact_parquet` rewrites a parquet directory into size-targeted,
+range-clustered files:
+
+- `repartitionByRange(n, sort_cols)` gives non-overlapping sort-key
+  ranges per output file, so downstream range predicates skip whole
+  files via parquet row-group min/max stats (poor man's clustering —
+  the OSS-Spark analogue of Delta OPTIMIZE ... ZORDER on one axis).
+- `sortWithinPartitions` makes row groups internally ordered, which
+  tightens per-row-group min/max bounds and improves compression.
+- `maxRecordsPerFile` caps file size from above; the partition count
+  targets it from below. Both derive from a row count the caller
+  already pays for (one pass) — at cluster scale you'd use
+  `spark.sql.files.maxRecordsPerFile` with table statistics instead.
+
+The rewrite is a full read→write of the directory (compaction always
+is); it never collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    sort_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Compact `src_dir` (parquet) into `dst_dir` with ~target-sized,
+    range-clustered files. Returns the number of output partitions.
+
+    Write to a NEW directory and swap atomically at the metastore /
+    symlink layer — compacting in place races concurrent readers.
+    """
+    df = spark.read.parquet(src_dir)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_dir)
+    )
+    return n_files
+
+
+def file_range_stats(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """Per-file (min, max, count) of `col` — the audit query for
+    range-clustering: after compaction, files' [min, max] intervals
+    must not overlap. Distributed (groupBy on file name), no collect."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
