@@ -237,3 +237,73 @@ def ivf_topk(
         .distinct()  # a (query, vec) pair can meet in several probed lists
     )
     return _topk_per_query(scored, k)
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k_retrieve: int = 20,
+    k_final: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the retrieve-then-rerank
+    shape: a distributed retriever (exact cosine top-k_retrieve here;
+    swap in lsh_ann_topk / ivf_topk at scale) produces a SMALL
+    candidate set per query, then greedy MMR
+    (argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)) runs per-query in
+    one Arrow-batched applyInPandas group over ≤ k_retrieve rows.
+
+    The O(k²) pairwise-similarity work is confined to the tiny
+    candidate group (never the corpus); the only shuffle is the
+    groupBy(query_id) hash exchange on k_retrieve·|Q| rows.
+    Deterministic: ties break on vec_id ascending; first pick is
+    always the cosine top-1 (λ has no effect before S is non-empty).
+    """
+    import pandas as pd
+
+    cands = brute_force_topk(queries, corpus, k=k_retrieve)
+    with_emb = cands.join(corpus.select("vec_id", "embedding"), "vec_id")
+
+    out_schema = (
+        "query_id bigint, vec_id bigint, rank int, relevance double, "
+        "mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        embs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = embs / norms[:, None]
+        pair_sim = unit @ unit.T
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k_final:
+            if selected:
+                penalty = pair_sim[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                penalty = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1 - lam) * penalty
+            # argmax with vec_id-ascending tie-break: remaining is in
+            # vec_id order, np.argmax takes the first maximum
+            best_pos = int(np.argmax(mmr))
+            scores.append(float(mmr[best_pos]))
+            selected.append(remaining.pop(best_pos))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[selected].to_numpy(),
+                "vec_id": pdf["vec_id"].iloc[selected].to_numpy(),
+                "rank": np.arange(1, len(selected) + 1, dtype="int32"),
+                "relevance": np.round(rel[selected], 6),
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return with_emb.groupBy("query_id").applyInPandas(greedy, out_schema)

@@ -251,3 +251,23 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_centroids=8, n_probe=8
     ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
+    "emb_mmr_diversified_topk",
+    None,  # greedy sequential selection is not SQL-expressible; property
+    # tests in tests/test_mmr.py pin λ=1 ≡ cosine ranking, first-pick,
+    # and determinism contracts
+    doc="MMR-diversified top-5 (λ=0.7) for 5 query vectors over a "
+    "top-20 cosine retrieval: retrieve-then-rerank, with the O(k²) "
+    "greedy confined to per-query Arrow groups. Rows-only driver "
+    "check; see tests/test_mmr.py for the behavioral contracts.",
+    tags=("similarity", "embeddings", "mmr"),
+)
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import mmr_rerank
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") < 5), emb, k_retrieve=20, k_final=5, lam=0.7
+    )

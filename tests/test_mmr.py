@@ -1,0 +1,50 @@
+"""MMR re-ranking contracts: λ=1 degenerates to plain cosine ranking,
+the first pick is always the top-1, output is exactly k distinct items
+per query, and the greedy is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.similarity import brute_force_topk, mmr_rerank
+
+
+def _emb(spark, sf_dir):
+    return register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+
+
+def test_lambda_one_equals_cosine_ranking(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    mmr = mmr_rerank(emb_q := queries, emb, k_retrieve=15, k_final=5, lam=1.0)
+    plain = brute_force_topk(emb_q, emb, k=5)
+    got = {(r.query_id, r.rank): r.vec_id for r in mmr.collect()}
+    want = {(r.query_id, r.rank): r.vec_id for r in plain.collect()}
+    assert got == want
+
+
+def test_first_pick_k_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    mmr = mmr_rerank(queries, emb, k_retrieve=15, k_final=5, lam=0.5)
+    rows = mmr.collect()
+    plain_top1 = {
+        r.query_id: r.vec_id
+        for r in brute_force_topk(queries, emb, k=1).collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(plain_top1)
+    for qid, sel in by_q.items():
+        sel.sort(key=lambda r: r.rank)
+        # exactly k distinct picks, ranks 1..k
+        assert [r.rank for r in sel] == [1, 2, 3, 4, 5]
+        assert len({r.vec_id for r in sel}) == 5
+        # first pick is the cosine top-1 (no penalty before S is non-empty)
+        assert sel[0].vec_id == plain_top1[qid]
+    # deterministic-replay contract: rerun selects identically
+    again = {(r.query_id, r.rank): r.vec_id for r in
+             mmr_rerank(queries, emb, k_retrieve=15, k_final=5, lam=0.5).collect()}
+    assert again == {(r.query_id, r.rank): r.vec_id for r in rows}

@@ -24,6 +24,7 @@ INTENTIONALLY_QUADRATIC = {
     "emb_cosine_topk_bruteforce",  # brute-force ANN baseline (broadcast NLJ)
     "emb_cosine_near_dup_pairs",
     "emb_knn_classify",  # scoring stage = brute-force baseline (swap to ANN at scale)
+    "emb_mmr_diversified_topk",  # retrieval stage = brute-force baseline (swap to ANN at scale)
 }
 
 # Scalar-aggregate subqueries expressed as a condition-less join against a
