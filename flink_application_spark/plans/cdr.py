@@ -402,3 +402,27 @@ def q_cdr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _path_a(spark, sf_dir, "inner")
     b = _path_b(spark, sf_dir)
     return a.unionByName(b)
+
+
+@register(
+    "cdr_generated_sample",
+    None,
+    doc="Pluggable generator connector: the reference's "
+    "DataGeneratorSource (Generator.java:38-47) surfaced through "
+    "Spark's Python DataSource registry (sources/pyds.py) — "
+    "spark.read.format('cdrgen'). Rows-only check (the source *is* "
+    "the data, there is no parquet twin for DuckDB); determinism and "
+    "distribution contracts are pinned by tests/test_pyds.py.",
+    tags=("cdr", "source", "rows-only"),
+)
+def q_cdr_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.sources import pyds
+
+    pyds.register(spark)
+    return (
+        spark.read.format("cdrgen")
+        .option("n", 500)
+        .option("seed", 11)
+        .option("numPartitions", 4)
+        .load()
+    )

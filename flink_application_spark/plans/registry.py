@@ -78,6 +78,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import (  # noqa: F401
         asof_queries,
         cdr,
+        cleaning_queries,
         dedup_queries,
         multimodal_queries,
         pipeline_queries,

@@ -1,0 +1,49 @@
+"""Python DataSource API generator: registered-by-name, deterministic
+across partitionings, reference null distributions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.sources import pyds
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+def _load(spark, **opts):
+    r = spark.read.format("cdrgen")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_count_and_determinism(spark):
+    df = _load(spark, n=2000, seed=7, numPartitions=8)
+    assert df.count() == 2000
+    assert [f.name for f in df.schema.fields] == [
+        "start_time", "measuring_probe_name", "imsi", "msisdn",
+        "ms_ip_address", "unique_cdr_id",
+    ]
+    # partitioning must not change the generated multiset
+    again = _load(spark, n=2000, seed=7, numPartitions=3)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_null_distributions_and_domains(spark):
+    df = _load(spark, n=5000, seed=1).cache()
+    n = df.count()
+    imsi_rate = df.filter(F.col("imsi").isNotNull()).count() / n
+    msisdn_rate = df.filter(F.col("msisdn").isNotNull()).count() / n
+    # generator operating points: 0.5 / 0.1 (flink.conf:9-10)
+    assert abs(imsi_rate - 0.5) < 0.05
+    assert abs(msisdn_rate - 0.1) < 0.03
+    # ip wrapped in ';' (CsvData.java:145-147); probes from the 15-code list
+    bad = df.filter(~F.col("ms_ip_address").rlike(r"^;.*;$")).count()
+    assert bad == 0
+    probes = {r[0] for r in df.select(F.substring("measuring_probe_name", 1, 2)).distinct().collect()}
+    assert probes <= set(pyds.PROBES)
+    df.unpersist()
