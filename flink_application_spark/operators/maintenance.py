@@ -74,3 +74,89 @@ def file_range_stats(spark: SparkSession, path: str, col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def zvalue_expr(x, y, bits: int = 16):
+    """Morton (Z-order) key: interleave the low `bits` bits of two
+    non-negative integer columns (x even positions, y odd). Pure
+    bitwise Catalyst expressions — stays inside whole-stage codegen,
+    no UDF. 2*bits <= 63 keeps the key in a signed long.
+
+    Multi-dimensional clustering for data skipping: range-partitioning
+    by the interleaved key gives every output file a tight bounding
+    box in BOTH dimensions, so point/range predicates on either column
+    skip files via parquet min/max stats — the OSS-Spark analogue of
+    Delta/Iceberg OPTIMIZE ZORDER BY (x, y).
+    """
+    from pyspark.sql import functions as F
+
+    assert 2 * bits <= 63
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_cluster(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite `src_dir` Z-order-clustered on (x_col, y_col).
+
+    Both columns are min/max-normalized to [0, 2^bits) with integer
+    arithmetic (two-pass: one tiny agg for the bounds, then the
+    rewrite — the agg reads only the two columns, so the parquet scan
+    prunes the rest). Returns the number of output partitions.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    b = df.agg(
+        F.min(x_col).alias("x0"),
+        F.max(x_col).alias("x1"),
+        F.min(y_col).alias("y0"),
+        F.max(y_col).alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    top = (1 << bits) - 1
+
+    def norm(col, lo, hi):
+        span = max(1, hi - lo)
+        return ((F.col(col).cast("long") - F.lit(lo)) * top / F.lit(span)).cast(
+            "long"
+        )
+
+    n_files = max(1, math.ceil(b.n / target_rows_per_file))
+    keyed = df.withColumn(
+        "_z", zvalue_expr(norm(x_col, b.x0, b.x1), norm(y_col, b.y0, b.y1), bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_dir)
+    )
+    return n_files
+
+
+def files_containing(spark: SparkSession, path: str, col: str, value) -> int:
+    """How many files a point predicate on `col` must touch, judged by
+    per-file min/max — the data-skipping audit for clustering layouts."""
+    from pyspark.sql import functions as F
+
+    return (
+        file_range_stats(spark, path, col)
+        .filter((F.col("min_val") <= value) & (F.col("max_val") >= value))
+        .count()
+    )

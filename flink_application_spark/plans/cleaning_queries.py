@@ -282,3 +282,50 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa_value"),
         F.round(F.avg("value"), 4).alias("naive_avg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key
+# --------------------------------------------------------------------------
+
+_ZBITS = 8
+
+
+def _z_sql(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "events_zorder_key",
+    f"""
+SELECT event_id,
+       (user_id & 255) AS zx,
+       (CAST(floor(value) AS BIGINT) & 255) AS zy,
+       {_z_sql("(user_id & 255)", "(CAST(floor(value) AS BIGINT) & 255)", _ZBITS)}
+           AS zvalue
+FROM events
+""",
+    doc="Morton (Z-order) interleaving key over two event dimensions — "
+    "the clustering key operators/maintenance.py:zorder_cluster "
+    "range-partitions by. Pure bitwise Catalyst expressions (16 "
+    "shift/mask terms at 8 bits), scan-local, bit-exact across "
+    "engines; tests/test_maintenance.py proves the resulting layout "
+    "actually skips files on BOTH dimensions.",
+    tags=("maintenance", "clustering", "events"),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.maintenance import zvalue_expr
+
+    (events,) = _t(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(255))
+    y = F.floor("value").cast("long").bitwiseAND(F.lit(255))
+    return events.select(
+        "event_id",
+        x.alias("zx"),
+        y.alias("zy"),
+        zvalue_expr(x, y, _ZBITS).alias("zvalue"),
+    )

@@ -752,3 +752,88 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_frac"
         ),
     )
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@register(
+    "doc_bm25_search",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok WHERE token <> '' GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, token
+),
+dft AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         count(*) AS n_terms_matched,
+         round(sum( ((n - df + 0.5) / (df + 0.5))
+                    * (tf * 2.2) / (tf + 0.3 + 0.9 * dl / avgdl) ), 4) AS bm25
+  FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms_matched, bm25,
+       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20)
+""",
+    doc="BM25 top-20 ranking for a fixed 3-term query (k1=1.2, b=0.75; "
+    "k1*(1-b)=0.3, k1*b=0.9 folded). The idf is the rational Robertson "
+    "ratio WITHOUT the log — same ranking monotonicity, but every "
+    "intermediate derives from exact integer counts so both engines "
+    "compute bit-identical doubles (the repo-wide log-free discipline). "
+    "Shape: the tf branch filters to query terms AT THE SCAN (the "
+    "IN-list pushes into the parquet reader), so the expensive "
+    "(doc,term) shuffle carries only matching tokens; doc-length is a "
+    "corpus-wide partial agg; stats is a broadcast 1-row cross join; "
+    "top-20 via TakeOrdered (no global sort), rank stamped on the 20 "
+    "survivors.",
+    tags=("text", "search", "documents"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from flink_application_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term = ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * (
+        F.col("tf") * 2.2
+    ) / (F.col("tf") + 0.3 + 0.9 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(dft, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum(term), 4).alias("bm25"),
+        )
+    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

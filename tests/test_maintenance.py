@@ -38,3 +38,45 @@ def test_compaction_rows_files_and_ranges(spark, tmp_path):
     assert all(s.n_rows > 0 for s in stats)
     for prev, cur in zip(stats, stats[1:]):
         assert prev.max_val < cur.min_val
+
+
+def test_zorder_cluster_skips_on_both_dimensions(spark, tmp_path):
+    from flink_application_spark.operators.maintenance import (
+        files_containing,
+        zorder_cluster,
+    )
+
+    src = str(tmp_path / "grid")
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zordered")
+
+    # 256x256 grid of (x, y) points, randomly laid out on disk
+    spark.range(65536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    ).repartition(16).write.parquet(src)
+
+    # baseline: range-clustered on x only
+    compact_parquet(spark, src, linear, sort_cols=["x"], target_rows_per_file=4096)
+    n = zorder_cluster(
+        spark, src, zordered, x_col="x", y_col="y", bits=8, target_rows_per_file=4096
+    )
+    assert n == 16
+
+    out = spark.read.parquet(zordered)
+    assert out.count() == 65536
+    assert out.select(F.sum("x"), F.sum("y")).first() == spark.read.parquet(
+        src
+    ).select(F.sum("x"), F.sum("y")).first()
+
+    # x-sorted layout: every file spans all of y -> a y point predicate
+    # touches every file; the Z-order layout must touch at most half
+    # the files on y AND stay selective on x (maxRecordsPerFile may
+    # split uneven range partitions, so compare against actual counts)
+    n_linear = len(spark.read.parquet(linear).inputFiles())
+    n_z = len(out.inputFiles())
+    y_linear = files_containing(spark, linear, "y", 17)
+    y_z = files_containing(spark, zordered, "y", 17)
+    x_z = files_containing(spark, zordered, "x", 17)
+    assert y_linear == n_linear
+    assert y_z <= n_z / 2, (y_z, n_z)
+    assert x_z <= n_z / 2, (x_z, n_z)
