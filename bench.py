@@ -32,6 +32,8 @@ HEADLINE = [
     "doc_near_dup_pairs_minhash_lsh",
     "doc_dedup_pipeline_stats",
     "doc_quality_scores",
+    "doc_pii_redaction",
+    "doc_bm25_search",
     "emb_cosine_topk_bruteforce",
 ]
 

@@ -160,3 +160,37 @@ def files_containing(spark: SparkSession, path: str, col: str, value) -> int:
         .filter((F.col("min_val") <= value) & (F.col("max_val") >= value))
         .count()
     )
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention for a hive-partitioned parquet table: drop whole
+    partition directories whose `partition_col=value` sorts below
+    `keep_from` (ISO date strings compare lexicographically, matching
+    the reference sink's event_date partitioning, EnrichmentApp.java:195).
+
+    Directory-level deletes only — no data rewrite, concurrent readers
+    of surviving partitions are untouched (partition isolation is the
+    point of partitioning the sink). On a real deployment this is a
+    metastore DROP PARTITION + object-store lifecycle rule; the
+    mechanics here are the filesystem form. Returns dropped values.
+    """
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    dropped = []
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = unquote(entry[len(prefix):])
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    return dropped

@@ -426,3 +426,47 @@ def q_cdr_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", 4)
         .load()
     )
+
+
+_SCD2_BODY = """
+SELECT probe, ip, imsi, msisdn,
+       start_time AS valid_from,
+       lead(start_time) OVER (
+         PARTITION BY probe, ip ORDER BY start_time, msisdn
+       ) AS valid_to,
+       CAST(lead(start_time) OVER (
+         PARTITION BY probe, ip ORDER BY start_time, msisdn
+       ) IS NULL AS BOOLEAN) AS is_current
+FROM ms_ip_exploded
+"""
+
+
+@register(
+    "cdr_dim_validity_intervals",
+    fixture_cte("ms_ip", extra={"ms_ip_exploded": MS_IP_EXPLODED_ORACLE})
+    + _SCD2_BODY,
+    doc="SCD2 reconstruction of the as-of dimension: each (probe, ip) "
+    "assignment's validity interval [valid_from, valid_to) via lead() "
+    "over start_time — the interval form of the reference's 'find the "
+    "assignment already active' lookup (EnrichmentApp.java:320-340): "
+    "Path B's as-of join is equivalent to an interval join against "
+    "these rows. One shuffle on (probe, ip); deterministic tie-break "
+    "on msisdn. is_current marks open-ended rows.",
+    tags=("cdr", "scd2", "dimension"),
+)
+def q_cdr_dim_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = cdr_views(spark, sf_dir)
+    exploded = explode_delimited(v["ms_ip"], "ms_ip_address", out_col="ip")
+    w = Window.partitionBy("probe", "ip").orderBy("start_time", "msisdn")
+    nxt = F.lead("start_time").over(w)
+    return exploded.select(
+        "probe",
+        "ip",
+        "imsi",
+        "msisdn",
+        F.col("start_time").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -1513,3 +1513,44 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p_ppm"),
     )
+
+
+@register(
+    "events_key_skew_profile",
+    """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*) AS total FROM events)
+SELECT user_id, n_events,
+       (n_events * 1000000) // total AS share_ppm,
+       row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+FROM (
+  SELECT * FROM per_key CROSS JOIN tot
+  ORDER BY n_events DESC, user_id LIMIT 20
+)
+""",
+    doc="Key-distribution profiler: top-20 heaviest join/agg keys with "
+    "integer-ppm traffic share — the diagnostic that decides whether a "
+    "key needs salting (operators/skew.py) or an AQE skew-join split. "
+    "Partial-agg shuffle on user_id, broadcast 1-row total, "
+    "TakeOrdered top-20 (no global sort). At 100 TB this is the query "
+    "you run BEFORE the big join, on a sample or on the fly.",
+    tags=("sql", "skew", "diagnostics", "events"),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = events.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        per_key.join(F.broadcast(tot))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    w = W.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return top.select(
+        "user_id",
+        "n_events",
+        F.expr("(n_events * 1000000) div total").alias("share_ppm"),
+        F.row_number().over(w).alias("rank"),
+    )

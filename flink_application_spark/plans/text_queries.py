@@ -794,12 +794,18 @@ FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20)
     "ratio WITHOUT the log — same ranking monotonicity, but every "
     "intermediate derives from exact integer counts so both engines "
     "compute bit-identical doubles (the repo-wide log-free discipline). "
-    "Shape: the tf branch filters to query terms AT THE SCAN (the "
-    "IN-list pushes into the parquet reader), so the expensive "
-    "(doc,term) shuffle carries only matching tokens; doc-length is a "
-    "corpus-wide partial agg; stats is a broadcast 1-row cross join; "
-    "top-20 via TakeOrdered (no global sort), rank stamped on the 20 "
-    "survivors.",
+    "Shape: all four inputs (tf, df, doc-length, corpus stats) are "
+    "written against ONE (doc_id, token) count aggregate; Catalyst "
+    "then specializes each branch — the query-term IN-filter pushes "
+    "THROUGH the aggregate to just after the scan-local explode, so "
+    "the tf/df shuffles carry only matching tokens, while the "
+    "doc-length and corpus-stats branches (which genuinely need the "
+    "full corpus) share a single full aggregate via AQE ReusedExchange "
+    "(the explicit not-null guards keep those subtrees canonically "
+    "identical). stats is a broadcast 1-row cross join; top-20 via "
+    "TakeOrdered (no global sort). At 100 TB you'd additionally "
+    "materialize the (doc,token) aggregate once as a table and derive "
+    "all branches from it.",
     tags=("text", "search", "documents"),
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,19 +813,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
+    # the explicit not-null guards make every branch's scan subtree
+    # canonically identical (joins otherwise inject isnotnull() on
+    # their own key only), which is what lets AQE reuse one exchange
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).filter(F.col("token") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    ).filter(
+        (F.col("token") != "")
+        & F.col("doc_id").isNotNull()
+        & F.col("token").isNotNull()
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = (
-        tok.filter(F.col("token").isin(_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tc.filter(F.col("token").isin(_BM25_TERMS))
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     term = ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * (
         F.col("tf") * 2.2

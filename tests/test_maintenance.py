@@ -80,3 +80,28 @@ def test_zorder_cluster_skips_on_both_dimensions(spark, tmp_path):
     assert y_linear == n_linear
     assert y_z <= n_z / 2, (y_z, n_z)
     assert x_z <= n_z / 2, (x_z, n_z)
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    from flink_application_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("event_date"),
+    )
+    df.write.partitionBy("event_date").parquet(path)
+    assert spark.read.parquet(path).select("event_date").distinct().count() == 10
+
+    dropped = expire_partitions(
+        spark, path, partition_col="event_date", keep_from="2024-01-04"
+    )
+    assert dropped == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    left = spark.read.parquet(path)
+    assert left.select("event_date").distinct().count() == 7
+    assert left.filter(F.col("event_date") < "2024-01-04").count() == 0
+    assert left.count() == 70
