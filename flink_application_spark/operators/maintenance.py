@@ -194,3 +194,39 @@ def expire_partitions(
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(value)
     return dropped
+
+
+def retract_rows(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    key_col: str,
+    keys: DataFrame,
+) -> dict:
+    """Takedown / right-to-be-forgotten: rewrite `src_dir` minus every
+    row whose `key_col` appears in `keys` (a one-column DataFrame).
+
+    LEFT ANTI join — Catalyst broadcasts the takedown list when it is
+    small (the usual case: thousands of ids against billions of rows),
+    so the rewrite is a single scan with a hash-lookup filter, no
+    shuffle of the corpus. With a huge list AQE falls back to a
+    shuffled anti join. Returns an audit dict; the removed-count check
+    is exact (before − after), not inferred from the list size —
+    absent keys must not count.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    key_list = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    kept = df.join(key_list, on=key_col, how="left_anti")
+    kept.write.parquet(dst_dir)
+
+    before = df.count()
+    after = spark.read.parquet(dst_dir).count()
+    return {
+        "rows_before": before,
+        "rows_after": after,
+        "rows_removed": before - after,
+        "n_keys_requested": key_list.count(),
+    }

@@ -1554,3 +1554,173 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_events * 1000000) div total").alias("share_ppm"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+@register(
+    "nation_revenue_share",
+    """
+WITH nat AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT nation, region, revenue,
+       (CAST(round(revenue * 100) AS BIGINT) * 1000000)
+           // sum(CAST(round(revenue * 100) AS BIGINT)) OVER (PARTITION BY region)
+           AS share_of_region_ppm,
+       rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation) AS rank_in_region
+FROM nat
+""",
+    doc="Percent-of-total window over an aggregate: each nation's "
+    "revenue share within its region (integer ppm of cents — exact "
+    "cross-engine) plus rank. The window partitions by the 25-row "
+    "aggregate output, not the fact table: the heavy work is the "
+    "orders->customer shuffle join (nation/region broadcast), the "
+    "analytics layer on top is free. The standard drill-down readout "
+    "pattern (share + rank in one pass).",
+    tags=("sql", "window", "orders"),
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    nat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wr = W.partitionBy("region")
+    return nat.select(
+        "nation",
+        "region",
+        "revenue",
+        F.expr(
+            "(CAST(round(revenue * 100) AS BIGINT) * 1000000) div "
+            "sum(CAST(round(revenue * 100) AS BIGINT)) OVER (PARTITION BY region)"
+        ).alias("share_of_region_ppm"),
+        F.rank()
+        .over(wr.orderBy(F.col("revenue").desc(), F.col("nation")))
+        .alias("rank_in_region"),
+    )
+
+
+@register(
+    "events_mad_by_type",
+    """
+WITH med AS (
+  SELECT event_type, median(value) AS med_value
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med_value) AS adev, m.med_value
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type,
+       round(any_value(med_value), 4) AS med_value,
+       round(median(adev), 4) AS mad,
+       count(*) AS n
+FROM dev
+GROUP BY event_type
+""",
+    doc="Robust dispersion per group: exact median + median absolute "
+    "deviation (the outlier-resistant spread estimate behind robust "
+    "z-scores). Two exact-median aggregates on the same event_type "
+    "key — the second shuffle reuses the first's partitioning; the "
+    "tiny per-type medians broadcast back onto the facts. Interpolated "
+    "medians of the same multiset are bit-identical cross-engine "
+    "(mean of the two middle doubles).",
+    tags=("sql", "stats", "events"),
+)
+def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_value")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med_value")).alias("adev"),
+        "med_value",
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.any_value("med_value"), 4).alias("med_value"),
+        F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "customer_rfm_segmentation",
+    """
+WITH anchor AS (
+  SELECT CAST(max(o_orderdate) AS DATE) AS d_max FROM orders
+),
+rfm AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT d_max FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM (
+  SELECT *,
+         ntile(4) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+  FROM rfm
+)
+""",
+    doc="RFM customer segmentation: days-since-last-order, order "
+    "count, lifetime cents (integer), each quartile-scored with "
+    "ntile(4) and a deterministic custkey tie-break, composed into "
+    "the classic 3-digit RFM code. One shuffle aggregates orders by "
+    "customer; the three global ntile windows run over the aggregate "
+    "(|customers| rows, not |orders|). At 100 TB you'd swap the "
+    "global ntile for percentile_approx boundary lookups to avoid "
+    "the single-partition sort — noted divergence, same buckets up "
+    "to ties.",
+    tags=("sql", "segmentation", "orders"),
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d_max"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff("d_max", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(4).over(W.orderBy("recency_days", "custkey")).alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "custkey"))
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )

@@ -105,3 +105,81 @@ def test_expire_partitions_drops_only_old(spark, tmp_path):
     assert left.select("event_date").distinct().count() == 7
     assert left.filter(F.col("event_date") < "2024-01-04").count() == 0
     assert left.count() == 70
+
+
+def test_zvalue_properties(spark):
+    """Morton-key contracts: bijective on bit-pairs, monotone in each
+    dimension when the other is fixed, and de-interleavable."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_application_spark.operators.maintenance import zvalue_expr
+
+    # exhaustive check on the 8-bit grid via one distributed pass
+    df = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+        .select("x", "y", zvalue_expr(F.col("x"), F.col("y"), 8).alias("z"))
+    )
+    rows = df.collect()
+    zs = {r.z for r in rows}
+    assert len(zs) == 256 * 256  # bijection
+    assert min(zs) == 0 and max(zs) == 256 * 256 - 1
+
+    def interleave(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    sample = {(r.x, r.y): r.z for r in rows}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255))
+    def matches_pure_python(x, y):
+        assert sample[(x, y)] == interleave(x, y)
+        # strictly monotone along each axis (bit-spreading is an
+        # order embedding), so per-file z-ranges bound both dims
+        if x < 255:
+            assert sample[(x + 1, y)] > sample[(x, y)]
+        if y < 255:
+            assert sample[(x, y + 1)] > sample[(x, y)]
+
+    matches_pure_python()
+
+
+def test_retract_rows_exact_and_audited(spark, tmp_path):
+    from flink_application_spark.operators.maintenance import retract_rows
+
+    src = str(tmp_path / "corpus")
+    dst = str(tmp_path / "scrubbed")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("payload")
+    ).write.parquet(src)
+
+    # 10 real keys + 3 that don't exist (must not inflate the audit)
+    keys = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 10)] + [(5000,), (6000,), (7000,)], "k bigint"
+    )
+    audit = retract_rows(spark, src, dst, key_col="doc_id", keys=keys)
+    assert audit == {
+        "rows_before": 1000,
+        "rows_after": 990,
+        "rows_removed": 10,
+        "n_keys_requested": 13,
+    }
+    out = spark.read.parquet(dst)
+    assert out.filter(F.col("doc_id").isin(list(range(0, 100, 10)))).count() == 0
+
+    # the anti join must end up broadcasting the small takedown list —
+    # the local keys df has no stats, so it's AQE that converts the
+    # static SMJ at runtime; check the FINAL adaptive plan post-action
+    df = spark.read.parquet(src)
+    joined = df.join(keys.select(F.col("k").alias("doc_id")), "doc_id", "left_anti")
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

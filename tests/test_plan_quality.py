@@ -37,6 +37,9 @@ SCALAR_SUBQUERY_BROADCAST = {
     "tpch_q11_important_parts": 1,  # revenue-fraction threshold
     "corpus_mixture_plan": 1,  # global min token floor
     "doc_dedup_pipeline_stats": 2,  # n_raw × n_unique × pair-stats combine
+    "doc_bm25_search": 1,  # corpus (N, avgdl) stats row
+    "events_key_skew_profile": 1,  # total event count
+    "customer_rfm_segmentation": 1,  # recency anchor date
 }
 
 
