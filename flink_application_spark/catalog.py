@@ -30,14 +30,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as
-        # long ns. Integer-divide to µs (floor, = DuckDB's truncation) and
-        # cast to session-tz-free timestamp. Stays in whole-stage codegen.
-        # `div` = integer division — epoch-ns (~1.7e18) overflows double's
-        # exact-integer range, so float division would corrupt low digits.
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # Normalize events.ts to timestamp_ntz regardless of how the driver
+        # generated it. Historically it has been TIMESTAMP(NANOS) surfaced as
+        # long ns (via nanosAsLong); current testdata stores timestamp[us]
+        # directly. Branch on the physical type so both generations load.
+        # For the long-ns form, `div` (integer division) floors to µs —
+        # matching DuckDB's truncation — and avoids the double-precision
+        # corruption float division would cause on epoch-ns magnitudes.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
