@@ -44,3 +44,37 @@ def sign_bits(a: Column, n_bits: int) -> Column:
             for i in range(n_bits)
         ]
     )
+
+
+def srp_signs(n_bits: int, dim: int, salt: str = "srp") -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for sign-random-projection:
+    sign(bit j, dim k) from the parity of md5(f"{salt}:{j}:{k}").
+    Pseudo-random but reproducible in any engine — the same literals
+    are inlined into the DuckDB oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{j}:{k}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for k in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_signature(a: Column, signs: list[list[float]]) -> Column:
+    """SimHash-for-vectors: ``n_bits``-bit signature as a BIGINT, bit j
+    set iff the dot product with hyperplane j is ≥ 0. Full-rank random
+    hyperplanes (vs sign_bits' axis-aligned ones) — the genuine
+    Charikar SRP family; P[bit match] = 1 − θ/π. All JVM-side folds."""
+    bits = []
+    for j, row in enumerate(signs):
+        plane = F.array(*[F.lit(s) for s in row])
+        d = dot(a, plane)
+        bits.append(F.when(d >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,152 @@
+"""Distributed PCA (top principal component) over an embedding column.
+
+Scale design (the part that must survive 100 TB):
+
+- The only full-data pass is the **Gram accumulation**: a
+  ``mapInPandas`` stage computes a per-Arrow-batch partial ``XᵀX``
+  (one numpy matmul per batch — vectorized, no per-row Python) and
+  emits it in long form ``(i, j, s)`` — d·(d+1)/2 rows per batch for
+  the upper triangle. A ``groupBy(i, j).sum`` then combines partials
+  map-side, so the shuffle carries O(d²) values per partition, never
+  row data. For d = 64 that is 2,080 doubles per task — independent
+  of corpus size, which is exactly the property that makes this a
+  1000-executor-safe reduction (same shape as MLlib's
+  ``RowMatrix.computeGramianMatrix``; re-derived here from the public
+  algorithm, not imported, to keep the engine DataFrame-native).
+- The **eigen step** runs on the driver over the d×d Gram — O(d²)
+  memory, no data-size dependence. Power iteration with a
+  deterministic start vector gives the top component without
+  depending on LAPACK iteration order.
+- The **projection** is a second scan with the component broadcast as
+  a literal array — a JVM-side zip_with/aggregate fold, no Python.
+
+The composition (sketch-to-driver then broadcast-back) mirrors the
+reference's enrichment shape at a different altitude: reduce a huge
+table to a tiny model, then re-join the model to every row
+(cf. /root/reference/src/main/java/org/example/EnrichmentApp.java:300-340,
+where the "model" is a JDBC dimension).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+_GRAM_SCHEMA = StructType(
+    [
+        StructField("i", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("s", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def gram_long(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Upper-triangle Gram partials in long form plus per-batch row
+    counts (carried on the (0, 0) entry's ``n``; other entries carry 0
+    so the global ``sum(n)`` is the row count)."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[col]], dtype=np.float64
+            )
+            g = x.T @ x
+            n = np.zeros(len(iu[0]), dtype=np.int64)
+            n[0] = x.shape[0]
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int32),
+                    "j": iu[1].astype(np.int32),
+                    "s": g[iu],
+                    "n": n,
+                }
+            )
+
+    return (
+        df.select(col)
+        .mapInPandas(part, schema=_GRAM_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
+def collect_gram(df: DataFrame, col: str = "embedding", dim: int = 64):
+    """Run the distributed Gram pass and assemble the symmetric d×d
+    numpy matrix plus the row count on the driver."""
+    rows = gram_long(df, col, dim).collect()
+    g = np.zeros((dim, dim))
+    n = 0
+    for r in rows:
+        g[r["i"], r["j"]] = r["s"]
+        g[r["j"], r["i"]] = r["s"]
+        n += r["n"]
+    return g, n
+
+
+def top_component(gram: np.ndarray, n: int, mean: np.ndarray, iters: int = 100) -> np.ndarray:
+    """Top eigenvector of the covariance (Gram/n − μμᵀ) by power
+    iteration. Deterministic: fixed all-ones start, fixed iteration
+    count, sign normalized so the largest-|.| entry is positive."""
+    cov = gram / max(n, 1) - np.outer(mean, mean)
+    v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+    for _ in range(iters):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    return v
+
+
+def mean_vector(df: DataFrame, col: str = "embedding", dim: int = 64) -> np.ndarray:
+    """Element-wise mean via posexplode + partial agg (shuffle carries
+    d partials per partition, not vectors)."""
+    rows = (
+        df.select(F.posexplode(col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in rows:
+        mu[r["pos"]] = r["m"]
+    return mu
+
+
+def pca_project(
+    df: DataFrame, component: np.ndarray, mean: np.ndarray, col: str = "embedding"
+) -> DataFrame:
+    """Project each (centered) vector onto the component: a JVM-side
+    fold against broadcast literal arrays — no Python in the scan."""
+    comp = F.array(*[F.lit(float(c)) for c in component])
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(F.col(col), mu, lambda x, m: x.cast("double") - m)
+    proj = F.aggregate(
+        F.zip_with(centered, comp, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("pc1", F.round(proj, 4))
+
+
+def pca_top_component_projection(
+    df: DataFrame, col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """End-to-end: Gram sketch → driver power iteration → broadcast
+    projection. Returns the input plus a ``pc1`` column."""
+    mu = mean_vector(df, col, dim)
+    gram, n = collect_gram(df, col, dim)
+    v = top_component(gram, n, mu)
+    return pca_project(df, v, mu, col)
