@@ -83,8 +83,8 @@ SELECT doc_id,
        CAST(frame_idx AS INTEGER) AS frame_idx,
        CAST(9 + frame_idx * 256 AS BIGINT) AS frame_offset,
        256 AS frame_len,
-       list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
-                               c -> ascii(c))) AS frame_sum
+       CAST(list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
+                                    c -> ascii(c))) AS BIGINT) AS frame_sum
 FROM frames
 """,
     doc="Frame sampling: payload as 256-byte frames, every 4th emitted "
@@ -147,12 +147,13 @@ frames AS (
 ),
 sums AS (
   SELECT doc_id, frame_idx,
-         list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
-                                 c -> ascii(c))) AS frame_sum
+         CAST(list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
+                                      c -> ascii(c))) AS BIGINT) AS frame_sum
   FROM frames
 )
 SELECT doc_id, frame_idx, frame_sum,
-       frame_sum - lag(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+       CAST(frame_sum - lag(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+            AS BIGINT) AS delta
 FROM sums
 QUALIFY abs(delta) > 200 OR delta IS NULL
 """,

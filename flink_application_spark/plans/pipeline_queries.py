@@ -69,7 +69,7 @@ WITH b AS (
 SELECT {_SPLIT_CASE_SQL} AS split,
        lang,
        count(*) AS n_docs,
-       sum(n_tok) AS n_tokens
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM b
 GROUP BY 1, 2
 """,
@@ -174,7 +174,7 @@ packed AS (
 SELECT shard,
        CAST((running - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
        count(*) AS n_docs,
-       sum(n_tok) AS n_tokens
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM packed
 GROUP BY 1, 2
 """,
@@ -332,12 +332,12 @@ WITH per_user AS (
   GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                THEN 1 ELSE 0 END) AS n_view_click,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                  AND t_purchase > t_click
-                THEN 1 ELSE 0 END) AS n_view_click_purchase
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
 FROM per_user
 """,
     doc="Ordered funnel analysis over the events stream: per user, the "
@@ -382,7 +382,8 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per_lang AS (
   SELECT lang,
          count(*) AS n_docs,
-         sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_tokens
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
   FROM documents
   GROUP BY lang
 )

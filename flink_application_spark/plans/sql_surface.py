@@ -181,8 +181,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS distinct_parts,
        count(DISTINCT l_suppkey) AS distinct_supps,
-       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
        round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS discounted_price
 FROM lineitem
 GROUP BY l_returnflag
@@ -496,10 +496,10 @@ WITH gaps AS (
   FROM events
 ),
 sessions AS (
-  SELECT *, sum(is_new_session) OVER (
+  SELECT *, CAST(sum(is_new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id,
@@ -1569,9 +1569,9 @@ WITH nat AS (
   GROUP BY n.n_name, r.r_name
 )
 SELECT nation, region, revenue,
-       (CAST(round(revenue * 100) AS BIGINT) * 1000000)
+       CAST((CAST(round(revenue * 100) AS BIGINT) * 1000000)
            // sum(CAST(round(revenue * 100) AS BIGINT)) OVER (PARTITION BY region)
-           AS share_of_region_ppm,
+           AS BIGINT) AS share_of_region_ppm,
        rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation) AS rank_in_region
 FROM nat
 """,

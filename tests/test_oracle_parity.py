@@ -29,6 +29,22 @@ def test_oracle_parity(name, spark, sf_dir, con):
     assert r.hash_spark == r.hash_oracle
 
 
+def test_no_hugeint_oracle_columns(con):
+    """The driver's value hash is type-sensitive: DuckDB sum()/list_sum()
+    over integers yields HUGEINT, which hash-mismatches Spark's bigint
+    even when every value is identical (round-1 verdict: 6 such fails).
+    Every sum-derived oracle column must CAST(... AS BIGINT)."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for c, t in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(t):
+                offenders.append((name, c))
+    assert not offenders, offenders
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without an oracle still must run and return a schema."""
     for name, spec in REGISTRY.items():
