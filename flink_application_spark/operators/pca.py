@@ -59,6 +59,11 @@ def gram_long(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[col]], dtype=np.float64
             )
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"gram_long: embedding length {x.shape[1]} != dim={dim}; "
+                    "a silent top-left block would corrupt the Gram"
+                )
             g = x.T @ x
             n = np.zeros(len(iu[0]), dtype=np.int64)
             n[0] = x.shape[0]
@@ -92,18 +97,37 @@ def collect_gram(df: DataFrame, col: str = "embedding", dim: int = 64):
     return g, n
 
 
-def top_component(gram: np.ndarray, n: int, mean: np.ndarray, iters: int = 100) -> np.ndarray:
-    """Top eigenvector of the covariance (Gram/n − μμᵀ) by power
-    iteration. Deterministic: fixed all-ones start, fixed iteration
-    count, sign normalized so the largest-|.| entry is positive."""
-    cov = gram / max(n, 1) - np.outer(mean, mean)
-    v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+def _power_iterate(
+    cov: np.ndarray, v0: np.ndarray, iters: int, tol: float
+) -> tuple[np.ndarray, bool]:
+    v = v0 / np.linalg.norm(v0)
     for _ in range(iters):
         w = cov @ v
         nrm = np.linalg.norm(w)
         if nrm == 0.0:
-            break
+            return v, False
         v = w / nrm
+    lam = float(v @ cov @ v)
+    residual = float(np.linalg.norm(cov @ v - lam * v))
+    return v, residual <= tol * max(abs(lam), 1e-30)
+
+
+def top_component(
+    gram: np.ndarray, n: int, mean: np.ndarray, iters: int = 200, tol: float = 1e-6
+) -> np.ndarray:
+    """Top eigenvector of the covariance (Gram/n − μμᵀ) by power
+    iteration. Deterministic but not axis-aligned: the start vector is
+    a fixed pseudo-random ramp (sin of the index), so it is never
+    orthogonal-by-construction to a data-aligned eigenvector the way
+    all-ones can be. Convergence is checked via the eigen-residual
+    ‖Cv − λv‖ ≤ tol·|λ|; on failure a second deterministic start is
+    tried before giving up with the best iterate. Sign normalized so
+    the largest-|.| entry is positive."""
+    cov = gram / max(n, 1) - np.outer(mean, mean)
+    d = cov.shape[0]
+    v, ok = _power_iterate(cov, np.sin(np.arange(1, d + 1)), iters, tol)
+    if not ok:
+        v, _ = _power_iterate(cov, np.cos(np.arange(1, d + 1) * 0.7) + 0.1, iters, tol)
     pivot = int(np.argmax(np.abs(v)))
     if v[pivot] < 0:
         v = -v
@@ -145,7 +169,11 @@ def pca_top_component_projection(
     df: DataFrame, col: str = "embedding", dim: int = 64
 ) -> DataFrame:
     """End-to-end: Gram sketch → driver power iteration → broadcast
-    projection. Returns the input plus a ``pc1`` column."""
+    projection. Returns the (non-null-embedding) input plus a ``pc1``
+    column. The null filter is applied ONCE here so the mean, Gram,
+    and projection all see the same row set (posexplode silently drops
+    null arrays while the numpy stage would crash on them)."""
+    df = df.filter(F.col(col).isNotNull())
     mu = mean_vector(df, col, dim)
     gram, n = collect_gram(df, col, dim)
     v = top_component(gram, n, mu)

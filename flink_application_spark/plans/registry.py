@@ -81,6 +81,7 @@ def _load_all() -> None:
         cleaning_queries,
         dedup_queries,
         multimodal_queries,
+        pca_queries,
         pipeline_queries,
         similarity_queries,
         sql_surface,
