@@ -53,6 +53,11 @@ def srp_signs(n_bits: int, dim: int, salt: str = "srp") -> list[list[float]]:
     are inlined into the DuckDB oracle SQL."""
     import hashlib
 
+    if n_bits > 63:
+        raise ValueError(
+            f"srp signatures are BIGINT-encoded: n_bits must be <= 63, got {n_bits} "
+            "(bit 63 would need 2^63, overflowing the signed long literal)"
+        )
     return [
         [
             1.0

