@@ -342,6 +342,56 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
+def retrieve_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    use_ann: bool = False,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Retrieval stage shared by every retrieve-then-X composition:
+    exact brute force (the oracle path) or IVF ANN (the scale path)
+    behind ONE flag — so switching a pipeline to ANN at 100× is a
+    keyword argument, not a rewrite. Both return the same
+    (query_id, vec_id, cosine, rank) schema."""
+    if use_ann:
+        return ivf_topk(
+            queries, corpus, k=k, n_centroids=n_centroids, n_probe=n_probe
+        )
+    return brute_force_topk(queries, corpus, k=k)
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    labels: DataFrame,
+    *,
+    k: int = 5,
+    use_ann: bool = False,
+    **ann_kwargs,
+) -> DataFrame:
+    """k-NN majority-vote classification (ties → smallest label) on top
+    of the pluggable retriever. The vote aggregate never changes when
+    retrieval swaps to ANN; recall of the composed path is pinned in
+    tests/test_ivf.py (>= 0.9 prediction agreement vs brute force)."""
+    topk = retrieve_topk(queries, corpus, k, use_ann=use_ann, **ann_kwargs)
+    votes = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
 def mmr_rerank(
     queries: DataFrame,
     corpus: DataFrame,
@@ -349,6 +399,8 @@ def mmr_rerank(
     k_retrieve: int = 20,
     k_final: int = 5,
     lam: float = 0.7,
+    use_ann: bool = False,
+    **ann_kwargs,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking — the retrieve-then-rerank
     shape: a distributed retriever (exact cosine top-k_retrieve here;
@@ -365,7 +417,7 @@ def mmr_rerank(
     """
     import pandas as pd
 
-    cands = brute_force_topk(queries, corpus, k=k_retrieve)
+    cands = retrieve_topk(queries, corpus, k_retrieve, use_ann=use_ann, **ann_kwargs)
     with_emb = cands.join(corpus.select("vec_id", "embedding"), "vec_id")
 
     out_schema = (

@@ -212,26 +212,15 @@ WHERE rn = 1
     tags=("similarity", "embeddings", "knn", "classify"),
 )
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from flink_application_spark.operators.similarity import brute_force_topk
+    from flink_application_spark.operators.similarity import knn_classify
 
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    topk = brute_force_topk(queries, corpus, k=5)
-    labels = emb.select("vec_id", "label")
-    votes = (
-        topk.join(F.broadcast(labels), "vec_id")
-        .groupBy("query_id", "label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("label").asc()
-    )
-    return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    return knn_classify(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        emb.select("vec_id", "label"),
+        k=5,
+        use_ann=False,  # oracle path; tests/test_ivf.py pins the ANN path
     )
 
 
