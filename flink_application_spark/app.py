@@ -60,7 +60,9 @@ def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             k["bootstrap"],
             k["topic"],
             group_id=k.get("group_id"),
-            starting_offsets=k.get("starting_offsets", "latest"),
+            startup_mode=k.get("scan.startup.mode", "latest-offset"),
+            timestamp_ms=k.get("scan.startup.timestamp-millis"),
+            specific_offsets=k.get("specific_offsets"),
         )
     if fmt == "csv-lines":
         if streaming:

@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
             )
         elif ts_type != "timestamp_ntz":
+            # timestamp -> timestamp_ntz keeps the wall clock ONLY because
+            # session.get_spark pins spark.sql.session.timeZone=UTC; a
+            # session built elsewhere would shift ts by its local offset.
+            # Always construct sessions through get_spark.
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 

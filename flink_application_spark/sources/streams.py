@@ -65,29 +65,85 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     )
 
 
+def kafka_startup_options(
+    topic: str,
+    mode: str = "latest-offset",
+    *,
+    timestamp_ms: int | None = None,
+    specific_offsets: dict[int, int] | None = None,
+) -> dict[str, str]:
+    """Map the reference's `scan.startup.mode` values
+    (EnrichmentAppWithoutExplode.java:176; Flink Kafka connector
+    surface) onto Spark structured-streaming Kafka reader options:
+
+    - ``earliest-offset`` → ``startingOffsets=earliest``
+    - ``latest-offset``   → ``startingOffsets=latest``
+    - ``timestamp``       → ``startingTimestamp=<ms>`` (requires
+      ``timestamp_ms``)
+    - ``specific-offsets``→ ``startingOffsets`` JSON per partition
+      (requires ``specific_offsets`` {partition: offset})
+    - ``group-offsets``   → rejected: Spark tracks progress in its own
+      checkpoint, not the consumer group — resuming from the
+      checkpoint IS the group-offsets semantic here (documented
+      divergence, README "Divergences").
+    """
+    import json
+
+    if mode == "earliest-offset":
+        return {"startingOffsets": "earliest"}
+    if mode == "latest-offset":
+        return {"startingOffsets": "latest"}
+    if mode == "timestamp":
+        if timestamp_ms is None:
+            raise ValueError("scan.startup.mode=timestamp needs timestamp_ms")
+        return {"startingTimestamp": str(timestamp_ms)}
+    if mode == "specific-offsets":
+        if not specific_offsets:
+            raise ValueError(
+                "scan.startup.mode=specific-offsets needs {partition: offset}"
+            )
+        return {
+            "startingOffsets": json.dumps(
+                {topic: {str(p): int(o) for p, o in specific_offsets.items()}}
+            )
+        }
+    if mode == "group-offsets":
+        raise ValueError(
+            "group-offsets has no Spark equivalent: restart from the "
+            "checkpoint directory instead (Spark-managed offsets)"
+        )
+    raise ValueError(f"unknown scan.startup.mode: {mode}")
+
+
 def kafka_csv_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     schema_ddl: str = CDR_CSV_SCHEMA_DDL,
     group_id: str | None = None,
-    starting_offsets: str = "latest",
+    startup_mode: str = "latest-offset",
+    timestamp_ms: int | None = None,
+    specific_offsets: dict[int, int] | None = None,
     sasl_jaas: str | None = None,
     drop_malformed: bool = True,
 ) -> DataFrame:
     """S1: Kafka CSV source (EnrichmentApp.java:160-181; SASL/Kerberos +
     startup-mode options per EnrichmentAppWithoutExplode.java:174-176).
 
-    `startingOffsets="latest"` ≈ `scan.startup.mode = latest-offset`.
-    Untestable without a broker — the decode path is shared with
-    `csv_line_stream`, which the tests cover.
+    Startup modes map via `kafka_startup_options` (unit-tested; the
+    broker path itself is untestable in this container — the decode
+    path is shared with `csv_line_stream`, which the tests cover).
     """
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
     )
+    for k, v in kafka_startup_options(
+        topic, startup_mode, timestamp_ms=timestamp_ms,
+        specific_offsets=specific_offsets,
+    ).items():
+        reader = reader.option(k, v)
     if group_id is not None:
         reader = reader.option("kafka.group.id", group_id)
     if sasl_jaas is not None:

@@ -51,6 +51,99 @@ def write_partitioned_parquet(
     return writer.start()
 
 
+class _SizeCalibratedRoller:
+    """foreachBatch writer that approximates a byte-size rolling policy
+    (flink.conf:54-55: sink.rolling-policy.file-size = 110 MB).
+
+    Spark's parquet writer rolls on RECORD count (`maxRecordsPerFile`),
+    not bytes, so the cap is enforced by calibration: after every batch
+    the writer reads the parquet footers it has produced (pyarrow
+    metadata — footer-only, no data read), derives observed
+    bytes-per-row, and re-sizes `maxRecordsPerFile` for the next batch
+    to `target_file_bytes`. The initial batch uses a deliberately small
+    record cap so the ceiling holds before any calibration exists; the
+    estimate then converges upward toward full-size files.
+
+    Restart semantics: a batch-id marker directory makes re-delivered
+    micro-batches (checkpoint replay after failure) no-ops, matching
+    the idempotent-commit behavior of the reference's rolling sink."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_by: tuple[str, ...],
+        target_file_bytes: int,
+        initial_records_per_file: int,
+        headroom: float = 0.9,
+    ) -> None:
+        self.path = path
+        self.partition_by = partition_by
+        self.target = target_file_bytes
+        self.max_records = initial_records_per_file
+        self.headroom = headroom
+
+    def _recalibrate(self) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        total_bytes = 0
+        total_rows = 0
+        for root, _dirs, files in os.walk(self.path):
+            if "_batch_markers" in root:
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                total_bytes += os.path.getsize(full)
+                total_rows += pq.ParquetFile(full).metadata.num_rows
+        if total_rows:
+            bytes_per_row = max(total_bytes / total_rows, 1e-9)
+            self.max_records = max(1, int(self.target * self.headroom / bytes_per_row))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        marker_dir = os.path.join(self.path, "_batch_markers")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):  # checkpoint replay → already written
+            return
+        writer = batch_df.write.option("maxRecordsPerFile", self.max_records)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.mode("append").parquet(self.path)
+        with open(marker, "w") as f:
+            f.write("done")
+        self._recalibrate()
+
+
+def write_partitioned_parquet_size_rolled(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = ("event_date", "probe"),
+    target_file_bytes: int = 110 * 1024 * 1024,
+    initial_records_per_file: int = 10_000,
+    trigger: str | None = None,
+    query_name: str = "parquet_sink_size_rolled",
+) -> StreamingQuery:
+    """S4 with the byte-size rolling policy: every produced file stays
+    under `target_file_bytes` (record cap re-calibrated from observed
+    parquet bytes-per-row after each batch)."""
+    roller = _SizeCalibratedRoller(
+        path, partition_by, target_file_bytes, initial_records_per_file
+    )
+    return (
+        df.writeStream.foreachBatch(roller)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(**_trigger_kwargs(trigger))
+        .start()
+    )
+
+
 def write_console(
     df: DataFrame, label: str, trigger: str | None = None, num_rows: int = 20
 ) -> StreamingQuery:

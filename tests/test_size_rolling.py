@@ -1,0 +1,83 @@
+"""Byte-size rolling policy (flink.conf:54-55, 110 MB file-size cap):
+the size-calibrated foreachBatch sink must keep every produced parquet
+file under the target byte size while converging toward full files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.sinks import (
+    _SizeCalibratedRoller,
+    write_partitioned_parquet_size_rolled,
+)
+
+_TARGET = 64 * 1024  # 64 KiB stand-in for the 110 MB production cap
+
+
+@pytest.fixture()
+def wide_rows_dir(spark, tmp_path):
+    """Four input files -> four micro-batches (maxFilesPerTrigger=1);
+    rows carry ~1 KiB of md5-noise so parquet can't compress them away
+    and bytes-per-row is meaningfully measurable."""
+    src = tmp_path / "in"
+    payload = F.concat(*[F.md5(F.concat(F.col("id"), F.lit(i))) for i in range(32)])
+    for part in range(4):
+        (
+            spark.range(part * 500, (part + 1) * 500)
+            .select(F.col("id"), payload.alias("payload"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    return src
+
+
+def _data_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if "_batch_markers" not in f
+    ]
+
+
+def test_size_rolled_sink_respects_byte_ceiling(spark, wide_rows_dir, tmp_path):
+    out = str(tmp_path / "sink")
+    stream = file_stream(spark, str(wide_rows_dir), max_files_per_trigger=1)
+    q = write_partitioned_parquet_size_rolled(
+        stream,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_by=(),
+        target_file_bytes=_TARGET,
+        initial_records_per_file=50,
+        trigger=None,
+    )
+    q.awaitTermination(300)
+
+    files = _data_files(out)
+    assert len(files) > 1
+    sizes = [os.path.getsize(f) for f in files]
+    # ceiling: small parquet files carry fixed footer overhead, hence
+    # the 1.25 allowance; at the production 110 MB target the footer is
+    # noise and the headroom factor (0.9) absorbs row-width variance
+    assert max(sizes) <= _TARGET * 1.25, sizes
+    # calibration must converge upward: the biggest file should be a
+    # real fraction of the target, not the initial 50-row guess forever
+    assert max(sizes) >= _TARGET * 0.4, sizes
+    # no rows lost across batches
+    assert spark.read.parquet(out).count() == 2000
+
+
+def test_size_rolled_sink_batch_replay_is_noop(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    roller = _SizeCalibratedRoller(out, (), _TARGET, 100)
+    batch = spark.range(100).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+    roller(batch, 7)
+    n1 = spark.read.parquet(out).count()
+    roller(batch, 7)  # checkpoint replay of the same batch id
+    assert spark.read.parquet(out).count() == n1 == 100
