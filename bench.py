@@ -34,7 +34,9 @@ HEADLINE = [
     "doc_quality_scores",
     "doc_pii_redaction",
     "doc_bm25_search",
+    "doc_jaccard_similarity_join",
     "emb_cosine_topk_bruteforce",
+    "emb_pca_gram",
 ]
 
 

@@ -22,9 +22,11 @@ def _physical(df) -> str:
 INTENTIONALLY_QUADRATIC = {
     "doc_ngram_jaccard_topk",   # all-pairs exact Jaccard baseline
     "emb_cosine_topk_bruteforce",  # brute-force ANN baseline (broadcast NLJ)
-    "emb_cosine_near_dup_pairs",
     "emb_knn_classify",  # scoring stage = brute-force baseline (swap to ANN at scale)
     "emb_mmr_diversified_topk",  # retrieval stage = brute-force baseline (swap to ANN at scale)
+    # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
+    # sign-LSH rework it must plan equi-joins only — a cartesian there
+    # is a regression this test exists to catch.
 }
 
 # Scalar-aggregate subqueries expressed as a condition-less join against a

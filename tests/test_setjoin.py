@@ -1,0 +1,78 @@
+"""Prefix-filtered exact set-similarity join: must return the IDENTICAL
+row set to the quadratic baseline (it's exact, not approximate), with
+no cartesian product in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.minhash import jaccard_column, with_shingles
+from flink_application_spark.operators.setjoin import jaccard_similarity_join
+
+
+def _brute(docs, t):
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+def _rows(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def synth_docs(spark):
+    """Corpus with planted near-dups at varied overlap levels plus
+    shared boilerplate (a hot-shingle stressor: every doc shares the
+    same header trigram, which must NOT create quadratic candidates)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(40):
+        words = base.split() + [f"uniq{i}a", f"uniq{i}b", f"uniq{i}c"]
+        rows.append((i, "common header text " + " ".join(words)))
+    # exact dup + one-word-swap near dup of doc 0
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1].replace("kappa", "lambda")))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 1.0])
+def test_matches_bruteforce_exactly(spark, synth_docs, t):
+    assert _rows(jaccard_similarity_join(synth_docs, t)) == _rows(_brute(synth_docs, t))
+
+
+def test_exact_dup_pair_found(spark, synth_docs):
+    got = _rows(jaccard_similarity_join(synth_docs, 1.0))
+    assert (0, 100, 1.0) in got
+
+
+def test_matches_bruteforce_on_testdata(spark, sf_dir):
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    exact = _rows(jaccard_similarity_join(docs, 0.5))
+    assert exact == _rows(_brute(docs, 0.5))
+    assert len(exact) > 0, "threshold too high for testdata — weak test"
+
+
+def test_no_cartesian_in_plan(spark, synth_docs):
+    plan = (
+        jaccard_similarity_join(synth_docs, 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_validation(spark, synth_docs):
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(synth_docs, 0.0)
