@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from flink_application_spark.operators.minhash import jaccard_column, with_shingles
+from flink_application_spark.operators.minhash import with_shingles
 
 # Float-safety slack on the t·|A| bounds: real-arithmetic guarantees
 # must not be voided by a last-ulp rounding of t*size.
@@ -60,17 +60,39 @@ def jaccard_similarity_join(
     post = sh.select("id", "sz", F.explode("shingles").alias("tok"))
     tok_df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
+    # One ranking pass serves both sides: token rank within each doc
+    # under the global (df, tok) order.
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    ranked = post.join(tok_df, "tok").withColumn("rk", F.row_number().over(w))
+
     # prefix length |A| - ceil(t*|A|) + 1 (eps guards the float product)
     pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
-    prefix = (
-        post.join(tok_df, "tok")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= pref_len)
-        .select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok")
+    prefix = ranked.filter(F.col("rk") <= pref_len).select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rk").alias("rk_a"),
+        "tok",
+    )
+    full = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rk").alias("rk_b"),
+        "tok",
     )
 
-    full = post.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+    # Minimum required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉ (from
+    # c ≥ t·(|A|+|B|−c)). The PPJoin positional filter: for the FIRST
+    # common token (positions rk_a, rk_b in the global order) every
+    # other common token ranks later in both docs, so overlap ≤
+    # 1 + min(|A|−rk_a, |B|−rk_b); a qualifying pair always has a
+    # matched row passing this bound, so filtering per-row before the
+    # distinct is lossless while pruning most one-off collisions.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b")) - _EPS
+    )
+    ubound = 1 + F.least(
+        F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
+    )
     cands = (
         prefix.join(full, "tok")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -79,10 +101,16 @@ def jaccard_similarity_join(
             (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - _EPS)
             & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - _EPS)
         )
+        .filter(ubound >= alpha)
         .select("id_a", "id_b")
         .distinct()
     )
 
+    # Verify with overlap-only arithmetic: |A∪B| = |A|+|B|−|A∩B| (the
+    # shingle arrays are distinct), saving the array_distinct(concat)
+    # pass of the generic jaccard_column — identical integers, hence
+    # identical rounded doubles, hence oracle-hash-identical.
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
         cands.join(
             sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -92,10 +120,15 @@ def jaccard_similarity_join(
             sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
             "id_b",
         )
+        .withColumn("_c", inter)
         .select(
             "id_a",
             "id_b",
-            jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            F.round(
+                F.col("_c").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("_c")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
