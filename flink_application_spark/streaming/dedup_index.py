@@ -1,0 +1,188 @@
+"""Incremental MinHash-LSH near-duplicate index.
+
+The batch dedup pipeline (operators/minhash.py:verified_near_dup_pairs)
+answers "which pairs in this corpus are near-dups" in one shot. A
+training-data ingestion pipeline has the harder ongoing form: documents
+arrive continuously, and each new document must be checked against
+EVERYTHING seen so far without re-scanning the corpus. This module
+maintains that index with Structured Streaming's `foreachBatch`:
+
+- **signature store** (`bands/`): (doc_id, band_key) rows — the tiny
+  LSH fingerprint of the corpus, appended per batch. At 100 TB of text
+  this store is GBs (bands × 32-hex keys per doc), and the per-batch
+  join against it is an equi-join on band_key — the new batch's band
+  keys select only matching buckets, never the corpus.
+- **shingle store** (`shingles/`): (doc_id, shingles) for exact-Jaccard
+  verification of candidates whose partner arrived in an earlier batch.
+  Only candidate ids are ever read back (join by id).
+- **pair log** (`pairs/`): each near-dup pair is emitted exactly once —
+  in the batch where its LATER document arrives (new-vs-old) or where
+  both arrive (new-vs-new). The union over batches equals the batch
+  pipeline's output on the full corpus (pinned by
+  tests/test_dedup_index.py).
+
+Batch-id markers make checkpoint-replayed micro-batches no-ops, same
+pattern as the size-rolled sink. Flink parity note: this is the
+streaming generalization of the reference's equality dedup
+(EnrichmentApp.java:142-156) to content similarity; Flink would hold
+the signature store in keyed state, Spark in cheap append-only parquet
+keyed by band — re-read per batch, broadcast when small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_application_spark.operators.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    jaccard_column,
+    with_band_keys,
+    with_minhash_signature,
+    with_shingles,
+)
+
+
+class NearDupIndex:
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        threshold: float = 0.5,
+        k: int = DEFAULT_K,
+        bands: int = DEFAULT_BANDS,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.index_dir = index_dir
+        self.threshold = threshold
+        self.k = k
+        self.bands = bands
+        self.id_col = id_col
+        self.text_col = text_col
+        self._bands_dir = os.path.join(index_dir, "bands")
+        self._shingles_dir = os.path.join(index_dir, "shingles")
+        self._pairs_dir = os.path.join(index_dir, "pairs")
+        self._marker_dir = os.path.join(index_dir, "_batch_markers")
+
+    # -- store access -------------------------------------------------
+
+    def _has(self, path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+    def pairs(self, spark) -> DataFrame:
+        """All near-dup pairs discovered so far (id_a < id_b, jaccard)."""
+        if not self._has(self._pairs_dir):
+            return spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, jaccard double"
+            )
+        return spark.read.parquet(self._pairs_dir).select("id_a", "id_b", "jaccard")
+
+    # -- per-batch maintenance ----------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(self._marker_dir, exist_ok=True)
+        marker = os.path.join(self._marker_dir, str(batch_id))
+        if os.path.exists(marker):  # checkpoint replay
+            return
+        spark = batch_df.sparkSession
+        idc = self.id_col
+
+        sh_new = (
+            with_shingles(batch_df, self.text_col, id_col=idc)
+            .select(F.col(idc).alias("id"), "shingles")
+            .persist()
+        )
+        sig = with_band_keys(
+            with_minhash_signature(
+                sh_new.select(F.col("id").alias(idc), "shingles"), self.k
+            ),
+            self.k,
+            self.bands,
+        )
+        bands_new = sig.select(
+            F.col(idc).alias("id"),
+            F.explode(
+                F.array(*[F.col(f"band{b}") for b in range(self.bands)])
+            ).alias("band_key"),
+        ).persist()
+
+        # new-vs-new: per-bucket self-join inside the batch
+        a = bands_new.select(F.col("id").alias("id_a"), "band_key")
+        b = bands_new.select(F.col("id").alias("id_b"), F.col("band_key").alias("bk_b"))
+        nn = (
+            a.join(b, (F.col("band_key") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b")
+        )
+
+        # new-vs-old: the batch's band keys probe the store's buckets
+        cands = nn
+        if self._has(self._bands_dir):
+            old = spark.read.parquet(self._bands_dir).select(
+                F.col("id").alias("id_old"), F.col("band_key").alias("bk_old")
+            )
+            no = (
+                bands_new.join(old, F.col("band_key") == F.col("bk_old"))
+                .select(
+                    F.least(F.col("id"), F.col("id_old")).alias("id_a"),
+                    F.greatest(F.col("id"), F.col("id_old")).alias("id_b"),
+                )
+            )
+            cands = cands.unionByName(no)
+        cands = cands.distinct()
+
+        # exact verify: shingles come from the batch or the store
+        all_sh = sh_new
+        if self._has(self._shingles_dir):
+            all_sh = sh_new.unionByName(
+                spark.read.parquet(self._shingles_dir).select("id", "shingles")
+            )
+        verified = (
+            cands.join(
+                all_sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                all_sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+
+        verified.write.mode("append").parquet(self._pairs_dir)
+        bands_new.write.mode("append").parquet(self._bands_dir)
+        sh_new.write.mode("append").parquet(self._shingles_dir)
+        with open(marker, "w") as f:
+            f.write("done")
+        sh_new.unpersist()
+        bands_new.unpersist()
+
+    # -- streaming attachment -----------------------------------------
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        trigger: str | None = None,
+        query_name: str = "near_dup_index",
+    ) -> StreamingQuery:
+        from flink_application_spark.streaming.sinks import _trigger_kwargs
+
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name)
+            .trigger(**_trigger_kwargs(trigger))
+            .start()
+        )

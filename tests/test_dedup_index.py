@@ -1,0 +1,86 @@
+"""Incremental near-dup index: streaming over N batches must discover
+exactly the pairs the batch LSH pipeline finds on the full corpus —
+each pair exactly once — and replayed batches must be no-ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.minhash import verified_near_dup_pairs
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.dedup_index import NearDupIndex
+
+_T = 0.5
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return register_views(spark, sf_dir, tables=("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def test_incremental_equals_batch(spark, docs, tmp_path):
+    # three arrival waves, written as separate files -> separate batches
+    src = tmp_path / "in"
+    for lo, hi in [(0, 170), (170, 340), (340, 10_000)]:
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    idx = NearDupIndex(str(tmp_path / "index"), threshold=_T)
+    q = idx.attach(
+        file_stream(spark, str(src), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = _pair_set(idx.pairs(spark))
+    want = _pair_set(verified_near_dup_pairs(docs, threshold=_T))
+    assert got == want
+    assert len(got) > 0, "no near-dup pairs at sf0.001 — weak test"
+    # exactly-once emission: no pair appears in two batches
+    per_pair = (
+        idx.pairs(spark)
+        .groupBy("id_a", "id_b")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert per_pair == 0
+
+
+def test_batch_replay_is_noop(spark, docs, tmp_path):
+    idx = NearDupIndex(str(tmp_path / "index"), threshold=_T)
+    wave = docs.filter(F.col("doc_id") < 200)
+    idx.process_batch(wave, 0)
+    n1 = idx.pairs(spark).count()
+    idx.process_batch(wave, 0)  # checkpoint replay
+    assert idx.pairs(spark).count() == n1
+
+
+def test_cross_batch_pair_found_once(spark, tmp_path):
+    """A near-dup pair split across batches is found when the second
+    doc arrives, and only then."""
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string",
+    )
+    idx = NearDupIndex(str(tmp_path / "index"), threshold=0.5)
+    idx.process_batch(a, 0)
+    assert idx.pairs(spark).count() == 0
+    idx.process_batch(b, 1)
+    got = idx.pairs(spark).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
