@@ -49,6 +49,23 @@ def load_config(path_or_dict: str | dict[str, Any]) -> dict[str, Any]:
         return json.load(f)
 
 
+def _parse_specific_offsets(v: Any) -> dict[int, int] | None:
+    """Accept {partition: offset} dicts or Flink's string form
+    'partition:0,offset:42;partition:1,offset:300'
+    (flink.conf scan.startup.specific-offsets syntax)."""
+    if v is None or isinstance(v, dict):
+        return v
+    out: dict[int, int] = {}
+    for chunk in str(v).split(";"):
+        if not chunk.strip():
+            continue
+        fields = dict(
+            kv.strip().split(":", 1) for kv in chunk.split(",") if ":" in kv
+        )
+        out[int(fields["partition"])] = int(fields["offset"])
+    return out
+
+
 def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     src = cfg["source"]
     streaming = cfg.get("mode", "batch") == "streaming"
@@ -62,7 +79,11 @@ def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             group_id=k.get("group_id"),
             startup_mode=k.get("scan.startup.mode", "latest-offset"),
             timestamp_ms=k.get("scan.startup.timestamp-millis"),
-            specific_offsets=k.get("specific_offsets"),
+            specific_offsets=_parse_specific_offsets(
+                # accept the flink.conf-style key (documented surface)
+                # with a python-friendly alias
+                k.get("scan.startup.specific-offsets", k.get("specific_offsets"))
+            ),
         )
     if fmt == "csv-lines":
         if streaming:

@@ -99,6 +99,45 @@ def with_band_keys(df: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
     return df
 
 
+def band_keys_long(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_key) long form of the LSH fingerprint — `bands` small
+    rows per document. This is both the self-join input below and the
+    append-only store layout of the incremental index
+    (streaming/dedup_index.py)."""
+    sig = with_band_keys(with_minhash_signature(df, k), k, bands)
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+
+
+def bucket_self_pairs(bands_long: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
+
+    Rename one side's columns BEFORE the join: a self-join whose equi
+    predicate references the same lineage can be resolved as a
+    trivially-true same-column comparison, degrading to a single-task
+    BroadcastNestedLoopJoin (O(n²) compares). Distinct aliases force a
+    real hash equi-join on band_key."""
+    a = bands_long.select(F.col("id").alias("id_a"), "band_key")
+    b = bands_long.select(
+        F.col("id").alias("id_b"), F.col("band_key").alias("band_key_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_key") == F.col("band_key_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,23 +149,7 @@ def lsh_candidate_pairs(
     One shuffle on band_key; the self-join is per-bucket. At cluster
     scale add a bucket-size cap / salting for degenerate keys.
     """
-    sig = with_band_keys(with_minhash_signature(df, k), k, bands)
-    bands_long = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
-    )
-    # Rename one side's columns BEFORE the join: a self-join whose equi
-    # predicate references the same lineage can be resolved as a
-    # trivially-true same-column comparison, degrading to a single-task
-    # BroadcastNestedLoopJoin (O(n²) compares). Distinct aliases force a
-    # real hash equi-join on band_key.
-    a = bands_long.select(F.col(id_col).alias("id_a"), "band_key")
-    b = bands_long.select(F.col(id_col).alias("id_b"), F.col("band_key").alias("band_key_b"))
-    return (
-        a.join(b, (F.col("band_key") == F.col("band_key_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return bucket_self_pairs(band_keys_long(df, id_col, k, bands))
 
 
 def jaccard_column(sh_a: F.Column, sh_b: F.Column) -> F.Column:

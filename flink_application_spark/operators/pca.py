@@ -99,17 +99,18 @@ def collect_gram(df: DataFrame, col: str = "embedding", dim: int = 64):
 
 def _power_iterate(
     cov: np.ndarray, v0: np.ndarray, iters: int, tol: float
-) -> tuple[np.ndarray, bool]:
+) -> tuple[np.ndarray, bool, float]:
     v = v0 / np.linalg.norm(v0)
     for _ in range(iters):
         w = cov @ v
         nrm = np.linalg.norm(w)
         if nrm == 0.0:
-            return v, False
+            return v, False, float("inf")
         v = w / nrm
     lam = float(v @ cov @ v)
     residual = float(np.linalg.norm(cov @ v - lam * v))
-    return v, residual <= tol * max(abs(lam), 1e-30)
+    rel = residual / max(abs(lam), 1e-30)
+    return v, rel <= tol, rel
 
 
 def top_component(
@@ -125,9 +126,13 @@ def top_component(
     the largest-|.| entry is positive."""
     cov = gram / max(n, 1) - np.outer(mean, mean)
     d = cov.shape[0]
-    v, ok = _power_iterate(cov, np.sin(np.arange(1, d + 1)), iters, tol)
+    v, ok, res1 = _power_iterate(cov, np.sin(np.arange(1, d + 1)), iters, tol)
     if not ok:
-        v, _ = _power_iterate(cov, np.cos(np.arange(1, d + 1) * 0.7) + 0.1, iters, tol)
+        v2, _, res2 = _power_iterate(
+            cov, np.cos(np.arange(1, d + 1) * 0.7) + 0.1, iters, tol
+        )
+        if res2 < res1:  # keep the better iterate, not blindly the second
+            v = v2
     pivot = int(np.argmax(np.abs(v)))
     if v[pivot] < 0:
         v = -v

@@ -46,9 +46,15 @@ def jaccard_similarity_join(
 ) -> DataFrame:
     """All (id_a < id_b, jaccard) pairs with exact n-gram Jaccard ≥
     threshold. Exact: returns the identical row set to the quadratic
-    self-join (the DuckDB oracle runs that form)."""
+    self-join over non-NULL-text documents (the DuckDB oracle runs
+    that form). NULL-text documents are excluded up front: they have
+    no content to be similar on, and their [NULL] shingle arrays would
+    silently vanish at the token equi-joins while the quadratic
+    baseline pairs them at jaccard 1.0 — excluding them keeps the
+    exactness contract honest instead of data-dependent."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docs = docs.filter(F.col(text_col).isNotNull())
 
     sh = (
         with_shingles(docs, text_col=text_col, id_col=id_col)

@@ -208,6 +208,11 @@ def cosine_near_dup_pairs(
     vectors."""
     if band_bits == "auto":
         band_bits = band_bits_for(corpus.count())
+        if planes == "axis":
+            # axis planes draw band b's bits from its own coordinate
+            # slice — cap the auto width so n_bands*band_bits <= dim
+            # instead of erroring exactly when the corpus grows
+            band_bits = max(1, min(band_bits, dim // n_bands))
     cands = srp_banded_candidates(
         corpus, n_bands=n_bands, band_bits=band_bits, planes=planes, dim=dim
     )

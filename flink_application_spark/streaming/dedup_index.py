@@ -21,8 +21,11 @@ maintains that index with Structured Streaming's `foreachBatch`:
   pipeline's output on the full corpus (pinned by
   tests/test_dedup_index.py).
 
-Batch-id markers make checkpoint-replayed micro-batches no-ops, same
-pattern as the size-rolled sink. Flink parity note: this is the
+Every store append goes through `sinks.idempotent_batch_write`: the
+batch overwrites its own `_batch=<id>/` subdirectory, so a
+checkpoint-replayed micro-batch — after a crash at ANY point in the
+three-store commit sequence — rewrites exactly its own data instead of
+appending duplicates. Flink parity note: this is the
 streaming generalization of the reference's equality dedup
 (EnrichmentApp.java:142-156) to content similarity; Flink would hold
 the signature store in keyed state, Spark in cheap append-only parquet
@@ -39,11 +42,12 @@ from pyspark.sql.streaming import StreamingQuery
 from flink_application_spark.operators.minhash import (
     DEFAULT_BANDS,
     DEFAULT_K,
+    band_keys_long,
+    bucket_self_pairs,
     jaccard_column,
-    with_band_keys,
-    with_minhash_signature,
     with_shingles,
 )
+from flink_application_spark.streaming.sinks import idempotent_batch_write
 
 
 class NearDupIndex:
@@ -66,14 +70,13 @@ class NearDupIndex:
         self._bands_dir = os.path.join(index_dir, "bands")
         self._shingles_dir = os.path.join(index_dir, "shingles")
         self._pairs_dir = os.path.join(index_dir, "pairs")
-        self._marker_dir = os.path.join(index_dir, "_batch_markers")
 
     # -- store access -------------------------------------------------
 
     def _has(self, path: str) -> bool:
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        )
+        import glob
+
+        return bool(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
     def pairs(self, spark) -> DataFrame:
         """All near-dup pairs discovered so far (id_a < id_b, jaccard)."""
@@ -86,10 +89,6 @@ class NearDupIndex:
     # -- per-batch maintenance ----------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(self._marker_dir, exist_ok=True)
-        marker = os.path.join(self._marker_dir, str(batch_id))
-        if os.path.exists(marker):  # checkpoint replay
-            return
         spark = batch_df.sparkSession
         idc = self.id_col
 
@@ -98,27 +97,16 @@ class NearDupIndex:
             .select(F.col(idc).alias("id"), "shingles")
             .persist()
         )
-        sig = with_band_keys(
-            with_minhash_signature(
-                sh_new.select(F.col("id").alias(idc), "shingles"), self.k
-            ),
-            self.k,
-            self.bands,
-        )
-        bands_new = sig.select(
-            F.col(idc).alias("id"),
-            F.explode(
-                F.array(*[F.col(f"band{b}") for b in range(self.bands)])
-            ).alias("band_key"),
+        bands_new = band_keys_long(
+            sh_new.select(F.col("id").alias(idc), "shingles"),
+            id_col=idc,
+            k=self.k,
+            bands=self.bands,
         ).persist()
 
-        # new-vs-new: per-bucket self-join inside the batch
-        a = bands_new.select(F.col("id").alias("id_a"), "band_key")
-        b = bands_new.select(F.col("id").alias("id_b"), F.col("band_key").alias("bk_b"))
-        nn = (
-            a.join(b, (F.col("band_key") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
-            .select("id_a", "id_b")
-        )
+        # new-vs-new: per-bucket self-join inside the batch (shared
+        # with the batch pipeline — operators/minhash.py)
+        nn = bucket_self_pairs(bands_new)
 
         # new-vs-old: the batch's band keys probe the store's buckets
         cands = nn
@@ -128,6 +116,10 @@ class NearDupIndex:
             )
             no = (
                 bands_new.join(old, F.col("band_key") == F.col("bk_old"))
+                # on checkpoint replay the store already holds THIS
+                # batch's fingerprints (idempotent overwrite pending),
+                # so a doc can meet itself — drop self-pairs
+                .filter(F.col("id") != F.col("id_old"))
                 .select(
                     F.least(F.col("id"), F.col("id_old")).alias("id_a"),
                     F.greatest(F.col("id"), F.col("id_old")).alias("id_b"),
@@ -157,14 +149,14 @@ class NearDupIndex:
                 jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= self.threshold)
-            .withColumn("batch_id", F.lit(batch_id))
         )
 
-        verified.write.mode("append").parquet(self._pairs_dir)
-        bands_new.write.mode("append").parquet(self._bands_dir)
-        sh_new.write.mode("append").parquet(self._shingles_dir)
-        with open(marker, "w") as f:
-            f.write("done")
+        # crash-safe commit: each store overwrites this batch's own
+        # _batch=<id>/ subdir — replay after a crash anywhere in this
+        # sequence rewrites, never duplicates
+        idempotent_batch_write(verified, self._pairs_dir, batch_id)
+        idempotent_batch_write(bands_new, self._bands_dir, batch_id)
+        idempotent_batch_write(sh_new, self._shingles_dir, batch_id)
         sh_new.unpersist()
         bands_new.unpersist()
 

@@ -51,72 +51,126 @@ def write_partitioned_parquet(
     return writer.start()
 
 
+def idempotent_batch_write(
+    batch_df: DataFrame,
+    root: str,
+    batch_id: int,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+) -> str:
+    """Crash-safe foreachBatch commit: the batch lands in its own
+    hive-style ``_batch=<id>/`` subdirectory with ``mode("overwrite")``.
+
+    A checkpoint-replayed micro-batch — whether the previous attempt
+    wrote nothing, some files, or everything — simply overwrites its
+    own subdirectory, so the sink never holds duplicate rows for a
+    batch REGARDLESS of where a crash landed. (A marker-file scheme is
+    not crash-safe: marker-after-write duplicates on a crash between
+    the two, marker-before-write loses data.) Readers see ``_batch``
+    as an ordinary partition column via partition discovery.
+
+    Returns the batch subdirectory path (for per-batch bookkeeping)."""
+    import os
+
+    sub = os.path.join(root, f"_batch={batch_id}")
+    writer = batch_df.write
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(sub)
+    return sub
+
+
 class _SizeCalibratedRoller:
     """foreachBatch writer that approximates a byte-size rolling policy
     (flink.conf:54-55: sink.rolling-policy.file-size = 110 MB).
 
     Spark's parquet writer rolls on RECORD count (`maxRecordsPerFile`),
-    not bytes, so the cap is enforced by calibration: after every batch
-    the writer reads the parquet footers it has produced (pyarrow
-    metadata — footer-only, no data read), derives observed
-    bytes-per-row, and re-sizes `maxRecordsPerFile` for the next batch
-    to `target_file_bytes`. The initial batch uses a deliberately small
-    record cap so the ceiling holds before any calibration exists; the
-    estimate then converges upward toward full-size files.
+    not bytes, so the cap is enforced by calibration. The FIRST batch
+    pre-calibrates by writing a small sample of itself to a scratch
+    subdirectory and measuring encoded bytes-per-row (so the byte
+    ceiling holds even for very wide rows — no record-count guess is
+    trusted); every subsequent batch refines the estimate from the parquet
+    footers it just produced (pyarrow metadata — footer-only reads,
+    incremental: only the new batch's files are opened, so per-batch
+    overhead stays O(files-per-batch) for the stream's lifetime).
 
-    Restart semantics: a batch-id marker directory makes re-delivered
-    micro-batches (checkpoint replay after failure) no-ops, matching
-    the idempotent-commit behavior of the reference's rolling sink."""
+    Restart semantics: each batch overwrites its own ``_batch=<id>``
+    subdirectory via `idempotent_batch_write` — replays are exact
+    overwrites, never appends, at any crash point."""
 
     def __init__(
         self,
         path: str,
         partition_by: tuple[str, ...],
         target_file_bytes: int,
-        initial_records_per_file: int,
+        initial_records_per_file: int | None = None,
         headroom: float = 0.9,
+        calibration_sample_rows: int = 256,
     ) -> None:
         self.path = path
         self.partition_by = partition_by
         self.target = target_file_bytes
-        self.max_records = initial_records_per_file
+        self.max_records = initial_records_per_file  # None → sample-calibrate
         self.headroom = headroom
+        self.sample_rows = calibration_sample_rows
+        self._total_bytes = 0
+        self._total_rows = 0
 
-    def _recalibrate(self) -> None:
+    @staticmethod
+    def _footer_stats(path: str) -> tuple[int, int]:
         import os
 
         import pyarrow.parquet as pq
 
         total_bytes = 0
         total_rows = 0
-        for root, _dirs, files in os.walk(self.path):
-            if "_batch_markers" in root:
-                continue
+        for root, _dirs, files in os.walk(path):
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
                 full = os.path.join(root, f)
                 total_bytes += os.path.getsize(full)
                 total_rows += pq.ParquetFile(full).metadata.num_rows
-        if total_rows:
-            bytes_per_row = max(total_bytes / total_rows, 1e-9)
+        return total_bytes, total_rows
+
+    def _absorb(self, batch_dir: str) -> None:
+        b, r = self._footer_stats(batch_dir)
+        self._total_bytes += b
+        self._total_rows += r
+        if self._total_rows:
+            bytes_per_row = max(self._total_bytes / self._total_rows, 1e-9)
             self.max_records = max(1, int(self.target * self.headroom / bytes_per_row))
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _sample_calibrate(self, batch_df: DataFrame) -> None:
+        """Measure encoded bytes-per-row on a small sample BEFORE the
+        first real write, so the ceiling holds from batch 0."""
         import os
+        import shutil
 
-        marker_dir = os.path.join(self.path, "_batch_markers")
-        os.makedirs(marker_dir, exist_ok=True)
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):  # checkpoint replay → already written
-            return
-        writer = batch_df.write.option("maxRecordsPerFile", self.max_records)
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.mode("append").parquet(self.path)
-        with open(marker, "w") as f:
-            f.write("done")
-        self._recalibrate()
+        scratch = os.path.join(self.path, "_calibration_sample")
+        batch_df.limit(self.sample_rows).write.mode("overwrite").parquet(scratch)
+        b, r = self._footer_stats(scratch)
+        shutil.rmtree(scratch, ignore_errors=True)
+        if r:
+            # small samples overweigh the fixed footer; still a safe
+            # (over-)estimate of bytes/row → an under-estimate of the cap
+            self.max_records = max(1, int(self.target * self.headroom / (b / r)))
+        else:
+            self.max_records = 1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.max_records is None:
+            self._sample_calibrate(batch_df)
+        sub = idempotent_batch_write(
+            batch_df,
+            self.path,
+            batch_id,
+            partition_by=self.partition_by,
+            max_records_per_file=self.max_records,
+        )
+        self._absorb(sub)
 
 
 def write_partitioned_parquet_size_rolled(
@@ -125,13 +179,17 @@ def write_partitioned_parquet_size_rolled(
     checkpoint: str,
     partition_by: tuple[str, ...] = ("event_date", "probe"),
     target_file_bytes: int = 110 * 1024 * 1024,
-    initial_records_per_file: int = 10_000,
+    initial_records_per_file: int | None = None,
     trigger: str | None = None,
     query_name: str = "parquet_sink_size_rolled",
 ) -> StreamingQuery:
     """S4 with the byte-size rolling policy: every produced file stays
-    under `target_file_bytes` (record cap re-calibrated from observed
-    parquet bytes-per-row after each batch)."""
+    under `target_file_bytes`. The first batch sample-calibrates the
+    record cap from actual encoded bytes-per-row (pass
+    `initial_records_per_file` to skip the sample write if the row
+    width is known); later batches refine it from their own footers.
+    Output is partitioned by `_batch` (crash-safe replay) then the
+    user partitions."""
     roller = _SizeCalibratedRoller(
         path, partition_by, target_file_bytes, initial_records_per_file
     )

@@ -116,6 +116,14 @@ def test_auto_band_bits_path(spark):
     out.collect()  # runs end-to-end; 300 rows -> 4-bit bands
 
 
+def test_auto_band_bits_clamped_to_dim(spark):
+    """A corpus big enough that band_bits_for exceeds dim/n_bands must
+    clamp instead of raising — auto mode may never fail at scale."""
+    df = _rand_df(spark, 400)  # pretend-big via many bands on dim=16
+    out = cosine_near_dup_pairs(df, 0.99, n_bands=8, band_bits="auto", dim=16)
+    out.collect()  # 8 bands * clamped 2 bits = 16 <= dim
+
+
 def test_axis_planes_reject_overflow():
     with pytest.raises(ValueError, match="axis planes"):
         srp_banded_candidates(None, n_bands=4, band_bits=8, planes="axis", dim=16)

@@ -59,12 +59,29 @@ def test_incremental_equals_batch(spark, docs, tmp_path):
 
 
 def test_batch_replay_is_noop(spark, docs, tmp_path):
+    """Replay overwrites the batch's own _batch subdirs — identical
+    pair set, no duplicates, and crucially no (x, x) self-pairs from
+    the batch probing its own already-committed fingerprints."""
     idx = NearDupIndex(str(tmp_path / "index"), threshold=_T)
     wave = docs.filter(F.col("doc_id") < 200)
     idx.process_batch(wave, 0)
-    n1 = idx.pairs(spark).count()
+    before = _pair_set(idx.pairs(spark))
     idx.process_batch(wave, 0)  # checkpoint replay
-    assert idx.pairs(spark).count() == n1
+    after = _pair_set(idx.pairs(spark))
+    assert after == before
+    assert all(a != b for a, b, _ in after)
+
+
+def test_replay_of_second_batch_keeps_cross_batch_pairs(spark, docs, tmp_path):
+    """A replayed LATER batch re-finds its new-vs-old pairs (store
+    already contains both sides) without duplicating them."""
+    idx = NearDupIndex(str(tmp_path / "index"), threshold=_T)
+    idx.process_batch(docs.filter(F.col("doc_id") < 250), 0)
+    wave2 = docs.filter(F.col("doc_id") >= 250)
+    idx.process_batch(wave2, 1)
+    before = _pair_set(idx.pairs(spark))
+    idx.process_batch(wave2, 1)  # replay after crash-before-checkpoint
+    assert _pair_set(idx.pairs(spark)) == before
 
 
 def test_cross_batch_pair_found_once(spark, tmp_path):

@@ -43,3 +43,13 @@ def test_group_offsets_documented_divergence():
 def test_unknown_mode():
     with pytest.raises(ValueError, match="unknown"):
         kafka_startup_options("t", "from-the-moon")
+
+
+def test_parse_specific_offsets_flink_string_form():
+    from flink_application_spark.app import _parse_specific_offsets
+
+    assert _parse_specific_offsets(
+        "partition:0,offset:42;partition:1,offset:300"
+    ) == {0: 42, 1: 300}
+    assert _parse_specific_offsets({2: 7}) == {2: 7}
+    assert _parse_specific_offsets(None) is None

@@ -76,3 +76,14 @@ def test_no_cartesian_in_plan(spark, synth_docs):
 def test_threshold_validation(spark, synth_docs):
     with pytest.raises(ValueError, match="threshold"):
         jaccard_similarity_join(synth_docs, 0.0)
+
+
+def test_null_text_docs_excluded(spark, synth_docs):
+    """NULL-text docs are dropped up front (documented) — they must
+    neither crash the join nor appear in any pair."""
+    with_nulls = synth_docs.union(
+        spark.createDataFrame([(900, None), (901, None)], "doc_id bigint, text string")
+    )
+    got = _rows(jaccard_similarity_join(with_nulls, 0.5))
+    assert got == _rows(jaccard_similarity_join(synth_docs, 0.5))
+    assert not any(900 in (a, b) or 901 in (a, b) for a, b, _ in got)

@@ -38,11 +38,7 @@ def wide_rows_dir(spark, tmp_path):
 
 
 def _data_files(path):
-    return [
-        f
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if "_batch_markers" not in f
-    ]
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
 
 
 def test_size_rolled_sink_respects_byte_ceiling(spark, wide_rows_dir, tmp_path):
@@ -79,5 +75,19 @@ def test_size_rolled_sink_batch_replay_is_noop(spark, tmp_path):
     batch = spark.range(100).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
     roller(batch, 7)
     n1 = spark.read.parquet(out).count()
-    roller(batch, 7)  # checkpoint replay of the same batch id
+    roller(batch, 7)  # checkpoint replay overwrites its own _batch dir
     assert spark.read.parquet(out).count() == n1 == 100
+
+
+def test_first_batch_ceiling_holds_for_wide_rows(spark, tmp_path):
+    """With no initial record cap given, the first batch must
+    sample-calibrate: even rows ~8 KiB wide cannot produce a file over
+    the target (the old fixed-10k-records default would have written
+    one giant file)."""
+    out = str(tmp_path / "sink")
+    roller = _SizeCalibratedRoller(out, (), _TARGET)  # no initial cap
+    payload = F.concat(*[F.md5(F.concat(F.col("id"), F.lit(i))) for i in range(256)])
+    wide = spark.range(200).select(F.col("id"), payload.alias("payload"))
+    roller(wide, 0)
+    sizes = [os.path.getsize(f) for f in _data_files(out)]
+    assert sizes and max(sizes) <= _TARGET * 1.25, sizes
