@@ -116,14 +116,32 @@ def band_keys_long(
     )
 
 
-def bucket_self_pairs(bands_long: DataFrame) -> DataFrame:
+def bucket_self_pairs(
+    bands_long: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
 
     Rename one side's columns BEFORE the join: a self-join whose equi
     predicate references the same lineage can be resolved as a
     trivially-true same-column comparison, degrading to a single-task
     BroadcastNestedLoopJoin (O(n²) compares). Distinct aliases force a
-    real hash equi-join on band_key."""
+    real hash equi-join on band_key.
+
+    ``max_bucket_size`` is the 100-TB guard rail: a degenerate bucket
+    (boilerplate-heavy corpora collapse many docs into one band value)
+    contributes |bucket|² candidate rows to ONE join key — a single
+    straggler task that can dominate the job. Capping skips buckets
+    above the bound (documented recall loss on exactly those buckets;
+    near-dup pairs inside a mega-bucket are usually boilerplate
+    matches, and each doc pair still has bands-1 other chances to
+    collide). Off by default so oracle-checked queries stay exact."""
+    if max_bucket_size is not None:
+        sizes = bands_long.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
+        bands_long = (
+            bands_long.join(sizes, "band_key")
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a = bands_long.select(F.col("id").alias("id_a"), "band_key")
     b = bands_long.select(
         F.col("id").alias("id_b"), F.col("band_key").alias("band_key_b")

@@ -132,3 +132,22 @@ def test_axis_planes_reject_overflow():
 def test_srp_signs_reject_over_63_bits():
     with pytest.raises(ValueError, match="63"):
         srp_signs(64, 16)
+
+
+def test_bucket_size_cap_prunes_megabucket(spark):
+    """Hot-bucket guard: with the cap, a degenerate bucket contributes
+    no pairs; docs still pair through their other bands."""
+    from flink_application_spark.operators.minhash import bucket_self_pairs
+
+    rows = (
+        # mega-bucket: 50 docs share band value 'HOT'
+        [(i, "HOT") for i in range(50)]
+        # plus doc 0/1 share a private second-band value
+        + [(0, "rare"), (1, "rare")]
+    )
+    bands_long = spark.createDataFrame(rows, "id bigint, band_key string")
+    uncapped = bucket_self_pairs(bands_long)
+    assert uncapped.count() == 50 * 49 // 2  # (0,1) also in HOT
+    capped = bucket_self_pairs(bands_long, max_bucket_size=10)
+    got = [(r.id_a, r.id_b) for r in capped.collect()]
+    assert got == [(0, 1)]  # survives via the rare band only
