@@ -88,6 +88,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ND_BANDS, _ND_BITS = 4, 8
+_ND_THRESHOLD = 0.3
 
 
 def _band_eq_sql(band: int, bits: int) -> str:
@@ -99,15 +100,23 @@ def _band_eq_sql(band: int, bits: int) -> str:
     return f"({key('a')}) = ({key('b')})"
 
 
-@register(
-    "emb_cosine_near_dup_pairs",
-    f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+def _nd_pairs_sql(with_cosine: bool) -> str:
+    cols = "a.vec_id AS id_a, b.vec_id AS id_b" + (
+        f",\n       {_COS.format(a='a.embedding', b='b.embedding')} AS cosine"
+        if with_cosine
+        else ""
+    )
+    return f"""
+SELECT {cols}
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ({" OR ".join(_band_eq_sql(i, _ND_BITS) for i in range(_ND_BANDS))})
-  AND {_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
-""",
+  AND {_COS.format(a='a.embedding', b='b.embedding')} >= {_ND_THRESHOLD}
+"""
+
+
+@register(
+    "emb_cosine_near_dup_pairs",
+    _nd_pairs_sql(with_cosine=True),
     doc=f"Embedding-cosine near-dup pairs ≥ 0.3, blocked by "
     f"{_ND_BANDS} independent {_ND_BITS}-bit sign-LSH bands "
     f"(candidates agree on ≥ 1 band; exact cosine verifies). The "
@@ -123,8 +132,46 @@ WHERE ({" OR ".join(_band_eq_sql(i, _ND_BITS) for i in range(_ND_BANDS))})
 def q_cos_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     return cosine_near_dup_pairs(
-        emb, threshold=0.3, n_bands=_ND_BANDS, band_bits=_ND_BITS
+        emb, threshold=_ND_THRESHOLD, n_bands=_ND_BANDS, band_bits=_ND_BITS
     )
+
+
+@register(
+    "emb_dup_components",
+    f"""
+WITH RECURSIVE dup AS ({_nd_pairs_sql(with_cosine=False)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM dup
+),
+reach(v, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.v
+)
+SELECT v AS vec_id, min(lbl) AS component FROM reach GROUP BY v
+""",
+    doc="Embedding-side pairs→groups canonicalization: connected "
+    "components of the banded cosine near-dup graph (same iterative "
+    "min-label propagation as doc_dup_components — one join + min-agg "
+    "per round, localCheckpoint lineage truncation). Closes the "
+    "embedding dedup loop: banded candidates → verified pairs → "
+    "transitive clusters, so a~b~c collapses to one keep-decision "
+    "even when a,c were never compared. Oracle: DuckDB recursive CTE "
+    "reachability over the identical brute-force pair set.",
+    tags=("similarity", "dedup", "embeddings", "graph", "iterative"),
+)
+def q_emb_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.components import connected_components
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    pairs = cosine_near_dup_pairs(
+        emb, threshold=_ND_THRESHOLD, n_bands=_ND_BANDS, band_bits=_ND_BITS
+    )
+    return connected_components(
+        pairs, vertices=emb, src="id_a", dst="id_b", vertex_col="vec_id"
+    ).select(F.col("v").alias("vec_id"), "component")
 
 
 @register(
