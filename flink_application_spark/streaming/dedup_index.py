@@ -97,25 +97,45 @@ class NearDupIndex:
             .select(F.col(idc).alias("id"), "shingles")
             .persist()
         )
-        bands_new = band_keys_long(
-            sh_new.select(F.col("id").alias(idc), "shingles"),
-            id_col=idc,
-            k=self.k,
-            bands=self.bands,
-        ).persist()
+        bands_new = (
+            band_keys_long(
+                sh_new.select(F.col("id").alias(idc), "shingles"),
+                id_col=idc,
+                k=self.k,
+                bands=self.bands,
+            )
+            # bk2 = 2-hex band-key prefix: the store's hive partition
+            # column (256 cells). The probe join carries bk2 explicitly
+            # so dynamic partition pruning can skip store partitions
+            # whose prefix no document of the batch hashes into —
+            # at corpus scale the per-batch store scan is ~|batch
+            # prefixes|/256 of the store, not all of it.
+            .withColumn("bk2", F.substring("band_key", 1, 2))
+            .persist()
+        )
 
         # new-vs-new: per-bucket self-join inside the batch (shared
         # with the batch pipeline — operators/minhash.py)
-        nn = bucket_self_pairs(bands_new)
+        nn = bucket_self_pairs(bands_new.select("id", "band_key"))
 
         # new-vs-old: the batch's band keys probe the store's buckets
         cands = nn
         if self._has(self._bands_dir):
             old = spark.read.parquet(self._bands_dir).select(
-                F.col("id").alias("id_old"), F.col("band_key").alias("bk_old")
+                F.col("id").alias("id_old"),
+                F.col("band_key").alias("bk_old"),
+                F.col("bk2").alias("bk2_old"),
             )
             no = (
-                bands_new.join(old, F.col("band_key") == F.col("bk_old"))
+                bands_new.join(
+                    old,
+                    # bk2 equality is implied by band_key equality but
+                    # stated explicitly: it targets the store's hive
+                    # partition column, enabling dynamic partition
+                    # pruning of store partitions no batch doc probes
+                    (F.col("bk2") == F.col("bk2_old"))
+                    & (F.col("band_key") == F.col("bk_old")),
+                )
                 # on checkpoint replay the store already holds THIS
                 # batch's fingerprints (idempotent overwrite pending),
                 # so a doc can meet itself — drop self-pairs
@@ -155,7 +175,9 @@ class NearDupIndex:
         # _batch=<id>/ subdir — replay after a crash anywhere in this
         # sequence rewrites, never duplicates
         idempotent_batch_write(verified, self._pairs_dir, batch_id)
-        idempotent_batch_write(bands_new, self._bands_dir, batch_id)
+        idempotent_batch_write(
+            bands_new, self._bands_dir, batch_id, partition_by=("bk2",)
+        )
         idempotent_batch_write(sh_new, self._shingles_dir, batch_id)
         sh_new.unpersist()
         bands_new.unpersist()

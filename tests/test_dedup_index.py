@@ -101,3 +101,15 @@ def test_cross_batch_pair_found_once(spark, tmp_path):
     idx.process_batch(b, 1)
     got = idx.pairs(spark).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+
+
+def test_band_store_partitioned_by_prefix(spark, docs, tmp_path):
+    """The band store's hive layout (_batch=N/bk2=xx/) is what lets
+    dynamic partition pruning skip unprobed store cells at scale."""
+    import glob
+    import os
+
+    idx = NearDupIndex(str(tmp_path / "index"), threshold=_T)
+    idx.process_batch(docs.filter(F.col("doc_id") < 100), 0)
+    cells = glob.glob(os.path.join(str(tmp_path / "index"), "bands", "_batch=0", "bk2=*"))
+    assert cells, "expected bk2= partition dirs in the band store"
