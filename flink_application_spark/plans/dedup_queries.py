@@ -202,38 +202,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_ngram_jaccard_topk",
-    "WITH "
-    + SHINGLES_CTE
-    + f"""
-SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {JACCARD_SQL} AS jaccard
-FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
-ORDER BY jaccard DESC, id_a ASC, id_b ASC
-LIMIT 100
-""",
-    doc="All-pairs exact 3-gram Jaccard, top-100 — the exhaustive "
-    "baseline the LSH path approximates (kept quadratic on purpose; "
-    "the scale path is doc_near_dup_pairs_minhash_lsh).",
-    tags=("dedup", "jaccard"),
-)
-def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    # both sides of the all-pairs join scan the shingle table — persist
-    # so shingling runs once (the quadratic pair loop still dominates)
-    sh = with_shingles(docs).select("doc_id", "shingles").persist()
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    from flink_application_spark.operators.minhash import jaccard_column
-
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(100)
-    )
-
-
-@register(
     "doc_jaccard_similarity_join",
     "WITH "
     + SHINGLES_CTE
