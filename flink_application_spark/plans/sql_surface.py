@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from flink_application_spark.catalog import register_views
-from flink_application_spark.operators.dedup import argmax_dedup
 from flink_application_spark.plans.registry import register
 
 

@@ -11,9 +11,6 @@ boilerplate, single-token docs, size-filter boundary cases."""
 
 from __future__ import annotations
 
-import math
-
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
