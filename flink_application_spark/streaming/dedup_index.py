@@ -86,6 +86,17 @@ class NearDupIndex:
             )
         return spark.read.parquet(self._pairs_dir).select("id_a", "id_b", "jaccard")
 
+    def batch_pairs(self, spark, batch_id: int) -> DataFrame:
+        """The pairs one batch emitted (empty DataFrame if none) — the
+        public accessor consumers use instead of touching the store
+        layout (CorpusIngestion's drop decisions read this)."""
+        sub = os.path.join(self._pairs_dir, f"_batch={batch_id}")
+        if not self._has(sub):
+            return spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, jaccard double"
+            )
+        return spark.read.parquet(sub).select("id_a", "id_b", "jaccard")
+
     # -- per-batch maintenance ----------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -148,12 +159,17 @@ class NearDupIndex:
             cands = cands.unionByName(no)
         cands = cands.distinct()
 
-        # exact verify: shingles come from the batch or the store
+        # exact verify: shingles come from the batch or the store. The
+        # dropDuplicates is replay-critical: after a crash between the
+        # store writes and the checkpoint commit, the store already
+        # holds THIS batch's (id, shingles) rows, and a duplicated id
+        # would fan the verify join out (4 rows per pair, breaking the
+        # exactly-once pair log).
         all_sh = sh_new
         if self._has(self._shingles_dir):
             all_sh = sh_new.unionByName(
                 spark.read.parquet(self._shingles_dir).select("id", "shingles")
-            )
+            ).dropDuplicates(["id"])
         verified = (
             cands.join(
                 all_sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -191,12 +207,12 @@ class NearDupIndex:
         trigger: str | None = None,
         query_name: str = "near_dup_index",
     ) -> StreamingQuery:
-        from flink_application_spark.streaming.sinks import _trigger_kwargs
+        from flink_application_spark.streaming.sinks import trigger_kwargs
 
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)
             .queryName(query_name)
-            .trigger(**_trigger_kwargs(trigger))
+            .trigger(**trigger_kwargs(trigger))
             .start()
         )

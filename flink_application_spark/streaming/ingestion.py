@@ -32,9 +32,9 @@ from pyspark.sql.streaming import StreamingQuery
 from flink_application_spark.functions.text import quality_score, token_count
 from flink_application_spark.streaming.dedup_index import NearDupIndex
 from flink_application_spark.streaming.sinks import (
-    _SizeCalibratedRoller,
-    _trigger_kwargs,
+    SizeCalibratedRoller,
     idempotent_batch_write,
+    trigger_kwargs,
 )
 
 
@@ -60,7 +60,7 @@ class CorpusIngestion:
         )
         self.shards_dir = os.path.join(work_dir, "shards")
         self.audit_dir = os.path.join(work_dir, "audit")
-        self._roller = _SizeCalibratedRoller(
+        self._roller = SizeCalibratedRoller(
             self.shards_dir, (), target_file_bytes, None
         )
 
@@ -76,14 +76,12 @@ class CorpusIngestion:
 
     def _dup_rejects(self, batch_ids: DataFrame, batch_id: int, spark) -> DataFrame:
         """Doc ids of THIS batch to drop, from the pairs the index just
-        emitted for this batch (read back from its _batch subdir):
-        keep-first-arrival → drop the batch-side id of any pair whose
-        partner is older; inside the batch drop the greater id."""
-        pairs_path = os.path.join(self.index._pairs_dir, f"_batch={batch_id}")
-        try:
-            pairs = spark.read.parquet(pairs_path).select("id_a", "id_b")
-        except Exception:  # no pairs written for this batch
-            return batch_ids.limit(0)
+        emitted for this batch: keep-first-arrival → drop the
+        batch-side id of any pair whose partner is older; inside the
+        batch drop the greater id. (batch_pairs returns empty when the
+        batch found nothing; real read errors propagate — a swallowed
+        error here would silently disable dedup for the batch.)"""
+        pairs = self.index.batch_pairs(spark, batch_id).select("id_a", "id_b")
         in_batch = batch_ids.select(F.col("id").alias("_bid"))
         flagged = (
             pairs.join(in_batch, pairs.id_a == in_batch._bid, "left")
@@ -119,9 +117,14 @@ class CorpusIngestion:
         rejects = self._dup_rejects(
             clean.select(F.col(idc).alias("id")), batch_id, spark
         )
-        survivors = clean.join(
-            rejects.withColumnRenamed("id", idc), idc, "left_anti"
-        ).withColumn("n_tok", token_count(F.col(txt)).cast("bigint"))
+        # persist: counted for the audit AND written by the roller —
+        # without it the rejects subplan (pair read + joins + anti-join)
+        # would execute twice per batch
+        survivors = (
+            clean.join(rejects.withColumnRenamed("id", idc), idc, "left_anti")
+            .withColumn("n_tok", token_count(F.col(txt)).cast("bigint"))
+            .persist()
+        )
         n_out = survivors.count()
 
         self._roller(survivors, batch_id)
@@ -131,6 +134,7 @@ class CorpusIngestion:
             "n_dup_rejected bigint, n_out bigint",
         )
         idempotent_batch_write(audit_row, self.audit_dir, batch_id)
+        survivors.unpersist()
         clean.unpersist()
 
     def attach(
@@ -144,6 +148,6 @@ class CorpusIngestion:
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)
             .queryName(query_name)
-            .trigger(**_trigger_kwargs(trigger))
+            .trigger(**trigger_kwargs(trigger))
             .start()
         )

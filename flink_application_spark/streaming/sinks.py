@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
-def _trigger_kwargs(trigger: str | None) -> dict:
+def trigger_kwargs(trigger: str | None) -> dict:
     if trigger is None or trigger == "availableNow":
         return {"availableNow": True}
     return {"processingTime": trigger}
@@ -44,7 +44,7 @@ def write_partitioned_parquet(
         .option("checkpointLocation", checkpoint)
         .partitionBy(*partition_by)
         .queryName(query_name)
-        .trigger(**_trigger_kwargs(trigger))
+        .trigger(**trigger_kwargs(trigger))
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -82,7 +82,7 @@ def idempotent_batch_write(
     return sub
 
 
-class _SizeCalibratedRoller:
+class SizeCalibratedRoller:
     """foreachBatch writer that approximates a byte-size rolling policy
     (flink.conf:54-55: sink.rolling-policy.file-size = 110 MB).
 
@@ -190,14 +190,14 @@ def write_partitioned_parquet_size_rolled(
     width is known); later batches refine it from their own footers.
     Output is partitioned by `_batch` (crash-safe replay) then the
     user partitions."""
-    roller = _SizeCalibratedRoller(
+    roller = SizeCalibratedRoller(
         path, partition_by, target_file_bytes, initial_records_per_file
     )
     return (
         df.writeStream.foreachBatch(roller)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
-        .trigger(**_trigger_kwargs(trigger))
+        .trigger(**trigger_kwargs(trigger))
         .start()
     )
 
@@ -212,7 +212,7 @@ def write_console(
         .queryName(label)
         .option("numRows", num_rows)
         .option("truncate", "false")
-        .trigger(**_trigger_kwargs(trigger))
+        .trigger(**trigger_kwargs(trigger))
         .start()
     )
 
@@ -226,7 +226,7 @@ def write_memory(
         df.writeStream.format("memory")
         .queryName(table_name)
         .outputMode("append" if not _has_aggregation(df) else "complete")
-        .trigger(**_trigger_kwargs(trigger))
+        .trigger(**trigger_kwargs(trigger))
         .start()
     )
 
@@ -254,7 +254,7 @@ def write_kafka_csv(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
-        .trigger(**_trigger_kwargs(trigger))
+        .trigger(**trigger_kwargs(trigger))
     )
     if transactional_id_prefix is not None:
         writer = writer.option("kafka.transactional.id", transactional_id_prefix)

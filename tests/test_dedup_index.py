@@ -66,9 +66,15 @@ def test_batch_replay_is_noop(spark, docs, tmp_path):
     wave = docs.filter(F.col("doc_id") < 200)
     idx.process_batch(wave, 0)
     before = _pair_set(idx.pairs(spark))
+    n_before = idx.pairs(spark).count()
+    assert n_before == len(before) > 0  # pair-producing batch, no dup rows
     idx.process_batch(wave, 0)  # checkpoint replay
     after = _pair_set(idx.pairs(spark))
     assert after == before
+    # ROW-count equality, not just set equality: replay must not fan
+    # the verify join out through duplicated store rows (the store
+    # already holds this batch's shingles during the replay)
+    assert idx.pairs(spark).count() == n_before
     assert all(a != b for a, b, _ in after)
 
 
@@ -80,8 +86,10 @@ def test_replay_of_second_batch_keeps_cross_batch_pairs(spark, docs, tmp_path):
     wave2 = docs.filter(F.col("doc_id") >= 250)
     idx.process_batch(wave2, 1)
     before = _pair_set(idx.pairs(spark))
+    n_before = idx.pairs(spark).count()
     idx.process_batch(wave2, 1)  # replay after crash-before-checkpoint
     assert _pair_set(idx.pairs(spark)) == before
+    assert idx.pairs(spark).count() == n_before
 
 
 def test_cross_batch_pair_found_once(spark, tmp_path):

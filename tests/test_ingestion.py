@@ -72,10 +72,18 @@ def test_ingestion_end_to_end(spark, waves, tmp_path):
 
 
 def test_ingestion_replay_idempotent(spark, waves, tmp_path):
+    """Replay of a PAIR-PRODUCING batch (in-batch dup 3/4 plus the
+    cross-batch dup 11 of 1): shard rows, audit rows, and the pair log
+    must all be row-identical after the replay."""
     ing = CorpusIngestion(str(tmp_path / "work"), target_file_bytes=64 * 1024)
-    b0 = spark.read.parquet(str(waves)).filter(F.col("doc_id") <= 2)
+    b0 = spark.read.parquet(str(waves)).filter(F.col("doc_id").isin(1, 2))
     ing.process_batch(b0, 0)
-    before = {r.doc_id for r in ing.shards(spark).collect()}
-    ing.process_batch(b0, 0)  # crash-replay
-    assert {r.doc_id for r in ing.shards(spark).collect()} == before
-    assert ing.audit(spark).filter(F.col("batch_id") == 0).count() == 1
+    b1 = spark.read.parquet(str(waves)).filter(F.col("doc_id").isin(11, 3, 4))
+    ing.process_batch(b1, 1)
+    shards_before = sorted(r.doc_id for r in ing.shards(spark).collect())
+    pairs_before = ing.index.pairs(spark).count()
+    assert pairs_before > 0  # replay below actually exercises the pair path
+    ing.process_batch(b1, 1)  # crash-replay
+    assert sorted(r.doc_id for r in ing.shards(spark).collect()) == shards_before
+    assert ing.index.pairs(spark).count() == pairs_before
+    assert ing.audit(spark).filter(F.col("batch_id") == 1).count() == 1

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from flink_application_spark.sources.streams import file_stream
 from flink_application_spark.streaming.sinks import (
-    _SizeCalibratedRoller,
+    SizeCalibratedRoller,
     write_partitioned_parquet_size_rolled,
 )
 
@@ -71,7 +71,7 @@ def test_size_rolled_sink_respects_byte_ceiling(spark, wide_rows_dir, tmp_path):
 
 def test_size_rolled_sink_batch_replay_is_noop(spark, tmp_path):
     out = str(tmp_path / "sink")
-    roller = _SizeCalibratedRoller(out, (), _TARGET, 100)
+    roller = SizeCalibratedRoller(out, (), _TARGET, 100)
     batch = spark.range(100).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
     roller(batch, 7)
     n1 = spark.read.parquet(out).count()
@@ -85,7 +85,7 @@ def test_first_batch_ceiling_holds_for_wide_rows(spark, tmp_path):
     the target (the old fixed-10k-records default would have written
     one giant file)."""
     out = str(tmp_path / "sink")
-    roller = _SizeCalibratedRoller(out, (), _TARGET)  # no initial cap
+    roller = SizeCalibratedRoller(out, (), _TARGET)  # no initial cap
     payload = F.concat(*[F.md5(F.concat(F.col("id"), F.lit(i))) for i in range(256)])
     wide = spark.range(200).select(F.col("id"), payload.alias("payload"))
     roller(wide, 0)
