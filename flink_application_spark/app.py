@@ -123,6 +123,23 @@ def run(spark: SparkSession, config: str | dict[str, Any]):
         return result
     fmt = sink.get("format", "console")
     if fmt == "parquet":
+        # flink.conf parity: sink.rolling-policy.file-size selects the
+        # byte-size-calibrated roller (flink.conf:54-55, 110 MB)
+        roll_bytes = sink.get("sink.rolling-policy.file-size")
+        if roll_bytes is not None:
+            from flink_application_spark.streaming.sinks import (
+                write_partitioned_parquet_size_rolled,
+            )
+
+            return write_partitioned_parquet_size_rolled(
+                result,
+                sink["path"],
+                checkpoint=sink["checkpoint"],
+                partition_by=tuple(sink.get("partition_by", ("event_date", "probe"))),
+                target_file_bytes=int(roll_bytes),
+                trigger=sink.get("trigger", "20 seconds"),
+                query_name=sink.get("name", "enrichment_sink"),
+            )
         return write_partitioned_parquet(
             result,
             sink["path"],

@@ -74,3 +74,29 @@ def test_streaming_parquet_sink(spark, app_dirs, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "out" / "event_date=*"))
+
+
+def test_streaming_size_rolled_sink_via_config(spark, app_dirs, tmp_path):
+    """flink.conf-parity knob: sink.rolling-policy.file-size selects
+    the byte-calibrated roller; output stays under the cap and lands
+    under _batch=/event_date=/probe= partitions."""
+    import glob
+    import os
+
+    sink = {
+        "format": "parquet",
+        "path": str(tmp_path / "out"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "trigger": None,
+        "name": "app_sink_rolled_test",
+        "sink.rolling-policy.file-size": 64 * 1024,
+    }
+    cfg = _cfg(app_dirs, "streaming", sink)
+    cfg["dedup"] = {"gap": "1 second", "watermark": "0 seconds"}
+    q = run(spark, cfg)
+    q.awaitTermination(300)
+    files = glob.glob(str(tmp_path / "out" / "**" / "*.parquet"), recursive=True)
+    assert files
+    assert max(os.path.getsize(f) for f in files) <= 64 * 1024 * 1.25
+    assert glob.glob(str(tmp_path / "out" / "_batch=*" / "event_date=*"))
+    assert spark.read.parquet(sink["path"]).count() > 0
