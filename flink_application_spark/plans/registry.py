@@ -96,5 +96,6 @@ def _load_all() -> None:
         text_queries,
         tpch_extra,
     )
+    from flink_application_spark.plans import multimodal_extra  # noqa: F401  (late)
 
     _LOADED = True
