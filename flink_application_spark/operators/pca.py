@@ -139,6 +139,76 @@ def top_component(
     return v
 
 
+def top_components(
+    gram: np.ndarray,
+    n: int,
+    mean: np.ndarray,
+    k: int = 2,
+    iters: int = 200,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Top-k eigenvectors of the covariance by power iteration with
+    Hotelling deflation: after extracting component v with Rayleigh
+    quotient λ, iterate on cov − λ·vvᵀ for the next one. Each
+    component is sign-normalized like `top_component`. Returns a
+    (k, d) array. Deflation error compounds ~k·tol — fine for the
+    small k (2-16) a feature-reduction pipeline wants; a full
+    decomposition should collect the d×d Gram and run eigh directly
+    (same driver-side cost)."""
+    cov = gram / max(n, 1) - np.outer(mean, mean)
+    d = cov.shape[0]
+    comps = []
+    for _ in range(k):
+        v, ok, res1 = _power_iterate(cov, np.sin(np.arange(1, d + 1)), iters, tol)
+        if not ok:
+            v2, _, res2 = _power_iterate(
+                cov, np.cos(np.arange(1, d + 1) * 0.7) + 0.1, iters, tol
+            )
+            if res2 < res1:
+                v = v2
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        lam = float(v @ cov @ v)
+        comps.append(v)
+        cov = cov - lam * np.outer(v, v)
+    return np.asarray(comps)
+
+
+def pca_project_k(
+    df: DataFrame, components: np.ndarray, mean: np.ndarray, col: str = "embedding"
+) -> DataFrame:
+    """Project each centered vector onto k components — one ``pc{i}``
+    column per component, all JVM-side folds against broadcast
+    literals (a k×d matrix of literals; fine for feature-reduction k)."""
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(F.col(col), mu, lambda x, m: x.cast("double") - m)
+    out = df.withColumn("_centered", centered)
+    for i, comp in enumerate(components):
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        proj = F.aggregate(
+            F.zip_with(F.col("_centered"), c, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"pc{i + 1}", F.round(proj, 4))
+    return out.drop("_centered")
+
+
+def pca_topk_projection(
+    df: DataFrame, k: int = 2, col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """End-to-end k-component PCA: one Gram sketch pass, k driver-side
+    deflation rounds, one broadcast projection pass. The distributed
+    cost is identical to the single-component form — the extra
+    components are O(k·d²) driver math."""
+    df = df.filter(F.col(col).isNotNull())
+    mu = mean_vector(df, col, dim)
+    gram, n = collect_gram(df, col, dim)
+    comps = top_components(gram, n, mu, k=k)
+    return pca_project_k(df, comps, mu, col)
+
+
 def mean_vector(df: DataFrame, col: str = "embedding", dim: int = 64) -> np.ndarray:
     """Element-wise mean via posexplode + partial agg (shuffle carries
     d partials per partition, not vectors)."""

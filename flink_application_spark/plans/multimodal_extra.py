@@ -50,6 +50,23 @@ ph AS (
 
 
 @register(
+    "emb_pca_top2_projection",
+    None,  # deflated eigen extraction is iterative driver math — rows-only
+    doc="Two-component PCA projection (pc1, pc2) of the embedding "
+    "table: one distributed Gram sketch pass, two driver-side "
+    "power-iteration rounds with Hotelling deflation, one broadcast "
+    "projection pass. Components verified against numpy.linalg.eigh "
+    "in tests/test_pca.py (orthogonality + per-vector projections).",
+    tags=("embeddings", "pca"),
+)
+def q_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.pca import pca_topk_projection
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return pca_topk_projection(emb, k=2, dim=64).select("vec_id", "label", "pc1", "pc2")
+
+
+@register(
     "mm_image_phash",
     "WITH " + _PHASH_CTE + "SELECT doc_id, phash FROM ph",
     doc=f"Perceptual-hash signature per media blob: {PHASH_BINS}-bin "

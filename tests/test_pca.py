@@ -126,3 +126,46 @@ def test_mean_vector(spark):
     x = _rng_mat(n=30)
     mu = mean_vector(_df(spark, x), dim=8)
     np.testing.assert_allclose(mu, x.mean(axis=0), rtol=1e-7, atol=1e-9)
+
+
+def test_top_components_match_eigh(spark):
+    from flink_application_spark.operators.pca import top_components
+
+    x = _rng_mat()
+    x[:, 1] *= 3.0  # second dominant direction so top-2 is unambiguous
+    mu = x.mean(axis=0)
+    g, n = collect_gram(_df(spark, x), dim=8)
+    comps = top_components(g, n, mu, k=2)
+    cov = g / n - np.outer(mu, mu)
+    w, vecs = np.linalg.eigh(cov)
+    for i in range(2):
+        ref = vecs[:, -1 - i]
+        if ref[int(np.argmax(np.abs(ref)))] < 0:
+            ref = -ref
+        np.testing.assert_allclose(comps[i], ref, atol=1e-4)
+    # orthogonality of extracted components
+    assert abs(float(comps[0] @ comps[1])) < 1e-6
+
+
+def test_topk_projection_matches_numpy(spark):
+    from flink_application_spark.operators.pca import pca_topk_projection
+
+    x = _rng_mat(n=60)
+    x[:, 1] *= 3.0
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    _, vecs = np.linalg.eigh(cov)
+    refs = []
+    for i in range(2):
+        r = vecs[:, -1 - i]
+        if r[int(np.argmax(np.abs(r)))] < 0:
+            r = -r
+        refs.append(r)
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_topk_projection(_df(spark, x), k=2, dim=8).collect()
+    }
+    centered = x - mu
+    for i in range(60):
+        assert abs(got[i][0] - round(float(centered[i] @ refs[0]), 4)) <= 2e-4
+        assert abs(got[i][1] - round(float(centered[i] @ refs[1]), 4)) <= 2e-4
