@@ -1,9 +1,12 @@
 """Deduplication queries over the `documents` table.
 
 Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
-bucket-join → exact-Jaccard verify), SimHash, and all-pairs n-gram
-Jaccard. The md5 hash family is shared verbatim with the DuckDB
-oracles, so every stage is value-hash-checked, not just row counts.
+bucket-join → exact-Jaccard verify), SimHash, and the prefix-filtered
+exact set-similarity join. The md5 hash family is shared verbatim with
+the DuckDB oracles, so every stage is value-hash-checked, not just row
+counts. (The all-pairs n-gram baseline registers late in
+plans/sql_surface.py to keep the driver's sample window on the scale
+paths.)
 """
 
 from __future__ import annotations

@@ -121,3 +121,28 @@ def test_band_store_partitioned_by_prefix(spark, docs, tmp_path):
     idx.process_batch(docs.filter(F.col("doc_id") < 100), 0)
     cells = glob.glob(os.path.join(str(tmp_path / "index"), "bands", "_batch=0", "bk2=*"))
     assert cells, "expected bk2= partition dirs in the band store"
+
+
+def test_pairs_invariant_to_batch_partitioning(spark, docs, tmp_path):
+    """The discovered pair set must not depend on HOW the corpus is
+    split into micro-batches: 1 batch, 2 uneven batches, and 5 round-
+    robin batches all converge to the batch pipeline's result."""
+    want = _pair_set(verified_near_dup_pairs(docs, threshold=_T))
+    assert want  # planted near-dups exist at sf0.001
+
+    schemes = {
+        "one-shot": [docs],
+        "uneven": [
+            docs.filter(F.col("doc_id") % 10 < 1),
+            docs.filter(F.col("doc_id") % 10 >= 1),
+        ],
+        "round-robin-5": [
+            docs.filter(F.col("doc_id") % 5 == r) for r in range(5)
+        ],
+    }
+    for name, batches in schemes.items():
+        idx = NearDupIndex(str(tmp_path / f"idx_{name}"), threshold=_T)
+        for bid, b in enumerate(batches):
+            idx.process_batch(b, bid)
+        assert _pair_set(idx.pairs(spark)) == want, name
+        assert idx.pairs(spark).count() == len(want), name
