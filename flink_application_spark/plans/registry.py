@@ -97,5 +97,6 @@ def _load_all() -> None:
         tpch_extra,
     )
     from flink_application_spark.plans import multimodal_extra  # noqa: F401  (late)
+    from flink_application_spark.plans import vectorize_queries  # noqa: F401  (late)
 
     _LOADED = True

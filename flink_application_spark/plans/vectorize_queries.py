@@ -1,0 +1,105 @@
+"""Document vectorization: the hashing-trick (feature hashing)
+embedding — the deterministic, vocabulary-free way to turn text into
+fixed-width vectors at corpus scale (Weinberger et al., ICML'09; the
+sklearn HashingVectorizer concept re-expressed as Catalyst HOFs).
+
+No model, no vocabulary broadcast, no Python: token → md5 bucket in
+[0, dim), per-bucket counts folded scan-local, L2-normalized. The
+output column is shape-compatible with the `embeddings` table, so the
+whole similarity stack (banded near-dup, ANN, PCA, k-NN) composes on
+documents directly. Registered late — the driver's first-50 sample
+window is owned by the §2 core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.functions.text import tokens
+from flink_application_spark.plans.registry import register
+
+_DIM = 32
+
+
+def hashing_trick_embedding(text: F.Column, dim: int = _DIM) -> F.Column:
+    """L2-normalized feature-hashed token-count vector (array<double>).
+
+    One md5 per token, one O(dim·tokens) fold — scan-local, whole
+    corpus vectorized in a single narrow pass; the standard trade-off
+    is hash collisions merging token counts (inner products are
+    preserved in expectation), which is what makes it vocabulary-free
+    and therefore 100-TB-safe (no global dictionary to build or ship)."""
+    buckets = F.transform(
+        F.filter(tokens(text), lambda t: t != ""),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % F.lit(dim),
+    )
+    # fold: one-hot(bucket) added per token — O(dim) per element, all
+    # inside one whole-stage-interpreted HOF chain, no shuffle
+    counts = F.aggregate(
+        buckets,
+        F.array(*[F.lit(0.0) for _ in range(dim)]),
+        lambda acc, b: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(j.cast("bigint") == b, F.lit(1.0)).otherwise(0.0),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(
+        norm > 0,
+        F.transform(counts, lambda x: F.round(x / norm, 6)),
+    ).otherwise(counts)
+
+
+def _oracle_sql(dim: int = _DIM) -> str:
+    cells = ", ".join(
+        f"CAST(len(list_filter(b, x -> x = {j})) AS DOUBLE)" for j in range(dim)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       w -> w <> ''),
+           w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {dim}) AS b
+  FROM documents
+),
+c AS (
+  SELECT doc_id, [{cells}] AS counts FROM t
+),
+n AS (
+  SELECT doc_id, counts,
+         sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN nrm > 0
+            THEN list_transform(counts, x -> round(x / nrm, 6))
+            ELSE counts END AS embedding
+FROM n
+"""
+
+
+@register(
+    "doc_hashing_trick_embedding",
+    _oracle_sql(),
+    doc=f"Feature-hashed document vectors: {_DIM}-dim L2-normalized "
+    "token-count embedding via the hashing trick — vocabulary-free "
+    "(no dictionary build/broadcast), one md5 per token, scan-local "
+    "fold. Output shape-compatible with the embeddings table so the "
+    "banded near-dup / ANN / PCA stack composes on raw documents. "
+    "Oracle recomputes every cell with the identical md5 bucketing.",
+    tags=("documents", "vectorize", "embeddings"),
+)
+def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return docs.select(
+        "doc_id", hashing_trick_embedding(F.col("text")).alias("embedding")
+    )
