@@ -126,6 +126,7 @@ def kafka_csv_stream(
     specific_offsets: dict[int, int] | None = None,
     sasl_jaas: str | None = None,
     drop_malformed: bool = True,
+    **reader_options: str,
 ) -> DataFrame:
     """S1: Kafka CSV source (EnrichmentApp.java:160-181; SASL/Kerberos +
     startup-mode options per EnrichmentAppWithoutExplode.java:174-176).
@@ -133,12 +134,16 @@ def kafka_csv_stream(
     Startup modes map via `kafka_startup_options` (unit-tested; the
     broker path itself is untestable in this container — the decode
     path is shared with `csv_line_stream`, which the tests cover).
+    Extra reader options (e.g. ``failOnDataLoss="false"``,
+    flink.conf's key verbatim) pass through via ``**reader_options``.
     """
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
     )
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
     for k, v in kafka_startup_options(
         topic, startup_mode, timestamp_ms=timestamp_ms,
         specific_offsets=specific_offsets,
