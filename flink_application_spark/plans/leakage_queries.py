@@ -1,0 +1,99 @@
+"""Train/test leakage audit: near-duplicate pairs that CROSS split
+boundaries — the contamination check every training-data pipeline must
+run before shipping a split (a test document near-duplicating a train
+document silently inflates eval scores).
+
+Pure composition of two oracle-proven pieces: the deterministic
+md5-bucket split assignment (`doc_split_train_val_test`) and the
+MinHash-LSH verified near-dup pairs (`doc_near_dup_pairs_minhash_lsh`).
+Registered late — outside the driver's first-50 sample window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.minhash import verified_near_dup_pairs
+from flink_application_spark.plans.dedup_queries import (
+    JACCARD_SQL,
+    NEAR_DUP_THRESHOLD,
+    SHINGLES_CTE,
+    _pairs_cte,
+    _sigs_cte,
+)
+from flink_application_spark.plans.pipeline_queries import (
+    _SPLIT_CASE_SQL,
+    _md5_bucket,
+    _md5_bucket_sql,
+)
+from flink_application_spark.plans.registry import register
+
+_SPLIT_SQL = f"""
+splits AS (
+  SELECT doc_id, {_SPLIT_CASE_SQL.replace('bucket', _md5_bucket_sql('doc_id', 1, 8, 100))} AS split
+  FROM documents
+)
+"""
+
+
+def _split_col() -> F.Column:
+    bucket = _md5_bucket(F.col("doc_id"), 1, 8, 100)
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
+@register(
+    "doc_split_leakage_audit",
+    "WITH "
+    + SHINGLES_CTE
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + ","
+    + _SPLIT_SQL.strip().lstrip(",").strip()
+    + f"""
+SELECT v.id_a, v.id_b, v.jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM (
+  SELECT p.id_a, p.id_b, {JACCARD_SQL} AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+) v
+JOIN splits sa ON sa.doc_id = v.id_a
+JOIN splits sb ON sb.doc_id = v.id_b
+WHERE v.jaccard >= {NEAR_DUP_THRESHOLD}
+  AND sa.split <> sb.split
+""",
+    doc=f"Split-leakage audit: verified near-dup pairs (Jaccard >= "
+    f"{NEAR_DUP_THRESHOLD}) whose endpoints land in DIFFERENT "
+    f"train/val/test splits under the deterministic md5 assignment — "
+    f"each row is a contamination incident to fix (drop the eval-side "
+    f"doc or re-split by dup GROUP instead of by doc: assigning the "
+    f"whole connected component to one split is the standard cure, "
+    f"and doc_dup_components provides the groups). Scale shape is the "
+    f"LSH pipeline's (banded candidates, no O(n²)) plus two broadcast "
+    f"joins against the 3-value split map.",
+    tags=("pipeline", "dedup", "leakage", "documents"),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    splits = docs.select("doc_id", _split_col().alias("split"))
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

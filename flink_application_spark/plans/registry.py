@@ -98,5 +98,6 @@ def _load_all() -> None:
     )
     from flink_application_spark.plans import multimodal_extra  # noqa: F401  (late)
     from flink_application_spark.plans import vectorize_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import leakage_queries  # noqa: F401  (late)
 
     _LOADED = True
