@@ -97,3 +97,67 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+_COMPONENTS_CTE = f"""
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM dup
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.v
+),
+comp AS (
+  SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v
+)
+"""
+
+
+@register(
+    "doc_split_by_component",
+    "WITH RECURSIVE "
+    + SHINGLES_CTE.lstrip().lstrip("WITH").lstrip()
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + ","
+    + _COMPONENTS_CTE.strip().lstrip(",")
+    + f"""
+SELECT doc_id, component,
+       {_SPLIT_CASE_SQL.replace('bucket', _md5_bucket_sql('component', 1, 8, 100))} AS split
+FROM comp
+""",
+    doc="The leakage CURE: split assignment keyed on the duplicate "
+    "COMPONENT id (min doc_id of the connected near-dup group) "
+    "instead of the document id — every near-dup group lands whole in "
+    "one split, so cross-split contamination is structurally zero "
+    "(tests/test_leakage.py proves the audit comes back empty under "
+    "this assignment). Same md5-bucket determinism as the per-doc "
+    "split; the only extra cost over doc_dup_components is one "
+    "scan-local bucket expression.",
+    tags=("pipeline", "dedup", "leakage", "sampling", "documents"),
+)
+def q_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.components import connected_components
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    comp = connected_components(
+        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
+    ).select(F.col("v").alias("doc_id"), "component")
+    bucket = _md5_bucket(F.col("component"), 1, 8, 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return comp.select("doc_id", "component", split.alias("split"))
