@@ -161,3 +161,58 @@ def q_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return comp.select("doc_id", "component", split.alias("split"))
+
+
+@register(
+    "doc_novelty_scores",
+    "WITH "
+    + SHINGLES_CTE
+    + """,
+occ AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+first AS (
+  SELECT s, min(doc_id) AS first_doc FROM occ GROUP BY s
+)
+SELECT o.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) + 0.0 AS novelty
+FROM occ o JOIN first f ON o.s = f.s
+GROUP BY o.doc_id
+""",
+    doc="Document novelty: the fraction of a doc's shingles whose "
+    "global FIRST occurrence (min doc_id — arrival order in a "
+    "curation pipeline) is this doc. Near-duplicates of earlier docs "
+    "score ~0, fresh content ~1 — the redundancy signal corpus "
+    "curation ranks by (keep-novel-first). Scale shape: one posting "
+    "explode, a min-aggregate on the shingle key (shuffle keys are "
+    "md5-size, linear in corpus tokens — the standard inverted-index "
+    "cost), and a join back on the same key with map-side partials; "
+    "no pairwise work at all, unlike the near-dup family.",
+    tags=("pipeline", "dedup", "quality", "documents"),
+)
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.minhash import with_shingles
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    occ = (
+        with_shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .persist()
+    )
+    first = occ.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        occ.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (F.round(novel / F.count(F.lit(1)), 6) + F.lit(0.0)).alias("novelty"),
+        )
+    )
