@@ -99,5 +99,10 @@ def _load_all() -> None:
     from flink_application_spark.plans import multimodal_extra  # noqa: F401  (late)
     from flink_application_spark.plans import vectorize_queries  # noqa: F401  (late)
     from flink_application_spark.plans import leakage_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import clustering_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import classifier_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import sampling_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import rangejoin_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import scrub_queries  # noqa: F401  (late)
 
     _LOADED = True

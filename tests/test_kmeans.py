@@ -1,0 +1,102 @@
+"""k-means semantics pinned against a driver-side numpy Lloyd's
+reference (same deterministic seeding, same argmin tie-break)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.kmeans import (
+    assign_clusters,
+    cluster_profile,
+    init_centroids,
+    kmeans_fit,
+    update_centroids,
+)
+
+K = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return df.filter(F.col("embedding").isNotNull()).cache()
+
+
+@pytest.fixture(scope="module")
+def xs(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    return ids, x
+
+
+def _np_assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)  # argmin takes the first (lowest) index on ties
+
+
+def _np_lloyd(x: np.ndarray, k: int, iters: int):
+    cents = x[:k].copy()
+    for _ in range(iters):
+        a = _np_assign(x, cents)
+        new = np.zeros_like(cents)
+        for c in range(k):
+            m = a == c
+            new[c] = x[m].mean(axis=0) if m.any() else 0.0
+        cents = new
+    return cents, _np_assign(x, cents)
+
+
+def test_assign_matches_numpy(emb, xs):
+    ids, x = xs
+    cents = init_centroids(emb, K, "vec_id")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, cents).select("vec_id", "cluster").collect()
+    }
+    want = _np_assign(x, np.array(cents))
+    assert got == {int(i): int(c) for i, c in zip(ids, want)}
+
+
+def test_update_centroids_matches_numpy_means(emb, xs):
+    ids, x = xs
+    cents = init_centroids(emb, K, "vec_id")
+    assigned = assign_clusters(emb, cents)
+    new = np.array(update_centroids(assigned, K))
+    a = _np_assign(x, np.array(cents))
+    for c in range(K):
+        m = a == c
+        assert m.any()
+        np.testing.assert_allclose(new[c], x[m].mean(axis=0), rtol=0, atol=1e-9)
+
+
+def test_fit_cost_non_increasing(emb, xs):
+    ids, x = xs
+    cents = init_centroids(emb, K, "vec_id")
+    costs = []
+    for _ in range(4):
+        assigned = assign_clusters(emb, cents)
+        costs.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        cents = update_centroids(assigned, K)
+    assert all(b <= a + 1e-9 for a, b in zip(costs, costs[1:])), costs
+
+
+def test_fit_matches_numpy_lloyd(emb, xs):
+    ids, x = xs
+    cents, iters = kmeans_fit(emb, K, "vec_id", max_iters=5, tol=0.0)
+    ref_cents, ref_assign = _np_lloyd(x, K, iters)
+    np.testing.assert_allclose(np.array(cents), ref_cents, rtol=0, atol=1e-7)
+    prof = {r["cluster"]: r["n"] for r in cluster_profile(assign_clusters(emb, cents)).collect()}
+    ref_prof = {int(c): int((ref_assign == c).sum()) for c in range(K) if (ref_assign == c).any()}
+    assert prof == ref_prof
+
+
+def test_empty_cluster_keeps_zero_vector(spark):
+    # two far groups, k=3: the third seed is swallowed by reassignment
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(10 + i, [100.0, 100.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents, _ = kmeans_fit(df, 3, "vec_id", max_iters=3)
+    assert cents[2] == [0.0, 0.0] or cents[1] == [0.0, 0.0]  # an emptied seed zeroed
