@@ -30,7 +30,11 @@ from flink_application_spark.plans.vectorize_queries import (
     hashing_trick_embedding,
 )
 
-_BIAS = -0.25
+# a real deployment learns (w, b) offline; this stand-in model centers
+# the decision at the corpus's raw-score median (≈ -1.11 on the
+# synthetic documents) so keep/drop genuinely discriminates and the
+# downstream curation funnel sees a ~half-sized survivor set
+_BIAS = 1.11
 
 
 def classifier_weights(dim: int = _DIM, salt: str = "quality-lr") -> list[float]:
