@@ -37,6 +37,10 @@ HEADLINE = [
     "doc_jaccard_similarity_join",
     "emb_cosine_topk_bruteforce",
     "emb_pca_gram",
+    # round-2 additions: curation-pipeline flagships
+    "corpus_curation_funnel",
+    "doc_bigram_lm_score",
+    "emb_kmeans_assign",
 ]
 
 

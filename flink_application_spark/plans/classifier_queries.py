@@ -27,7 +27,7 @@ from flink_application_spark.plans.registry import register
 from flink_application_spark.plans.vectorize_queries import (
     _DIM,
     _oracle_sql as _embedding_oracle_sql,
-    hashing_trick_embedding,
+    hashing_trick_features,
 )
 
 # a real deployment learns (w, b) offline; this stand-in model centers
@@ -90,9 +90,9 @@ FROM scored
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    emb = hashing_trick_embedding(F.col("text"))
-    s = linear_score(emb, classifier_weights(), _BIAS)
-    return docs.select(
+    feats = hashing_trick_features(docs)
+    s = linear_score(F.col("embedding"), classifier_weights(), _BIAS)
+    return feats.select(
         "doc_id",
         F.round(s, 6).alias("score"),
         (s >= 0.5).alias("keep"),

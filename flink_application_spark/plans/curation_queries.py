@@ -35,7 +35,7 @@ from flink_application_spark.plans.registry import register
 from flink_application_spark.plans.scrub_queries import _N, _T, repeated_ngram_scrub
 from flink_application_spark.plans.vectorize_queries import (
     _oracle_sql as _embedding_oracle_sql,
-    hashing_trick_embedding,
+    hashing_trick_features,
 )
 
 
@@ -123,13 +123,14 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
     n_input = docs.select(F.count(F.lit(1)).cast("bigint").alias("n_input"))
 
-    score = linear_score(
-        hashing_trick_embedding(F.col("text")), classifier_weights(), _BIAS
-    )
-    gated = docs.filter(score >= 0.5)
+    score = linear_score(F.col("embedding"), classifier_weights(), _BIAS)
+    keep_ids = hashing_trick_features(docs).filter(score >= 0.5).select("doc_id")
+    # persist the gate output: the scoring pipeline must run once, not
+    # once per downstream branch
+    gated = docs.join(keep_ids, "doc_id", "left_semi").persist()
     n_gated = gated.select(F.count(F.lit(1)).cast("bigint").alias("n_gated"))
 
-    scrub = repeated_ngram_scrub(gated)
+    scrub = repeated_ngram_scrub(gated).persist()
     nonempty = scrub.filter(F.col("n_kept") > 0)
     n_nonempty = nonempty.select(
         F.count(F.lit(1)).cast("bigint").alias("n_nonempty")

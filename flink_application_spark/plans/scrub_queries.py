@@ -36,10 +36,16 @@ _T = 3  # boilerplate threshold: frequent = seen in >= T distinct docs
 
 
 def repeated_ngram_scrub(docs: DataFrame, n: int = _N, t: int = _T) -> DataFrame:
+    # persist: `toks` feeds three branches (token rows, gram keying,
+    # final length join); without the barrier each branch re-tokenizes
+    # AND re-evaluates everything upstream of `docs` (when composed
+    # under e.g. the classifier gate, that tripled a 6 s stage into
+    # minutes — same CollapseProject re-evaluation pathology as
+    # operators/minhash.with_shingles, see its docstring)
     toks = docs.select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != "").alias("toks"),
-    )
+    ).persist()
     tok_rows = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     # guard BEFORE building the sequence: sequence(0, negative) descends
     # and slice(_, 0, n) throws — short docs must contribute no grams

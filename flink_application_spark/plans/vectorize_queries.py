@@ -58,6 +58,66 @@ def hashing_trick_embedding(text: F.Column, dim: int = _DIM) -> F.Column:
     ).otherwise(counts)
 
 
+def hashing_trick_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = _DIM
+) -> DataFrame:
+    """DataFrame form of the hashing-trick embedding — the SCALE path.
+
+    Identical output values to `hashing_trick_embedding` (same md5
+    buckets, same counts, same normalize-and-round), but built as
+    explode → whole-stage-codegen md5 → groupBy histogram instead of a
+    per-row interpreted HOF fold. The HOF form evaluates md5 inside an
+    interpreted lambda per token (measured 33 s for 5000 docs at sf0.1
+    when the score can't be column-pruned away); this form runs the
+    hash in codegen and shuffles (id, bucket) pairs — 4-8× faster on
+    local[32] and the shape that scales (histogram partials combine
+    map-side; nothing is per-row Python or interpreted).
+
+    Rows whose token list is empty survive with an all-zero vector
+    (left join backfill), matching the HOF form's fold-from-zeros."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda t: t != "")
+        ).alias("tok"),
+    )
+    hist = (
+        toks.select(
+            "_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % F.lit(dim)
+            ).alias("bk"),
+        )
+        .groupBy("_id", "bk")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy("_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bk", "c"))).alias("m")
+        )
+        .select(
+            "_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("m"), j.cast("bigint")), F.lit(0.0)
+                ),
+            ).alias("counts"),
+        )
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    counts = F.coalesce(F.col("counts"), zeros)
+    norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = F.when(
+        norm > 0, F.transform(counts, lambda x: F.round(x / norm, 6))
+    ).otherwise(counts)
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(hist, "_id", "left")
+        .select(F.col("_id").alias(id_col), emb.alias("embedding"))
+    )
+
+
 def _oracle_sql(dim: int = _DIM) -> str:
     cells = ", ".join(
         f"CAST(len(list_filter(b, x -> x = {j})) AS DOUBLE)" for j in range(dim)
@@ -100,6 +160,4 @@ FROM n
 )
 def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    return docs.select(
-        "doc_id", hashing_trick_embedding(F.col("text")).alias("embedding")
-    )
+    return hashing_trick_features(docs)

@@ -155,3 +155,23 @@ def test_centroids_deterministic(spark, sf_dir):
     c1 = train_centroids(emb, n_centroids=8)
     c2 = train_centroids(emb, n_centroids=8)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_with_distributed_lloyd_centroids(spark):
+    """IVF composed with the DISTRIBUTED k-means (`operators/kmeans`)
+    instead of the driver-sample trainer: on clustered data, partial
+    probe must keep >= 0.9 recall vs brute force — proving the
+    no-driver-bottleneck training path slots into the same index."""
+    import numpy as np
+
+    from flink_application_spark.operators.kmeans import kmeans_fit
+
+    emb = _clustered_corpus(spark)
+    cents, _ = kmeans_fit(emb, k=10, id_col="vec_id", max_iters=8)
+    q = emb.filter(F.col("vec_id") % 30 == 0)
+    exact = brute_force_topk(q, emb, k=5)
+    ivf = ivf_topk(q, emb, k=5, n_probe=3, centroids=np.asarray(cents))
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    g = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.9, f"recall {recall:.2f} too low"

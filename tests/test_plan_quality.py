@@ -42,6 +42,8 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_bm25_search": 1,  # corpus (N, avgdl) stats row
     "events_key_skew_profile": 1,  # total event count
     "customer_rfm_segmentation": 1,  # recency anchor date
+    "corpus_curation_funnel": 3,  # n_input × n_gated × n_nonempty 1-row appends
+    "doc_bigram_lm_score": 1,  # vocab-size V scalar broadcast into probs
 }
 
 
