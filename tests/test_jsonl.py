@@ -1,0 +1,85 @@
+"""JSONL ingest/egress: tolerant decode, NULL backfill, round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from flink_application_spark.sources.jsonl import (
+    decode_jsonl_value,
+    encode_jsonl_value,
+    jsonl_to_parquet,
+    read_jsonl,
+)
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "value: string")
+
+
+def test_decode_drops_malformed_keeps_valid(spark):
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello", "lang": "en", "source": "s", "n_chars": 5}),
+        "{not json at all",
+        json.dumps({"doc_id": 2, "text": "welt", "lang": "de", "source": "s", "n_chars": 4}),
+    ]
+    out = decode_jsonl_value(_lines_df(spark, lines)).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_missing_fields_null_backfill(spark):
+    lines = [json.dumps({"doc_id": 7, "text": "just text"})]
+    r = decode_jsonl_value(_lines_df(spark, lines)).collect()[0]
+    assert r["doc_id"] == 7 and r["text"] == "just text"
+    assert r["lang"] is None and r["n_chars"] is None
+
+
+def test_keep_malformed_mode_preserves_raw(spark):
+    bad = "{broken"
+    rows = decode_jsonl_value(
+        _lines_df(spark, [bad]), drop_malformed=False
+    ).collect()
+    assert rows[0]["_corrupt_record"] == bad
+
+
+def test_roundtrip_and_parquet_conversion(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s0", 3), (2, "c", "de", "s1", 1)],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    jsonl_path = os.path.join(tmp_path, "docs.jsonl")
+    encode_jsonl_value(docs).coalesce(1).write.mode("overwrite").text(jsonl_path)
+    back = read_jsonl(spark, jsonl_path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+    pq = os.path.join(tmp_path, "docs.parquet")
+    n = jsonl_to_parquet(spark, jsonl_path, pq)
+    assert n == 2
+    assert {r["doc_id"] for r in spark.read.parquet(pq).collect()} == {1, 2}
+
+
+def test_jsonl_stream_decodes_like_batch(spark, tmp_path):
+    import json as _json
+
+    src = os.path.join(tmp_path, "in")
+    os.makedirs(src)
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "x", "lang": "en", "source": "s", "n_chars": 1}),
+        "{bad",
+        _json.dumps({"doc_id": 2, "text": "y", "lang": "de", "source": "s", "n_chars": 1}),
+    ]
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+
+    from flink_application_spark.sources.jsonl import jsonl_stream
+
+    q = (
+        jsonl_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName("jsonl_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM jsonl_stream_t").collect()}
+    assert got == {1, 2}

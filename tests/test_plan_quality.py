@@ -24,6 +24,7 @@ INTENTIONALLY_QUADRATIC = {
     "emb_cosine_topk_bruteforce",  # brute-force ANN baseline (broadcast NLJ)
     "emb_knn_classify",  # scoring stage = brute-force baseline (swap to ANN at scale)
     "emb_mmr_diversified_topk",  # retrieval stage = brute-force baseline (swap to ANN at scale)
+    "emb_contrastive_triplets",  # exact-retrieval oracle path (retrieve_topk(use_ann=) at scale)
     # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
     # sign-LSH rework it must plan equi-joins only — a cartesian there
     # is a regression this test exists to catch.
@@ -44,6 +45,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "customer_rfm_segmentation": 1,  # recency anchor date
     "corpus_curation_funnel": 3,  # n_input × n_gated × n_nonempty 1-row appends
     "doc_bigram_lm_score": 1,  # vocab-size V scalar broadcast into probs
+    "corpus_temperature_mixture": 1,  # (z, budget) normalizer row
 }
 
 
