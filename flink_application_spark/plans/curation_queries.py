@@ -39,6 +39,46 @@ from flink_application_spark.plans.vectorize_queries import (
 )
 
 
+def curate_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run the curation pipeline; returns (curated, funnel_stats).
+
+    `curated` is the surviving corpus — (doc_id, scrubbed_text,
+    n_kept) with one canonical row per distinct scrubbed text — the
+    frame a training-shard export consumes (see
+    `operators/export.write_training_shards` and
+    `tests/test_curation_export.py` for the end-to-end composition).
+    `funnel_stats` is the single audit row the oracle checks."""
+    n_input = docs.select(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+
+    score = linear_score(F.col("embedding"), classifier_weights(), _BIAS)
+    keep_ids = hashing_trick_features(docs).filter(score >= 0.5).select("doc_id")
+    # persist the gate output: the scoring pipeline must run once, not
+    # once per downstream branch
+    gated = docs.join(keep_ids, "doc_id", "left_semi").persist()
+    n_gated = gated.select(F.count(F.lit(1)).cast("bigint").alias("n_gated"))
+
+    scrub = repeated_ngram_scrub(gated).persist()
+    nonempty = scrub.filter(F.col("n_kept") > 0)
+    n_nonempty = nonempty.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonempty")
+    )
+
+    canonical = (
+        nonempty.withColumn("fp", F.md5("scrubbed_text"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "scrubbed_text", "n_kept")
+    )
+    stats = canonical.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
+        F.sum("n_kept").cast("bigint").alias("total_tokens"),
+    )
+    funnel = n_input.crossJoin(n_gated).crossJoin(n_nonempty).crossJoin(stats)
+    return canonical, funnel
+
+
 @register(
     "corpus_curation_funnel",
     f"""
@@ -121,32 +161,4 @@ FROM canonical WHERE rn = 1
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    n_input = docs.select(F.count(F.lit(1)).cast("bigint").alias("n_input"))
-
-    score = linear_score(F.col("embedding"), classifier_weights(), _BIAS)
-    keep_ids = hashing_trick_features(docs).filter(score >= 0.5).select("doc_id")
-    # persist the gate output: the scoring pipeline must run once, not
-    # once per downstream branch
-    gated = docs.join(keep_ids, "doc_id", "left_semi").persist()
-    n_gated = gated.select(F.count(F.lit(1)).cast("bigint").alias("n_gated"))
-
-    scrub = repeated_ngram_scrub(gated).persist()
-    nonempty = scrub.filter(F.col("n_kept") > 0)
-    n_nonempty = nonempty.select(
-        F.count(F.lit(1)).cast("bigint").alias("n_nonempty")
-    )
-
-    canonical = (
-        nonempty.withColumn("fp", F.md5("scrubbed_text"))
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-        )
-        .filter(F.col("rn") == 1)
-    )
-    stats = canonical.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_canonical"),
-        F.sum("n_kept").cast("bigint").alias("total_tokens"),
-    )
-    return (
-        n_input.crossJoin(n_gated).crossJoin(n_nonempty).crossJoin(stats)
-    )
+    return curate_corpus(docs)[1]
