@@ -83,3 +83,39 @@ def test_jsonl_stream_decodes_like_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM jsonl_stream_t").collect()}
     assert got == {1, 2}
+
+
+def test_jsonl_drop_folder_feeds_ingestion(spark, tmp_path):
+    """The product story in streaming form: a JSONL drop folder is the
+    corpus source; tolerant decode (malformed lines dropped) feeds the
+    crash-safe ingestion pipeline (quality gate → cross-batch dedup →
+    shards) unchanged."""
+    import json as _json
+
+    from flink_application_spark.sources.jsonl import jsonl_stream
+    from flink_application_spark.streaming.ingestion import CorpusIngestion
+
+    src = os.path.join(tmp_path, "drop")
+    os.makedirs(src)
+    good = "spark filter join window agg batch shuffle partition"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": good}),
+        "{malformed",
+        _json.dumps({"doc_id": 2, "text": good + " extra tokens here"}),
+    ]
+    with open(os.path.join(src, "w1.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+
+    ing = CorpusIngestion(
+        os.path.join(tmp_path, "work"),
+        min_quality=0.0,
+        near_dup_threshold=0.9,
+        target_file_bytes=64 * 1024,
+    )
+    q = ing.attach(
+        jsonl_stream(spark, src).select("doc_id", "text"),
+        checkpoint=os.path.join(tmp_path, "ckpt"),
+    )
+    q.awaitTermination(300)
+    kept = {r.doc_id for r in ing.shards(spark).collect()}
+    assert kept == {1, 2}  # malformed line never reached the pipeline
