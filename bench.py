@@ -106,6 +106,44 @@ def stream_throughput(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def ingest_throughput(spark, sf_dir: str) -> tuple[float, int]:
+    """Saturation throughput of the streaming corpus-ingestion pipeline
+    (quality gate → cross-batch LSH near-dup index probe → size-capped
+    shard writes, all crash-safe per-batch overwrite commits) — the
+    LLM-pipeline counterpart of the CDR stream number. Documents are
+    snapshotted to a drop directory (untimed), then one availableNow
+    run ingests them; docs/sec includes index maintenance and shard IO."""
+    import shutil
+    import tempfile
+
+    from flink_application_spark.catalog import register_views
+    from flink_application_spark.sources.streams import file_stream
+    from flink_application_spark.streaming.ingestion import CorpusIngestion
+
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+        docs.select("doc_id", "text").write.parquet(f"{root}/drop")
+        n_docs = docs.count()
+
+        ing = CorpusIngestion(
+            f"{root}/work",
+            min_quality=0.2,
+            near_dup_threshold=0.8,
+            target_file_bytes=8 * 1024 * 1024,
+        )
+        t0 = time.perf_counter()
+        q = ing.attach(
+            file_stream(spark, f"{root}/drop"), checkpoint=f"{root}/ckpt"
+        )
+        q.awaitTermination(300)
+        wall = time.perf_counter() - t0
+        assert ing.shards(spark).count() > 0
+        return wall, n_docs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -137,6 +175,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     stream_wall, stream_events = stream_throughput(spark, sf_dir)
+    ingest_wall, ingest_docs = ingest_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -150,6 +189,9 @@ def main() -> None:
                 "stream_events_per_sec": round(stream_events / stream_wall, 1),
                 "stream_wall_sec": round(stream_wall, 3),
                 "stream_events": stream_events,
+                "ingest_docs_per_sec": round(ingest_docs / ingest_wall, 1),
+                "ingest_wall_sec": round(ingest_wall, 3),
+                "ingest_docs": ingest_docs,
             }
         )
     )

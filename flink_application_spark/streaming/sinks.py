@@ -73,6 +73,15 @@ def idempotent_batch_write(
     import os
 
     sub = os.path.join(root, f"_batch={batch_id}")
+    if partition_by:
+        # cluster rows by partition value first: without this every
+        # write task opens a file in EVERY hive cell it sees (tasks ×
+        # cells tiny files — measured 24 s for a 20k-row 256-cell band
+        # store). Capping the shuffle at defaultParallelism keeps task
+        # count bounded while still giving each cell a single writer
+        # (one task handles several whole cells sequentially).
+        n = batch_df.sparkSession.sparkContext.defaultParallelism
+        batch_df = batch_df.repartition(n, *[batch_df[c] for c in partition_by])
     writer = batch_df.write
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

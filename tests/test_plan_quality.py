@@ -167,3 +167,12 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmeans_assignment_is_scan_local(spark, sf_dir):
+    """The k-means assignment pass claims zero exchanges (broadcast
+    literal centroids, per-row folds) — pin it: no Exchange anywhere
+    in the physical plan."""
+    df = registry.REGISTRY_GET("emb_kmeans_assign").spark(spark, sf_dir)
+    plan = _physical(df)
+    assert "Exchange" not in plan, plan
