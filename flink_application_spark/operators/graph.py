@@ -55,6 +55,11 @@ def pagerank(
         .persist()
     )
     n = verts.count()
+    if n == 0:
+        # no edges → no vertices: empty (id, rank), not a ZeroDivision
+        e.unpersist()
+        verts.unpersist()
+        return verts.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
@@ -84,4 +89,8 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    # localCheckpoint materialized the final ranks; the loop inputs can
+    # release their storage (long-lived sessions run this repeatedly)
+    e.unpersist()
+    verts.unpersist()
     return ranks

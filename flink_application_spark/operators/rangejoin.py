@@ -49,7 +49,18 @@ def interval_point_join(
 ) -> DataFrame:
     """Join each point to every interval with start <= ts < end,
     without any equi key, via bucket blocking. Column names must be
-    disjoint between the two inputs (except none shared)."""
+    disjoint between the two inputs (except none shared).
+
+    Only INNER joins: the intervals side is exploded onto every bucket
+    it covers, so an outer join would emit one null-padded row per
+    covered bucket for unmatched intervals — silently breaking the
+    exactly-once guarantee. Outer semantics need a post-join anti-join
+    against the matched set instead."""
+    if how != "inner":
+        raise ValueError(
+            f"interval_point_join supports how='inner' only, got {how!r} "
+            "(outer joins would duplicate unmatched intervals per bucket)"
+        )
     b_pt = points.withColumn("_bucket", _bucket(F.col(ts_col), bucket_width_sec))
     b_iv = intervals.withColumn(
         "_bucket",

@@ -23,6 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
+from flink_application_spark.functions.vectors import dot
 from flink_application_spark.plans.registry import register
 from flink_application_spark.plans.vectorize_queries import (
     _DIM,
@@ -52,16 +53,9 @@ def linear_score(embedding: F.Column, weights: list[float], bias: float) -> F.Co
     """sigmoid(w·x + b) as a sequential JVM-side double fold against
     broadcast literals."""
     w = F.array(*[F.lit(x) for x in weights])
-    # fold first, add bias after — the exact summation order the
-    # oracle's list_sum(...) + bias uses, so scores match bit-for-bit
-    z = (
-        F.aggregate(
-            F.zip_with(embedding, w, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        + F.lit(float(bias))
-    )
+    # fold first (the shared sequential form), add bias after — the
+    # exact summation order the oracle's list_sum(...) + bias uses
+    z = dot(embedding, w) + F.lit(float(bias))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

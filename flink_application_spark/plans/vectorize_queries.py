@@ -73,8 +73,10 @@ def hashing_trick_features(
     local[32] and the shape that scales (histogram partials combine
     map-side; nothing is per-row Python or interpreted).
 
-    Rows whose token list is empty survive with an all-zero vector
-    (left join backfill), matching the HOF form's fold-from-zeros."""
+    NULL-text rows keep a NULL embedding (the HOF form and the oracle
+    both propagate NULL); non-NULL rows whose token list is empty
+    survive with an all-zero vector (left-join backfill), matching the
+    HOF form's fold-from-zeros."""
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -108,11 +110,16 @@ def hashing_trick_features(
     zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
     counts = F.coalesce(F.col("counts"), zeros)
     norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x))
-    emb = F.when(
-        norm > 0, F.transform(counts, lambda x: F.round(x / norm, 6))
-    ).otherwise(counts)
+    emb = F.when(F.col("_text_null"), F.lit(None)).otherwise(
+        F.when(norm > 0, F.transform(counts, lambda x: F.round(x / norm, 6))).otherwise(
+            counts
+        )
+    )
     return (
-        docs.select(F.col(id_col).alias("_id"))
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).isNull().alias("_text_null"),
+        )
         .join(hist, "_id", "left")
         .select(F.col("_id").alias(id_col), emb.alias("embedding"))
     )

@@ -46,7 +46,12 @@ def decode_jsonl_value(
         ),
     )
     if drop_malformed:
-        parsed = parsed.filter(F.col("_p._corrupt_record").isNull())
+        # blank/whitespace-only lines parse to a NULL struct (no
+        # _corrupt_record set) — require the struct itself non-null or
+        # phantom all-NULL documents leak into the corpus
+        parsed = parsed.filter(
+            F.col("_p").isNotNull() & F.col("_p._corrupt_record").isNull()
+        )
         return parsed.select("_p.*").drop("_corrupt_record")
     return parsed.select("_p.*")
 
@@ -58,7 +63,7 @@ def read_jsonl(
     drop_malformed: bool = True,
 ) -> DataFrame:
     """Batch-read a JSONL file/directory with tolerant decode."""
-    raw = spark.read.text(path).withColumnRenamed("value", "value")
+    raw = spark.read.text(path)
     return decode_jsonl_value(raw, schema_ddl, drop_malformed=drop_malformed)
 
 

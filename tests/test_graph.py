@@ -56,3 +56,9 @@ def test_star_center_dominates(spark):
     got = _ranks(pagerank(df, undirected=True, iters=15))
     assert max(got, key=got.get) == 0
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_empty_graph_returns_empty_frame(spark):
+    df = spark.createDataFrame([], "src: long, dst: long")
+    out = pagerank(df)
+    assert out.columns == ["id", "rank"] and out.count() == 0

@@ -119,3 +119,14 @@ def test_jsonl_drop_folder_feeds_ingestion(spark, tmp_path):
     q.awaitTermination(300)
     kept = {r.doc_id for r in ing.shards(spark).collect()}
     assert kept == {1, 2}  # malformed line never reached the pipeline
+
+
+def test_blank_lines_dropped_not_phantom_nulls(spark):
+    lines = [
+        json.dumps({"doc_id": 1, "text": "a", "lang": "en", "source": "s", "n_chars": 1}),
+        "",
+        "   ",
+        json.dumps({"doc_id": 2, "text": "b", "lang": "de", "source": "s", "n_chars": 1}),
+    ]
+    out = decode_jsonl_value(_lines_df(spark, lines)).collect()
+    assert len(out) == 2 and {r["doc_id"] for r in out} == {1, 2}
