@@ -69,7 +69,12 @@ def jaccard_similarity_join(
     # One ranking pass serves both sides: token rank within each doc
     # under the global (df, tok) order.
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
-    ranked = post.join(tok_df, "tok").withColumn("rk", F.row_number().over(w))
+    # persist: ranked feeds BOTH the prefix and the full-postings side
+    # of the candidate join — without the barrier the df-join + window
+    # rank runs twice (and AQE can't reuse the exchange across subtrees)
+    ranked = (
+        post.join(tok_df, "tok").withColumn("rk", F.row_number().over(w)).persist()
+    )
 
     # prefix length |A| - ceil(t*|A|) + 1 (eps guards the float product)
     pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
