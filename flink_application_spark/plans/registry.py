@@ -110,5 +110,6 @@ def _load_all() -> None:
     from flink_application_spark.plans import training_prep_queries  # noqa: F401  (late)
     from flink_application_spark.plans import contrastive_queries  # noqa: F401  (late)
     from flink_application_spark.plans import merge_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import recursive_queries  # noqa: F401  (late)
 
     _LOADED = True
