@@ -1,0 +1,120 @@
+"""Complex event processing (CEP): ordered-pattern detection over
+keyed event streams — the capability Flink ships as its CEP library /
+SQL MATCH_RECOGNIZE, which Spark has no native equivalent for.
+
+Semantics implemented (the common MATCH_RECOGNIZE defaults):
+
+- a pattern is an ordered list of step predicates; a match binds one
+  event per step, in event-time order, other events may lie between
+  (`SKIP TO NEXT ROW` relaxed-contiguity, Flink's `followedBy`);
+- optional `within`: last-step time minus first-step time must not
+  exceed the horizon (Flink's `.within(Time)`);
+- matching is greedy-earliest and non-overlapping per key
+  (`AFTER MATCH SKIP PAST LAST ROW`): scanning forward, each event can
+  extend the earliest open partial match, and a completed match
+  consumes its events.
+
+Spark-first split of labor:
+
+- step predicates are evaluated SCAN-LOCAL as boolean columns (JVM,
+  codegen) — the Python stage never sees event payloads, only
+  (key, ts, k bools);
+- the per-key automaton walk runs in `applyInPandas` over events
+  sorted within each key group — O(n·steps) per key, Arrow-batched;
+  state is one in-flight partial match (list of bound indices), the
+  same O(steps) per-key state a streaming NFA would keep;
+- output is one row per match: key, per-step timestamps.
+
+At 100 TB the one shuffle is the groupBy(key); skewed keys are the
+usual salting territory, and `within` bounds how long a partial match
+can stay open (the state-retention knob a streaming port would hang
+its watermark on).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+
+def match_pattern(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[Column],
+    within_seconds: float | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Detect non-overlapping earliest matches of `steps` per key.
+
+    Returns (key, step_1_ts .. step_k_ts, step_1_id .. step_k_id).
+    `within_seconds` bounds last-step-ts − first-step-ts. Ties on ts
+    are broken by `id_col` (or an arbitrary-but-total generated id) —
+    the sort is total either way, so matching is deterministic."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("match_pattern: need at least one step")
+    within_us = None if within_seconds is None else int(within_seconds * 1_000_000)
+
+    flags = df.select(
+        F.col(key_col).alias("_key"),
+        F.col(ts_col).cast("timestamp_ntz").alias("_ts"),
+        *( [F.col(id_col).cast("bigint").alias("_id")] if id_col else [F.monotonically_increasing_id().alias("_id")] ),
+        *[s.cast("boolean").alias(f"_s{i}") for i, s in enumerate(steps)],
+    )
+
+    fields = [StructField("key", flags.schema["_key"].dataType)]
+    for i in range(k):
+        fields.append(StructField(f"step_{i + 1}_ts", TimestampNTZType()))
+    for i in range(k):
+        fields.append(StructField(f"step_{i + 1}_id", LongType()))
+    out_schema = StructType(fields)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_id"], kind="mergesort")
+        key = pdf["_key"].iloc[0]
+        ts = pdf["_ts"].to_numpy()
+        ids = pdf["_id"].to_numpy()
+        svals = [pdf[f"_s{i}"].fillna(False).to_numpy() for i in range(k)]
+        matches = []
+        bound: list[int] = []  # row positions bound to steps so far
+        i = 0
+        n = len(pdf)
+        while i < n:
+            step = len(bound)
+            if svals[step][i]:
+                # horizon check against the would-be first step
+                if (
+                    within_us is not None
+                    and bound
+                    and (ts[i] - ts[bound[0]]).astype("timedelta64[us]").astype(int)
+                    > within_us
+                ):
+                    # earliest partial expired: drop its head, re-seek
+                    # from just after the old first binding
+                    i = bound[0] + 1
+                    bound = []
+                    continue
+                bound.append(i)
+                if len(bound) == k:
+                    matches.append(bound)
+                    bound = []
+            i += 1
+        rows = []
+        for m in matches:
+            row = {"key": key}
+            for j, pos in enumerate(m):
+                row[f"step_{j + 1}_ts"] = pdf["_ts"].iloc[pos]
+                row[f"step_{j + 1}_id"] = int(ids[pos])
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields]) if rows else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+        )
+
+    return flags.groupBy("_key").applyInPandas(walk, schema=out_schema)

@@ -111,5 +111,6 @@ def _load_all() -> None:
     from flink_application_spark.plans import contrastive_queries  # noqa: F401  (late)
     from flink_application_spark.plans import merge_queries  # noqa: F401  (late)
     from flink_application_spark.plans import recursive_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import cep_queries  # noqa: F401  (late)
 
     _LOADED = True
