@@ -79,33 +79,12 @@ def match_pattern(
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_ts", "_id"], kind="mergesort")
         key = pdf["_key"].iloc[0]
-        ts = pdf["_ts"].to_numpy()
-        ids = pdf["_id"].to_numpy()
-        svals = [pdf[f"_s{i}"].fillna(False).to_numpy() for i in range(k)]
-        matches = []
-        bound: list[int] = []  # row positions bound to steps so far
-        i = 0
-        n = len(pdf)
-        while i < n:
-            step = len(bound)
-            if svals[step][i]:
-                # horizon check against the would-be first step
-                if (
-                    within_us is not None
-                    and bound
-                    and (ts[i] - ts[bound[0]]).astype("timedelta64[us]").astype(int)
-                    > within_us
-                ):
-                    # earliest partial expired: drop its head, re-seek
-                    # from just after the old first binding
-                    i = bound[0] + 1
-                    bound = []
-                    continue
-                bound.append(i)
-                if len(bound) == k:
-                    matches.append(bound)
-                    bound = []
-            i += 1
+        ts_us = (pdf["_ts"].to_numpy().astype("datetime64[us]").astype("int64")).tolist()
+        ids = pdf["_id"].to_numpy().tolist()
+        svals = [
+            pdf[f"_s{i}"].fillna(False).to_numpy().tolist() for i in range(k)
+        ]
+        matches, _, _ = greedy_scan(ts_us, svals, k, within_us, [], 0, len(pdf))
         rows = []
         for m in matches:
             row = {"key": key}
@@ -118,3 +97,41 @@ def match_pattern(
         )
 
     return flags.groupBy("_key").applyInPandas(walk, schema=out_schema)
+
+
+def greedy_scan(
+    ts_us: list[int],
+    flags: list[list[bool]],
+    k: int,
+    within_us: int | None,
+    bound: list[int],
+    start: int,
+    n: int,
+) -> tuple[list[list[int]], list[int], int]:
+    """The shared CEP automaton core (batch and streaming run the SAME
+    loop): scan positions [start, n) continuing an existing partial
+    `bound`, return (completed matches, open bound, scanned=n).
+
+    The head-expiry rewind (within-horizon violated by the candidate
+    next step) re-seeks from just past the old first binding, which
+    can move BEFORE `start` — callers retaining a suffix across calls
+    must keep everything from bound[0] on (streaming/cep.py does)."""
+    matches: list[list[int]] = []
+    i = start
+    while i < n:
+        step = len(bound)
+        if flags[step][i]:
+            if (
+                within_us is not None
+                and bound
+                and ts_us[i] - ts_us[bound[0]] > within_us
+            ):
+                i = bound[0] + 1
+                bound = []
+                continue
+            bound.append(i)
+            if len(bound) == k:
+                matches.append(list(bound))
+                bound = []
+        i += 1
+    return matches, bound, n

@@ -1,0 +1,172 @@
+"""Streaming CEP: the `operators/cep.py` automaton on live keyed
+streams — Flink CEP's actual operating mode, on
+`applyInPandasWithState`.
+
+Event-time correctness under out-of-order arrival: a match decision is
+only final once no earlier event can still arrive, so events buffer in
+keyed state until the watermark passes them, and ONLY the matured
+prefix (ts ≤ watermark) runs through the automaton. The un-matured
+tail and any open partial match carry over in state. Because batch and
+streaming run the SAME `greedy_scan` core over the same
+watermark-ordered event sequence, the union of streamed emissions
+equals the batch operator's output on the same data — pinned by
+`tests/test_streaming_cep.py`.
+
+State per key, all bounded:
+- buffered events (ts µs, id, step-flag bitmask — one long per event,
+  so k ≤ 63 steps): the un-matured tail plus, when a partial match is
+  open, the matured suffix from its first binding (the head-expiry
+  rewind can re-visit those; `within` bounds how long that suffix can
+  grow, and without `within` no rewind ever happens so only the
+  un-matured tail is retained);
+- the open partial match (≤ k indices) and the scan frontier.
+
+Late events (ts ≤ the frontier already scanned) are dropped — the
+watermark contract, same as every other stateful operator here; Spark
+additionally filters rows later than the watermark before the operator
+sees them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from flink_application_spark.operators.cep import greedy_scan
+
+
+def stateful_match_pattern(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[Column],
+    within_seconds: float | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of `operators.cep.match_pattern` (same args,
+    same output schema; `df` must be a watermarked streaming frame)."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("stateful_match_pattern: need at least one step")
+    if k > 63:
+        raise ValueError("step flags are bitmask-encoded: k must be <= 63")
+    within_us = None if within_seconds is None else int(within_seconds * 1_000_000)
+
+    mask = F.lit(0).cast("bigint")
+    for i, s in enumerate(steps):
+        mask = mask + F.when(s.cast("boolean"), F.lit(1 << i)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
+    flags = df.select(
+        F.col(key_col).alias("_key"),
+        # stays TIMESTAMP: a cast to ntz would strip the event-time
+        # watermark tag applyInPandasWithState requires
+        F.col(ts_col).alias("_ts"),
+        (
+            F.col(id_col).cast("bigint")
+            if id_col
+            else F.monotonically_increasing_id()
+        ).alias("_id"),
+        mask.alias("_mask"),
+    )
+
+    out_fields = [StructField("key", flags.schema["_key"].dataType)]
+    for i in range(k):
+        out_fields.append(StructField(f"step_{i + 1}_ts", TimestampNTZType()))
+    for i in range(k):
+        out_fields.append(StructField(f"step_{i + 1}_id", LongType()))
+    out_schema = StructType(out_fields)
+
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("masks", ArrayType(LongType())),
+            StructField("bound", ArrayType(IntegerType())),
+            StructField("scanned", LongType()),
+            StructField("frontier", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            ts_buf, id_buf, mask_buf, bound, scanned, frontier = state.get
+            ts_buf, id_buf, mask_buf = list(ts_buf), list(id_buf), list(mask_buf)
+            bound = list(bound)
+            scanned = int(scanned)
+            frontier = int(frontier)
+        else:
+            ts_buf, id_buf, mask_buf, bound, scanned, frontier = [], [], [], [], 0, -(2**62)
+
+        new = []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            idx = pd.DatetimeIndex(pdf["_ts"])
+            if idx.tz is not None:
+                idx = idx.tz_convert("UTC").tz_localize(None)
+            t = idx.asi8 // 1000  # ns → µs
+            for tu, i_, m_ in zip(t.tolist(), pdf["_id"].tolist(), pdf["_mask"].tolist()):
+                if tu > frontier:  # frontier-late events are dropped
+                    new.append((tu, int(i_), int(m_)))
+        if new:
+            # the buffer's scanned prefix is all ≤ frontier < every new
+            # event, so sorting the unscanned suffix + new keeps global
+            # (ts, id) order
+            tail = list(zip(ts_buf[scanned:], id_buf[scanned:], mask_buf[scanned:]))
+            tail.extend(new)
+            tail.sort()
+            ts_buf = ts_buf[:scanned] + [x[0] for x in tail]
+            id_buf = id_buf[:scanned] + [x[1] for x in tail]
+            mask_buf = mask_buf[:scanned] + [x[2] for x in tail]
+
+        # mature prefix: order is final once the watermark passed it
+        n_mature = 0
+        for tu in ts_buf:
+            if tu <= wm_us:
+                n_mature += 1
+            else:
+                break
+        flags_cols = [[(m >> i) & 1 == 1 for m in mask_buf] for i in range(k)]
+        matches, bound, scanned = greedy_scan(
+            ts_buf, flags_cols, k, within_us, bound, scanned, n_mature
+        )
+
+        rows = []
+        for m in matches:
+            row = {"key": key[0]}
+            for j, pos in enumerate(m):
+                row[f"step_{j + 1}_ts"] = pd.Timestamp(ts_buf[pos], unit="us")
+                row[f"step_{j + 1}_id"] = id_buf[pos]
+            rows.append(row)
+
+        # rebase: drop the consumed mature prefix (everything before the
+        # open partial's head, or the whole scanned prefix if none open)
+        keep_from = bound[0] if bound else scanned
+        ts_buf = ts_buf[keep_from:]
+        id_buf = id_buf[keep_from:]
+        mask_buf = mask_buf[keep_from:]
+        bound = [b - keep_from for b in bound]
+        scanned -= keep_from
+        state.update((ts_buf, id_buf, mask_buf, bound, scanned, max(frontier, wm_us)))
+
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return flags.groupBy("_key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
