@@ -1,0 +1,75 @@
+"""Property tests for the CEP automaton core (`greedy_scan`) — pure
+Python, no Spark session, so hypothesis can hammer it.
+
+The `resume` property is the one the streaming operator's correctness
+rests on: scanning a sequence in two chunks, carrying (bound, scanned)
+across the cut and retaining the suffix from the partial's head,
+yields exactly the one-shot scan's matches."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from flink_application_spark.operators.cep import greedy_scan
+
+K = 3
+
+
+@st.composite
+def events(draw):
+    n = draw(st.integers(0, 40))
+    ts, flags = [], [[] for _ in range(K)]
+    t = 0
+    for _ in range(n):
+        t += draw(st.integers(0, 5))
+        ts.append(t)
+        for s in range(K):
+            flags[s].append(draw(st.booleans()))
+    return ts, flags
+
+
+def _scan(ts, flags, within):
+    return greedy_scan(ts, flags, K, within, [], 0, len(ts))
+
+
+@settings(max_examples=300, deadline=None)
+@given(events(), st.one_of(st.none(), st.integers(0, 12)))
+def test_matches_are_valid_and_disjoint(ev, within):
+    ts, flags = ev
+    matches, bound, scanned = _scan(ts, flags, within)
+    seen: set[int] = set()
+    for m in matches:
+        assert len(m) == K
+        assert m == sorted(m)  # bound in order
+        for step, pos in enumerate(m):
+            assert flags[step][pos]  # predicate holds at each binding
+            assert pos not in seen  # non-overlapping
+            seen.add(pos)
+        if within is not None:
+            assert ts[m[-1]] - ts[m[0]] <= within
+    assert scanned == len(ts)
+    # any open partial is also valid and disjoint from matches
+    for step, pos in enumerate(bound):
+        assert flags[step][pos] and pos not in seen
+
+
+@settings(max_examples=300, deadline=None)
+@given(events(), st.one_of(st.none(), st.integers(0, 12)), st.data())
+def test_resume_across_cut_equals_one_shot(ev, within, data):
+    ts, flags = ev
+    want, _, _ = _scan(ts, flags, within)
+
+    cut = data.draw(st.integers(0, len(ts)))
+    # chunk 1: scan the prefix
+    m1, bound, scanned = greedy_scan(ts, flags, K, within, [], 0, cut)
+    # retention: everything from the open partial's head (or the cut)
+    keep_from = bound[0] if bound else scanned
+    ts2 = ts[keep_from:]
+    flags2 = [f[keep_from:] for f in flags]
+    bound2 = [b - keep_from for b in bound]
+    scanned2 = scanned - keep_from
+    # chunk 2: resume over retained + remainder
+    m2, _, _ = greedy_scan(ts2, flags2, K, within, bound2, scanned2, len(ts2))
+
+    got = [m for m in m1] + [[p + keep_from for p in m] for m in m2]
+    assert got == want
