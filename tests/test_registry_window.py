@@ -19,8 +19,9 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# §2-mapped queries that had only local oracle evidence in round 1 —
-# the whole point of plans/reference_ops.py is keeping these sampled.
+# §2-mapped queries that had only local oracle evidence in round 1,
+# the six post-snapshot HUGEINT fixes that must re-sample to show
+# green, and the round-2 flagships that have never been driver-sampled.
 MUST_BE_IN_WINDOW = {
     "cdr_src_extended",
     "cdr_enrichment_full",
@@ -29,11 +30,31 @@ MUST_BE_IN_WINDOW = {
     "cdr_enrich_path_b_asof",
     "scalar_function_library",   # §2 P12
     "events_latest_per_user",    # §2 W2
-    # round-2 additions that have never been driver-sampled
     "doc_jaccard_similarity_join",
     "emb_pca_gram",
     "emb_cosine_near_dup_pairs",
     "emb_dup_components",
+    # round-1 hash-fails fixed after the driver snapshot
+    "mm_frame_sample",
+    "mm_frame_delta_scene_changes",
+    "doc_split_train_val_test",
+    "doc_pack_sequences",
+    "events_funnel_conversion",
+    "corpus_mixture_plan",
+    # round-2 flagships
+    "emb_kmeans_assign",
+    "doc_quality_classifier_score",
+    "doc_weighted_sample",
+    "events_global_interval_join",
+    "doc_repeated_ngram_scrub",
+    "doc_bigram_lm_score",
+    "corpus_curation_funnel",
+    "doc_epoch_shuffle_shards",
+    "corpus_temperature_mixture",
+    "emb_contrastive_triplets",
+    "customer_apply_changelog",
+    "customer_tree_depth_recursive_cte",
+    "events_cep_signup_purchase_no_error",
 }
 
 
@@ -58,8 +79,14 @@ def test_critical_queries_inside_sample_window():
     missing = MUST_BE_IN_WINDOW - set(first_50)
     assert not missing, (
         f"{missing} fell outside the driver's first-50 sample window — "
-        "check import order in plans.registry._load_all"
+        "check SAMPLE_WINDOW in plans.registry"
     )
+
+
+def test_first_50_is_exactly_the_curated_window():
+    from flink_application_spark.plans.registry import SAMPLE_WINDOW
+
+    assert _canonical_first_50() == SAMPLE_WINDOW
 
 
 def test_no_duplicate_or_renamed_registrations():
