@@ -62,7 +62,10 @@ def match_pattern(
         raise ValueError("match_pattern: need at least one step")
     within_us = None if within_seconds is None else int(within_seconds * 1_000_000)
 
-    flags = df.select(
+    # events without a timestamp cannot participate in a temporal
+    # pattern (and NaT would cast to int64-min, defeating the horizon
+    # check with bogus matches) — drop them up front
+    flags = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("_key"),
         F.col(ts_col).cast("timestamp_ntz").alias("_ts"),
         *( [F.col(id_col).cast("bigint").alias("_id")] if id_col else [F.monotonically_increasing_id().alias("_id")] ),

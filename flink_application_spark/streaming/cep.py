@@ -66,16 +66,21 @@ def stateful_match_pattern(
         mask = mask + F.when(s.cast("boolean"), F.lit(1 << i)).otherwise(F.lit(0)).cast(
             "bigint"
         )
-    flags = df.select(
+    if id_col is None:
+        # monotonically_increasing_id restarts per micro-batch: buffered
+        # and new events could collide and replays would re-emit under
+        # different ids — a streaming pattern needs a durable event id
+        raise ValueError("stateful_match_pattern requires id_col (stable event ids)")
+    flags = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("_key"),
         # stays TIMESTAMP: a cast to ntz would strip the event-time
         # watermark tag applyInPandasWithState requires
         F.col(ts_col).alias("_ts"),
-        (
-            F.col(id_col).cast("bigint")
-            if id_col
-            else F.monotonically_increasing_id()
-        ).alias("_id"),
+        # epoch µs computed JVM-side: getCurrentWatermarkMs is UTC
+        # epoch, and pandas would otherwise hand us session-LOCAL wall
+        # clocks — comparing those matures events wrongly off-UTC
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        F.col(id_col).cast("bigint").alias("_id"),
         mask.alias("_mask"),
     )
 
@@ -112,13 +117,11 @@ def stateful_match_pattern(
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            idx = pd.DatetimeIndex(pdf["_ts"])
-            if idx.tz is not None:
-                idx = idx.tz_convert("UTC").tz_localize(None)
-            t = idx.asi8 // 1000  # ns → µs
-            for tu, i_, m_ in zip(t.tolist(), pdf["_id"].tolist(), pdf["_mask"].tolist()):
+            for tu, i_, m_ in zip(
+                pdf["_ts_us"].tolist(), pdf["_id"].tolist(), pdf["_mask"].tolist()
+            ):
                 if tu > frontier:  # frontier-late events are dropped
-                    new.append((tu, int(i_), int(m_)))
+                    new.append((int(tu), int(i_), int(m_)))
         if new:
             # the buffer's scanned prefix is all ≤ frontier < every new
             # event, so sorting the unscanned suffix + new keeps global
@@ -150,14 +153,26 @@ def stateful_match_pattern(
                 row[f"step_{j + 1}_id"] = id_buf[pos]
             rows.append(row)
 
-        # rebase: drop the consumed mature prefix (everything before the
-        # open partial's head, or the whole scanned prefix if none open)
-        keep_from = bound[0] if bound else scanned
-        ts_buf = ts_buf[keep_from:]
-        id_buf = id_buf[keep_from:]
-        mask_buf = mask_buf[keep_from:]
-        bound = [b - keep_from for b in bound]
-        scanned -= keep_from
+        # rebase. With `within` set, the head-expiry rewind can revisit
+        # mature events after the partial's head, so retain from
+        # bound[0] — state is then bounded by the horizon. Without
+        # `within` no rewind ever happens: the bound events are needed
+        # only for emission/continuation, so compact them to a
+        # synthetic ≤(k−1)-row prefix and drop every other scanned
+        # event — state is then (k−1) + un-matured tail, O(1) per key.
+        if bound and within_us is None:
+            ts_buf = [ts_buf[b] for b in bound] + ts_buf[scanned:]
+            id_buf = [id_buf[b] for b in bound] + id_buf[scanned:]
+            mask_buf = [mask_buf[b] for b in bound] + mask_buf[scanned:]
+            bound = list(range(len(bound)))
+            scanned = len(bound)
+        else:
+            keep_from = bound[0] if bound else scanned
+            ts_buf = ts_buf[keep_from:]
+            id_buf = id_buf[keep_from:]
+            mask_buf = mask_buf[keep_from:]
+            bound = [b - keep_from for b in bound]
+            scanned -= keep_from
         state.update((ts_buf, id_buf, mask_buf, bound, scanned, max(frontier, wm_us)))
 
         if rows:

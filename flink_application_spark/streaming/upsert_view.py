@@ -46,12 +46,18 @@ class UpsertView:
     # -- version bookkeeping ------------------------------------------
 
     def _versions(self) -> list[int]:
+        """COMMITTED versions only: a `_v=N` directory counts once its
+        `_SUCCESS` marker exists (Spark writes it last), so a crash
+        mid-write leaves an ignorable partial directory, not a
+        serveable 'latest'. Single writer assumed — a reader racing a
+        replay's overwrite of the same version is out of scope."""
         if not os.path.isdir(self.work_dir):
             return []
         return sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.work_dir)
             if d.startswith("_v=")
+            and os.path.exists(os.path.join(self.work_dir, d, "_SUCCESS"))
         )
 
     def _vdir(self, v: int) -> str:

@@ -13,7 +13,9 @@ guard must model."""
 
 from __future__ import annotations
 
+import functools
 import json
+import pathlib
 import subprocess
 import sys
 
@@ -58,7 +60,8 @@ MUST_BE_IN_WINDOW = {
 }
 
 
-def _canonical_first_50() -> list[str]:
+@functools.lru_cache(maxsize=1)
+def _canonical_first_50() -> tuple[str, ...]:
     out = subprocess.run(
         [
             sys.executable,
@@ -69,9 +72,9 @@ def _canonical_first_50() -> list[str]:
         capture_output=True,
         text=True,
         check=True,
-        cwd="/root/repo",
+        cwd=str(pathlib.Path(__file__).resolve().parents[1]),
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return tuple(json.loads(out.stdout.strip().splitlines()[-1]))
 
 
 def test_critical_queries_inside_sample_window():
@@ -86,7 +89,7 @@ def test_critical_queries_inside_sample_window():
 def test_first_50_is_exactly_the_curated_window():
     from flink_application_spark.plans.registry import SAMPLE_WINDOW
 
-    assert _canonical_first_50() == SAMPLE_WINDOW
+    assert list(_canonical_first_50()) == SAMPLE_WINDOW
 
 
 def test_no_duplicate_or_renamed_registrations():

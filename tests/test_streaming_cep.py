@@ -95,3 +95,52 @@ def test_stream_matches_equal_batch(spark, sf_dir, tmp_path):
     expected = _match_set(batch)
     assert streamed == expected
     assert len(expected) > 0  # non-vacuous: the corpus contains matches
+
+
+def test_stream_matches_equal_batch_unbounded_horizon(spark, sf_dir, tmp_path):
+    """within=None exercises the O(1)-state compaction branch (open
+    partials become a synthetic k−1 prefix instead of pinning the
+    whole mature suffix)."""
+    ev = (
+        register_views(spark, sf_dir, tables=("events",))["events"]
+        .select("event_id", "user_id", "ts", "event_type")
+        .cache()
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    src = tmp_path / "waves"
+    import time
+
+    for cond in (F.col("ts") < mid, F.col("ts") >= mid):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(str(src))
+        time.sleep(1.2)
+    users = ev.select("user_id").distinct()
+    for j, stamp in enumerate(("2099-01-01 00:00:00", "2099-01-01 01:00:00")):
+        users.select(
+            (F.lit(20_000_000 + j * 100_000) + F.col("user_id")).alias("event_id"),
+            "user_id",
+            F.lit(stamp).cast("timestamp_ntz").alias("ts"),
+            F.lit("view").alias("event_type"),
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        time.sleep(1.2)
+
+    stream = (
+        file_stream(spark, str(src), max_files_per_trigger=1)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+    )
+    out = stateful_match_pattern(
+        stream, key_col="user_id", ts_col="ts", steps=_steps(),
+        within_seconds=None, id_col="event_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_stream_unbounded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = _match_set(spark.table("cep_stream_unbounded"))
+    batch = match_pattern(ev, "user_id", "ts", _steps(), id_col="event_id")
+    assert streamed == _match_set(batch)

@@ -62,3 +62,18 @@ def test_stream_converges_to_batch_merge(spark, tmp_path):
     dropped = view.vacuum(keep_last=1)
     assert dropped == [0, 1]
     assert _rows(view.snapshot(spark)) == want
+
+
+def test_partial_write_is_not_a_committed_version(spark, tmp_path):
+    import os
+
+    view = UpsertView(str(tmp_path / "view"), ["k"], "seq")
+    view.process_batch(spark.createDataFrame(WAVES[0], SCHEMA), 0)
+    # simulate a crash mid-write of version 1: directory without _SUCCESS
+    partial = os.path.join(str(tmp_path / "view"), "_v=1")
+    os.makedirs(partial)
+    assert view._versions() == [0]  # partial not serveable
+    assert _rows(view.snapshot(spark)) == {(1, "a", 10), (2, "b", 20)}
+    # replay overwrites the partial and commits it
+    view.process_batch(spark.createDataFrame(WAVES[1], SCHEMA), 1)
+    assert view._versions() == [0, 1]
