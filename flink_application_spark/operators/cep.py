@@ -50,16 +50,31 @@ def match_pattern(
     steps: list[Column],
     within_seconds: float | None = None,
     id_col: str | None = None,
+    quantifiers: list[str] | None = None,
 ) -> DataFrame:
     """Detect non-overlapping earliest matches of `steps` per key.
 
-    Returns (key, step_1_ts .. step_k_ts, step_1_id .. step_k_id).
-    `within_seconds` bounds last-step-ts − first-step-ts. Ties on ts
+    Returns (key, step_1_ts .. step_k_ts, step_1_id .. step_k_id);
+    with `quantifiers` (each 'once' or 'oneOrMore' — Kleene plus,
+    greedy) the schema additionally carries step_i_n repetition counts
+    and step ts/id refer to each step's FIRST bound event. The final
+    step must be 'once' (a greedy trailing plus has no stop signal).
+    `within_seconds` bounds last-bound-ts − first-bound-ts. Ties on ts
     are broken by `id_col` (or an arbitrary-but-total generated id) —
     the sort is total either way, so matching is deterministic."""
     k = len(steps)
     if k == 0:
         raise ValueError("match_pattern: need at least one step")
+    if quantifiers is not None:
+        if len(quantifiers) != k:
+            raise ValueError("quantifiers must match steps length")
+        if any(q not in ("once", "oneOrMore") for q in quantifiers):
+            raise ValueError("quantifiers are 'once' or 'oneOrMore'")
+        if quantifiers[-1] == "oneOrMore":
+            raise ValueError(
+                "the final step must be 'once': a greedy trailing "
+                "oneOrMore never knows when to stop (add a closing step)"
+            )
     within_us = None if within_seconds is None else int(within_seconds * 1_000_000)
 
     # events without a timestamp cannot participate in a temporal
@@ -77,6 +92,9 @@ def match_pattern(
         fields.append(StructField(f"step_{i + 1}_ts", TimestampNTZType()))
     for i in range(k):
         fields.append(StructField(f"step_{i + 1}_id", LongType()))
+    if quantifiers is not None:
+        for i in range(k):
+            fields.append(StructField(f"step_{i + 1}_n", LongType()))
     out_schema = StructType(fields)
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -87,14 +105,25 @@ def match_pattern(
         svals = [
             pdf[f"_s{i}"].fillna(False).to_numpy().tolist() for i in range(k)
         ]
-        matches, _, _ = greedy_scan(ts_us, svals, k, within_us, [], 0, len(pdf))
         rows = []
-        for m in matches:
-            row = {"key": key}
-            for j, pos in enumerate(m):
-                row[f"step_{j + 1}_ts"] = pdf["_ts"].iloc[pos]
-                row[f"step_{j + 1}_id"] = int(ids[pos])
-            rows.append(row)
+        if quantifiers is None:
+            matches, _, _ = greedy_scan(ts_us, svals, k, within_us, [], 0, len(pdf))
+            for m in matches:
+                row = {"key": key}
+                for j, pos in enumerate(m):
+                    row[f"step_{j + 1}_ts"] = pdf["_ts"].iloc[pos]
+                    row[f"step_{j + 1}_id"] = int(ids[pos])
+                rows.append(row)
+        else:
+            for m in greedy_scan_quant(
+                ts_us, svals, quantifiers, within_us, 0, len(pdf)
+            ):
+                row = {"key": key}
+                for j, positions in enumerate(m):
+                    row[f"step_{j + 1}_ts"] = pdf["_ts"].iloc[positions[0]]
+                    row[f"step_{j + 1}_id"] = int(ids[positions[0]])
+                    row[f"step_{j + 1}_n"] = len(positions)
+                rows.append(row)
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields]) if rows else pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in out_schema.fields}
         )
@@ -138,3 +167,56 @@ def greedy_scan(
                 bound = []
         i += 1
     return matches, bound, n
+
+
+def greedy_scan_quant(
+    ts_us: list[int],
+    flags: list[list[bool]],
+    quants: list[str],
+    within_us: int | None,
+    start: int,
+    n: int,
+) -> list[list[list[int]]]:
+    """Quantified automaton core: each step is 'once' or 'oneOrMore'
+    (Kleene plus, greedy — MATCH_RECOGNIZE `B+` / Flink CEP
+    `.oneOrMore().greedy()` under relaxed contiguity).
+
+    Greedy disambiguation: an event matching BOTH the current
+    oneOrMore step and the next step EXTENDS the current step (more
+    repetitions preferred). The final step must be 'once' — a greedy
+    trailing plus never knows when to stop without an `until`, so it
+    is rejected at the API layer rather than silently lazy.
+
+    Returns matches as one position-list per step. Non-overlapping,
+    earliest, head-expiry rewind — same contract as `greedy_scan`."""
+    k = len(quants)
+    matches: list[list[list[int]]] = []
+    bound: list[list[int]] = []
+    i = start
+    while i < n:
+        step = len(bound)
+        extend = (
+            bound
+            and quants[step - 1] == "oneOrMore"
+            and flags[step - 1][i]
+            # greedy: prefer extending even if the next step also matches
+        )
+        advance = step < k and flags[step][i]
+        if extend or advance:
+            if (
+                within_us is not None
+                and bound
+                and ts_us[i] - ts_us[bound[0][0]] > within_us
+            ):
+                i = bound[0][0] + 1
+                bound = []
+                continue
+            if extend:
+                bound[step - 1].append(i)
+            else:
+                bound.append([i])
+                if len(bound) == k:
+                    matches.append([list(b) for b in bound])
+                    bound = []
+        i += 1
+    return matches

@@ -1,7 +1,7 @@
 """CEP queries over the events table — Flink's CEP / MATCH_RECOGNIZE
 capability re-expressed Spark-first.
 
-Two registrations:
+Three registrations:
 
 - `events_cep_signup_purchase_no_error` — a join-expressible pattern
   (per signup: the FIRST purchase within 1 hour, invalidated by any
@@ -15,6 +15,8 @@ Two registrations:
   inherently iterative — not SQL-expressible — so it is rows-only at
   the driver gate with the semantics pinned against a pure-Python
   reference in `tests/test_cep.py`.
+- `events_cep_error_burst_recovery` — the quantified automaton
+  (Kleene plus, greedy): error+ → purchase, emitting burst sizes.
 """
 
 from __future__ import annotations
@@ -123,5 +125,33 @@ def q_cep_funnel_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         within_seconds=86400,
         id_col="event_id",
+    )
+    return out.withColumnRenamed("key", "user_id")
+
+
+@register(
+    "events_cep_error_burst_recovery",
+    None,  # Kleene-greedy matching is iterative — not SQL-expressible
+    doc="Quantified CEP (Kleene plus): one-or-more errors (greedy — "
+    "the whole burst absorbed into one match) followed by a purchase "
+    "within 24 hours, per user, non-overlapping. Emits the burst size "
+    "(step_1_n) — the 'how many failures before recovery' signal. "
+    "Semantics pinned by tests/test_cep_quantifiers.py and the "
+    "hypothesis contracts in tests/test_cep_property.py.",
+    tags=("events", "cep"),
+)
+def q_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, tables=("events",))["events"]
+    out = match_pattern(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            F.col("event_type") == "error",
+            F.col("event_type") == "purchase",
+        ],
+        within_seconds=86400,
+        id_col="event_id",
+        quantifiers=["oneOrMore", "once"],
     )
     return out.withColumnRenamed("key", "user_id")

@@ -73,3 +73,39 @@ def test_resume_across_cut_equals_one_shot(ev, within, data):
 
     got = [m for m in m1] + [[p + keep_from for p in m] for m in m2]
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(events(), st.one_of(st.none(), st.integers(0, 12)))
+def test_quantified_all_once_equals_plain(ev, within):
+    from flink_application_spark.operators.cep import greedy_scan_quant
+
+    ts, flags = ev
+    plain, _, _ = _scan(ts, flags, within)
+    quant = greedy_scan_quant(ts, flags, ["once"] * K, within, 0, len(ts))
+    assert [[p[0] for p in m] for m in quant] == plain
+    assert all(len(p) == 1 for m in quant for p in m)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events(), st.one_of(st.none(), st.integers(0, 12)))
+def test_quantified_matches_valid_and_disjoint(ev, within):
+    from flink_application_spark.operators.cep import greedy_scan_quant
+
+    ts, flags = ev
+    quants = ["once", "oneOrMore", "once"]
+    seen: set[int] = set()
+    for m in greedy_scan_quant(ts, flags, quants, within, 0, len(ts)):
+        assert len(m) == K
+        flat = [p for b in m for p in b]
+        assert flat == sorted(flat)
+        for step, positions in enumerate(m):
+            assert len(positions) >= 1
+            if quants[step] == "once":
+                assert len(positions) == 1
+            for pos in positions:
+                assert flags[step][pos]
+                assert pos not in seen
+                seen.add(pos)
+        if within is not None:
+            assert ts[flat[-1]] - ts[flat[0]] <= within
