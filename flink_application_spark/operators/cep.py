@@ -51,6 +51,7 @@ def match_pattern(
     within_seconds: float | None = None,
     id_col: str | None = None,
     quantifiers: list[str] | None = None,
+    not_between: list[Column | None] | None = None,
 ) -> DataFrame:
     """Detect non-overlapping earliest matches of `steps` per key.
 
@@ -59,12 +60,22 @@ def match_pattern(
     greedy) the schema additionally carries step_i_n repetition counts
     and step ts/id refer to each step's FIRST bound event. The final
     step must be 'once' (a greedy trailing plus has no stop signal).
-    `within_seconds` bounds last-bound-ts − first-bound-ts. Ties on ts
-    are broken by `id_col` (or an arbitrary-but-total generated id) —
-    the sort is total either way, so matching is deterministic."""
+    `not_between` (length k−1, Flink's notFollowedBy) gives per-gap
+    killer predicates: such an event arriving strictly between the
+    bindings of steps j and j+1 discards the partial. Using
+    `not_between` implies the quantified output schema (quantifiers
+    default to all-'once'). `within_seconds` bounds last-bound-ts −
+    first-bound-ts. Ties on ts are broken by `id_col` (or an
+    arbitrary-but-total generated id) — the sort is total either way,
+    so matching is deterministic."""
     k = len(steps)
     if k == 0:
         raise ValueError("match_pattern: need at least one step")
+    if not_between is not None:
+        if len(not_between) != k - 1:
+            raise ValueError("not_between must have one entry per step gap (k-1)")
+        if quantifiers is None:
+            quantifiers = ["once"] * k
     if quantifiers is not None:
         if len(quantifiers) != k:
             raise ValueError("quantifiers must match steps length")
@@ -85,7 +96,19 @@ def match_pattern(
         F.col(ts_col).cast("timestamp_ntz").alias("_ts"),
         *( [F.col(id_col).cast("bigint").alias("_id")] if id_col else [F.monotonically_increasing_id().alias("_id")] ),
         *[s.cast("boolean").alias(f"_s{i}") for i, s in enumerate(steps)],
+        *(
+            [
+                (g if g is not None else F.lit(False)).cast("boolean").alias(f"_g{j}")
+                for j, g in enumerate(not_between)
+            ]
+            if not_between is not None
+            else []
+        ),
     )
+
+    # the walk closure must not capture Column objects (unpicklable) —
+    # only this bool crosses into the worker
+    has_guards = not_between is not None
 
     fields = [StructField("key", flags.schema["_key"].dataType)]
     for i in range(k):
@@ -115,8 +138,14 @@ def match_pattern(
                     row[f"step_{j + 1}_id"] = int(ids[pos])
                 rows.append(row)
         else:
+            gvals = None
+            if has_guards:
+                gvals = [
+                    pdf[f"_g{j}"].fillna(False).to_numpy().tolist()
+                    for j in range(k - 1)
+                ]
             for m in greedy_scan_quant(
-                ts_us, svals, quantifiers, within_us, 0, len(pdf)
+                ts_us, svals, quantifiers, within_us, 0, len(pdf), guards=gvals
             ):
                 row = {"key": key}
                 for j, positions in enumerate(m):
@@ -176,14 +205,19 @@ def greedy_scan_quant(
     within_us: int | None,
     start: int,
     n: int,
+    guards: list[list[bool] | None] | None = None,
 ) -> list[list[list[int]]]:
     """Quantified automaton core: each step is 'once' or 'oneOrMore'
     (Kleene plus, greedy — MATCH_RECOGNIZE `B+` / Flink CEP
-    `.oneOrMore().greedy()` under relaxed contiguity).
+    `.oneOrMore().greedy()` under relaxed contiguity), with optional
+    NEGATION guards (Flink's `notFollowedBy`): `guards[j]`, when set,
+    is a boolean column of "killer" events — one arriving while the
+    partial waits between step j+1 and step j+2 discards the partial
+    (matching re-seeks past the old head, same as horizon expiry).
 
-    Greedy disambiguation: an event matching BOTH the current
-    oneOrMore step and the next step EXTENDS the current step (more
-    repetitions preferred). The final step must be 'once' — a greedy
+    Precedence per event: extend/advance first (an event that both
+    completes the pattern and matches a guard is a completion), then
+    guard kill, else skip. The final step must be 'once' — a greedy
     trailing plus never knows when to stop without an `until`, so it
     is rejected at the API layer rather than silently lazy.
 
@@ -218,5 +252,16 @@ def greedy_scan_quant(
                 if len(bound) == k:
                     matches.append([list(b) for b in bound])
                     bound = []
+        elif (
+            bound
+            and guards is not None
+            and guards[step - 1] is not None
+            and guards[step - 1][i]
+        ):
+            # killer event between step `step` and `step+1`: discard
+            # the partial and re-seek past its head
+            i = bound[0][0] + 1
+            bound = []
+            continue
         i += 1
     return matches

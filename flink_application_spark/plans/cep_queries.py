@@ -1,7 +1,7 @@
 """CEP queries over the events table — Flink's CEP / MATCH_RECOGNIZE
 capability re-expressed Spark-first.
 
-Three registrations:
+Four registrations:
 
 - `events_cep_signup_purchase_no_error` — a join-expressible pattern
   (per signup: the FIRST purchase within 1 hour, invalidated by any
@@ -17,6 +17,8 @@ Three registrations:
   reference in `tests/test_cep.py`.
 - `events_cep_error_burst_recovery` — the quantified automaton
   (Kleene plus, greedy): error+ → purchase, emitting burst sizes.
+- `events_cep_clean_checkout` — the negation automaton
+  (notFollowedBy guard): signup → purchase, no error between.
 """
 
 from __future__ import annotations
@@ -153,5 +155,33 @@ def q_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_seconds=86400,
         id_col="event_id",
         quantifiers=["oneOrMore", "once"],
+    )
+    return out.withColumnRenamed("key", "user_id")
+
+
+@register(
+    "events_cep_clean_checkout",
+    None,  # automaton semantics (consuming, non-overlapping) — not SQL-expressible
+    doc="Negation CEP (notFollowedBy): signup → purchase within 1 hour "
+    "with NO error strictly between the bindings — the automaton form "
+    "of the join-expressible events_cep_signup_purchase_no_error "
+    "(which stays the oracle-checked variant; this one is CONSUMING "
+    "and non-overlapping, so a purchase satisfies at most one signup). "
+    "Guard semantics pinned in tests/test_cep_quantifiers.py.",
+    tags=("events", "cep"),
+)
+def q_cep_clean_checkout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, tables=("events",))["events"]
+    out = match_pattern(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+        ],
+        within_seconds=3600,
+        id_col="event_id",
+        not_between=[F.col("event_type") == "error"],
     )
     return out.withColumnRenamed("key", "user_id")

@@ -109,3 +109,30 @@ def test_quantified_matches_valid_and_disjoint(ev, within):
                 seen.add(pos)
         if within is not None:
             assert ts[flat[-1]] - ts[flat[0]] <= within
+
+
+@settings(max_examples=300, deadline=None)
+@given(events(), st.one_of(st.none(), st.integers(0, 12)), st.data())
+def test_guarded_matches_have_clean_gaps(ev, within, data):
+    """No guard-matching event may lie strictly between the bindings
+    of consecutive steps inside any emitted match."""
+    from flink_application_spark.operators.cep import greedy_scan_quant
+
+    ts, flags = ev
+    n = len(ts)
+    guards = [
+        [data.draw(st.booleans()) for _ in range(n)] if g else None
+        for g in (data.draw(st.booleans()), data.draw(st.booleans()))
+    ]
+    for m in greedy_scan_quant(
+        ts, flags, ["once"] * K, within, 0, n, guards=guards
+    ):
+        for j in range(K - 1):
+            if guards[j] is None:
+                continue
+            lo, hi = m[j][-1], m[j + 1][0]
+            for pos in range(lo + 1, hi):
+                # a guard event here would have killed the partial —
+                # unless that same event advanced the pattern (bound)
+                bound_positions = {p for b in m for p in b}
+                assert not guards[j][pos] or pos in bound_positions

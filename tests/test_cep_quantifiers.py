@@ -105,3 +105,52 @@ def test_quant_core_once_only_equals_plain_scan():
     plain, _, _ = greedy_scan(ts, flags, 3, None, [], 0, 6)
     quant = greedy_scan_quant(ts, flags, ["once"] * 3, None, 0, 6)
     assert [[p[0] for p in m] for m in quant] == plain
+
+
+def test_not_between_kills_partial(spark):
+    # a X b: error X between kills; later clean a b matches
+    rows = [(1, 0, "a"), (1, 1, "x"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b")]
+    out = match_pattern(
+        _ev(spark, rows), "user_id", "ts", _steps("a", "b"),
+        id_col="event_id", not_between=[F.col("event_type") == "x"],
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["step_1_id"], out[0]["step_2_id"]) == (3, 4)
+
+
+def test_not_between_reseek_finds_inner_match(spark):
+    # a1 a2 X b: the partial headed at a1 dies at X... but so does one
+    # headed at a2 (X is between a2 and b too). A clean pair after X
+    # matches.
+    rows = [(1, 0, "a"), (1, 1, "a"), (1, 2, "x"), (1, 3, "b"), (1, 4, "a"), (1, 5, "b")]
+    out = match_pattern(
+        _ev(spark, rows), "user_id", "ts", _steps("a", "b"),
+        id_col="event_id", not_between=[F.col("event_type") == "x"],
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["step_1_id"], out[0]["step_2_id"]) == (4, 5)
+
+
+def test_completion_beats_guard(spark):
+    # an event matching BOTH the final step and the guard completes
+    rows = [(1, 0, "a"), (1, 1, "bx")]
+    steps = [F.col("event_type") == "a", F.col("event_type").isin("b", "bx")]
+    out = match_pattern(
+        _ev(spark, rows), "user_id", "ts", steps,
+        id_col="event_id",
+        not_between=[F.col("event_type").isin("x", "bx")],
+    ).collect()
+    assert len(out) == 1
+
+
+def test_guard_between_plus_repetitions(spark):
+    # guard on gap 2 (between B+ and C); killer between b-burst and c
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "b"), (1, 3, "x"), (1, 4, "c"),
+            (1, 5, "a"), (1, 6, "b"), (1, 7, "c")]
+    out = match_pattern(
+        _ev(spark, rows), "user_id", "ts", _steps("a", "b", "c"),
+        id_col="event_id", quantifiers=["once", "oneOrMore", "once"],
+        not_between=[None, F.col("event_type") == "x"],
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["step_1_id"], out[0]["step_3_id"]) == (5, 7)
