@@ -41,6 +41,8 @@ HEADLINE = [
     "corpus_curation_funnel",
     "doc_bigram_lm_score",
     "emb_kmeans_assign",
+    # the CEP automaton (pattern matching over 100k events)
+    "events_cep_funnel_matches",
 ]
 
 
