@@ -89,9 +89,13 @@ def match_pattern(
     within_us = None if within_seconds is None else int(within_seconds * 1_000_000)
 
     # events without a timestamp cannot participate in a temporal
-    # pattern (and NaT would cast to int64-min, defeating the horizon
-    # check with bogus matches) — drop them up front
-    flags = df.filter(F.col(ts_col).isNotNull()).select(
+    # pattern (NaT would cast to int64-min, defeating the horizon
+    # check), and a NULL key has no stream to belong to (NaN != NaN
+    # would also fragment its run in the batch-walk grouping) — drop
+    # both up front
+    flags = df.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(key_col).alias("_key"),
         F.col(ts_col).cast("timestamp_ntz").alias("_ts"),
         *( [F.col(id_col).cast("bigint").alias("_id")] if id_col else [F.monotonically_increasing_id().alias("_id")] ),
