@@ -90,12 +90,14 @@ def match_pattern(
 
     # events without a timestamp cannot participate in a temporal
     # pattern (NaT would cast to int64-min, defeating the horizon
-    # check), and a NULL key has no stream to belong to (NaN != NaN
-    # would also fragment its run in the batch-walk grouping) — drop
-    # both up front
-    flags = df.filter(
-        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
-    ).select(
+    # check), and a NULL key has no stream to belong to — drop both up
+    # front. For float key columns also drop NaN (not NULL in Spark,
+    # but NaN != NaN would fragment its run in the batch walk and
+    # pandas groupby would silently discard it).
+    keep = F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    if dict(df.dtypes).get(key_col) in ("float", "double"):
+        keep = keep & ~F.isnan(F.col(key_col))
+    flags = df.filter(keep).select(
         F.col(key_col).alias("_key"),
         F.col(ts_col).cast("timestamp_ntz").alias("_ts"),
         *( [F.col(id_col).cast("bigint").alias("_id")] if id_col else [F.monotonically_increasing_id().alias("_id")] ),
@@ -164,31 +166,55 @@ def match_pattern(
         # group, which at millions of small keys dominates runtime
         # (measured 5.7 s → 1.4 s at sf0.1's 2k keys). Rows arrive
         # key-clustered and (ts, id)-sorted via the secondary sort; a
-        # key spanning two Arrow batches is carried over, so group
-        # boundaries stay exact.
-        carry = None
+        # key spanning Arrow batches accumulates as a CHUNK LIST and
+        # concats once when it closes (concat-per-batch would be
+        # O(batches²) row copies for a hot key).
+        carry_chunks: list[pd.DataFrame] = []
+        carry_key = None
+
+        def _flush(rows):
+            if carry_chunks:
+                g = (
+                    pd.concat(carry_chunks, ignore_index=True)
+                    if len(carry_chunks) > 1
+                    else carry_chunks[0]
+                )
+                _walk_group(g, rows)
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            cur = pd.concat([carry, pdf], ignore_index=True) if carry is not None else pdf
-            last_key = cur["_key"].iloc[-1]
-            head = cur[cur["_key"] != last_key]
-            carry = cur[cur["_key"] == last_key]
             rows: list = []
+            keys = pdf["_key"].to_numpy()
+            start = 0
+            if carry_chunks:
+                cont = keys == carry_key
+                if cont.all():
+                    carry_chunks.append(pdf)
+                    continue
+                run = int((~cont).argmax())
+                if run:
+                    carry_chunks.append(pdf.iloc[:run])
+                    start = run
+                _flush(rows)
+                carry_chunks, carry_key = [], None
+            rest = pdf.iloc[start:] if start else pdf
+            last_key = rest["_key"].iloc[-1]
+            head = rest[rest["_key"] != last_key]
             for _, g in head.groupby("_key", sort=False):
                 _walk_group(g, rows)
+            carry_chunks = [rest[rest["_key"] == last_key]]
+            carry_key = last_key
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
-        if carry is not None and len(carry):
-            rows = []
-            _walk_group(carry, rows)
-            if rows:
-                yield pd.DataFrame(rows, columns=out_cols)
+        rows = []
+        _flush(rows)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    clustered = flags.repartition(n_parts, "_key").sortWithinPartitions(
-        "_key", "_ts", "_id"
-    )
+    # no explicit partition count: repartition("_key") inherits
+    # spark.sql.shuffle.partitions and AQE coalescing/skew handling
+    clustered = flags.repartition("_key").sortWithinPartitions("_key", "_ts", "_id")
     return clustered.mapInPandas(process, schema=out_schema)
 
 

@@ -121,3 +121,31 @@ def test_corpus_agrees_with_reference(spark, sf_dir, within):
     for m in want:
         want_counts[m[0]] = want_counts.get(m[0], 0) + 1
     assert got_counts == want_counts
+
+
+def test_key_spanning_many_arrow_batches(spark):
+    """One hot key across many tiny Arrow batches drives the
+    chunked-carry path (cont.all() accumulation + final flush)."""
+    import datetime as dt
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        rows = []
+        # 40 (signup, click, purchase) triples + noise for ONE key
+        for i in range(40):
+            rows += [(1, 10 * i, "signup"), (1, 10 * i + 1, "view"),
+                     (1, 10 * i + 2, "click"), (1, 10 * i + 3, "purchase")]
+        got = _matches(match_pattern(_ev(spark, rows), "user_id", "ts",
+                                     _steps("signup", "click", "purchase"),
+                                     id_col="event_id"))
+        assert len(got) == 40
+        ref = _py_reference(
+            [(k, s, t) for (k, s, t) in rows], ["signup", "click", "purchase"]
+        )
+        assert len(ref) == 40
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
