@@ -1,0 +1,93 @@
+"""SemDeDup — semantic deduplication by clustering then within-cluster
+cosine pruning (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540).
+
+Pipeline shape (all existing, separately-verified machinery):
+
+1. **Cluster** every embedding to its nearest centroid — the
+   scan-local broadcast-literal argmin from ``operators/kmeans.py``
+   (no shuffle, embeddings never move).
+2. **Pairwise cosine WITHIN each cluster only** — the equi-join on
+   ``cluster`` replaces the corpus-wide cross product; this bounded
+   blocking is the entire point of SemDeDup. At 100 TB the cluster
+   count k scales with the corpus (the paper uses k ≈ n/10⁴), so the
+   per-cluster pair work stays ~constant per row and the join
+   shuffles on a key with controlled fan-in. Locally k is small and
+   deterministic (seed centroids = k smallest ids) so the DuckDB
+   oracle can reproduce the assignment bit-for-bit.
+3. **Prune**: a vector is dropped when a *lower-id* vector in the
+   same cluster is within the cosine threshold; the survivor set is
+   every vector with no smaller close neighbor. This "drop if any
+   smaller neighbor" rule is the same deterministic one-shot
+   approximation of sequential greedy used by the text dedup
+   pipeline (`plans/dedup_queries.py`) — monotone (never drops the
+   cluster's lowest id), order-insensitive, SQL-expressible. The
+   strict sequential greedy (only KEPT neighbors can kill) differs
+   only on chains a−b−c where a kills b and b—but-not-a—is close to
+   c; documented divergence, same as the text path.
+
+The reference has no semantic-dedup operator; this extends the
+enrichment engine toward the training-data-curation surface
+(cf. /root/reference/src/main/java/org/example/EnrichmentApp.java's
+dedup-by-session-argmax at a different altitude).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_application_spark.functions.vectors import cosine
+from flink_application_spark.operators.kmeans import assign_clusters, init_centroids
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    threshold: float,
+    k: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-vector SemDeDup verdicts.
+
+    Returns (vec_id, cluster, kept, n_close_smaller, max_sim_smaller):
+    ``kept`` is false iff some lower-id vector in the same cluster has
+    cosine ≥ ``threshold``; the diagnostic columns say how many and how
+    close. ``centroids`` defaults to the deterministic k-smallest-id
+    seeds (pass ``kmeans_fit`` output for trained clusters at scale —
+    the flags logic is identical)."""
+    emb = emb.filter(F.col("embedding").isNotNull())
+    if centroids is None:
+        centroids = init_centroids(emb, k, "vec_id")
+    assigned = assign_clusters(emb, centroids).select(
+        "vec_id", "embedding", "cluster"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cluster"
+    )
+    close_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    drops = close_pairs.groupBy("id_b").agg(
+        F.count(F.lit(1)).alias("n_close_smaller"),
+        F.max("cos").alias("max_sim_smaller"),
+    )
+    return (
+        assigned.join(drops, assigned["vec_id"] == drops["id_b"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("id_b").isNull().alias("kept"),
+            F.coalesce(F.col("n_close_smaller"), F.lit(0).cast("bigint")).alias(
+                "n_close_smaller"
+            ),
+            "max_sim_smaller",
+        )
+    )

@@ -1,0 +1,49 @@
+"""SemDeDup contracts (oracle parity is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.semdedup import semdedup_flags
+
+_T = 0.3
+
+
+def test_semdedup_verdict_contracts(spark, sf_dir):
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    flags = semdedup_flags(emb, threshold=_T, k=8).cache()
+
+    # every vector gets exactly one verdict
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    assert flags.count() == n
+
+    # the lowest id in each cluster is always kept (monotone rule)
+    lowest = flags.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    assert (
+        flags.join(lowest, ["cluster", "vec_id"]).filter(~F.col("kept")).count() == 0
+    )
+
+    # dropped rows must cite >= 1 close smaller neighbor at >= threshold;
+    # kept rows must cite none above it
+    assert (
+        flags.filter(~F.col("kept"))
+        .filter(
+            (F.col("n_close_smaller") < 1) | (F.col("max_sim_smaller") < _T)
+        )
+        .count()
+        == 0
+    )
+    assert flags.filter(F.col("kept") & (F.col("n_close_smaller") != 0)).count() == 0
+
+    # pruning actually fires on this corpus
+    assert flags.filter(~F.col("kept")).count() > 0
+    flags.unpersist()
+
+
+def test_semdedup_threshold_monotone(spark, sf_dir):
+    """Raising the threshold can only keep MORE vectors."""
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    kept_loose = semdedup_flags(emb, threshold=0.25, k=8).filter("kept").count()
+    kept_tight = semdedup_flags(emb, threshold=0.4, k=8).filter("kept").count()
+    assert kept_tight >= kept_loose
