@@ -1,0 +1,102 @@
+"""BPE tokenizer-training queries over the `documents` table.
+
+`vocab_bpe_pair_counts` (the first merge round's pair statistics) is
+fully oracle-checked — DuckDB reproduces the word-frequency table, the
+character seeding with the ``</w>`` marker, and the weighted adjacent-
+pair counts bit-for-bit. The multi-round driver loop
+(`vocab_bpe_learned_merges`) is iterative with a data-dependent merge
+choice per round — not one-shot-SQL-expressible — so it is rows-only at
+the driver gate and pinned against a pure-Python reference BPE in
+`tests/test_bpe.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.bpe import (
+    bpe_learn,
+    pair_counts,
+    word_symbol_counts,
+)
+from flink_application_spark.plans.registry import register
+
+_TOPK = 30
+_N_MERGES = 10
+
+
+@register(
+    "vocab_bpe_pair_counts",
+    f"""
+WITH words AS (
+  SELECT w.word AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS word
+    FROM documents
+  ) w
+  GROUP BY w.word
+),
+syms AS (
+  SELECT word, c,
+         list_append(string_split(word, ''), '</w>') AS s
+  FROM words
+),
+pairs AS (
+  SELECT s[i] AS lhs, s[i + 1] AS rhs, c
+  FROM (SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i FROM syms
+        WHERE len(s) >= 2)
+),
+totals AS (
+  SELECT lhs, rhs, CAST(sum(c) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY lhs, rhs
+),
+ranked AS (
+  SELECT lhs, rhs, n_pairs,
+         row_number() OVER (ORDER BY n_pairs DESC, lhs, rhs) AS rank
+  FROM totals
+)
+SELECT lhs, rhs, n_pairs, rank FROM ranked WHERE rank <= {_TOPK}
+""",
+    doc=f"BPE merge round 1 statistics: corpus word frequencies (ONE "
+    "corpus pass; every later round runs on the vocab-sized table), "
+    "character symbols + '</w>' terminal, adjacent-pair totals "
+    f"weighted by word count, top {_TOPK} by (count desc, pair asc). "
+    "The scan-local pair construction (sequence+transform, no "
+    "position self-join) is the shape every merge round reuses.",
+    tags=("documents", "vocab", "bpe"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    counts = pair_counts(word_symbol_counts(docs))
+    top = counts.orderBy(
+        F.col("n_pairs").desc(), F.col("lhs"), F.col("rhs")
+    ).limit(_TOPK)
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("lhs"), F.col("rhs"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "lhs", "rhs", "n_pairs", "rank"
+    )
+
+
+@register(
+    "vocab_bpe_learned_merges",
+    None,  # data-dependent per-round argmax — iterative, not one-shot SQL
+    doc=f"Learned BPE merge table ({_N_MERGES} rounds): per round one "
+    "vocab-sized pair aggregate, a deterministic driver-side top-1 "
+    "(count desc, lexicographic tie-break — no RNG), and a scan-local "
+    "left-to-right merge fold. Matches the classic Sennrich algorithm "
+    "exactly (pinned against a pure-Python reference in tests/"
+    "test_bpe.py). At 100 TB only round zero touches the corpus.",
+    tags=("documents", "vocab", "bpe"),
+)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    rules = bpe_learn(docs, n_merges=_N_MERGES)
+    return spark.createDataFrame(
+        [
+            (i, left, right, n)
+            for i, (left, right, n) in enumerate(rules)
+        ],
+        "merge_idx int, lhs string, rhs string, n_pairs bigint",
+    )

@@ -1,0 +1,98 @@
+"""BPE learning pinned against a pure-Python reference implementation
+(classic Sennrich alg); oracle parity for the pair-count round is in
+test_oracle_parity."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.bpe import (
+    END,
+    apply_merge,
+    bpe_learn,
+    bpe_segment,
+    word_symbol_counts,
+)
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE: per round, count adjacent pairs weighted by word
+    freq, merge the (count desc, pair asc) winner left-to-right."""
+    vocab = {w: list(w) + [END] for w in word_counts}
+    rules = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (lhs, rhs), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((lhs, rhs, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return rules, vocab
+
+
+def _word_counts(spark, sf_dir) -> dict[str, int]:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    rows = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    return {r["w"]: r["count"] for r in rows}
+
+
+def test_bpe_learn_matches_python_reference(spark, sf_dir):
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    got = bpe_learn(docs, n_merges=8)
+    want, _ = _py_bpe(_word_counts(spark, sf_dir), 8)
+    assert got == want
+
+
+def test_bpe_segment_matches_python_vocab(spark, sf_dir):
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    rules = bpe_learn(docs, n_merges=8)
+    seg = bpe_segment(word_symbol_counts(docs), rules)
+    got = {r["word"]: r["syms"] for r in seg.collect()}
+    _, vocab = _py_bpe(_word_counts(spark, sf_dir), 8)
+    assert got == vocab
+    # reconstruction: symbols concatenate back to word + terminal marker
+    bad = seg.filter(
+        F.concat_ws("", F.col("syms")) != F.concat(F.col("word"), F.lit(END))
+    ).count()
+    assert bad == 0
+
+
+def test_apply_merge_overlapping_runs_left_to_right(spark):
+    words = spark.createDataFrame(
+        [("aaa", 1)], "word string, c bigint"
+    ).select(
+        "word",
+        "c",
+        F.concat(F.split("word", ""), F.array(F.lit(END))).alias("syms"),
+    )
+    out = apply_merge(words, "a", "a").collect()[0]["syms"]
+    assert out == ["aa", "a", END]
