@@ -232,6 +232,53 @@ def q_jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_jaccard_topk_thresholded",
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+, scored AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {JACCARD_SQL} AS jaccard
+  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+  WHERE sa.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+    AND sb.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+    AND {JACCARD_SQL} >= 0.05
+),
+ranked AS (
+  SELECT id_a, id_b, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS rank
+  FROM scored
+)
+SELECT id_a, id_b, jaccard, rank FROM ranked WHERE rank <= 20
+""",
+    doc="Top-20 most-similar document pairs ABOVE a similarity floor "
+    "(Jaccard >= 0.05) — the scale-shaped form of the top-k question: "
+    "the exact prefix-filtered set-similarity join produces only the "
+    "qualifying pairs (no O(n²) loop — see doc_jaccard_similarity_"
+    "join), then a TakeOrdered top-k ranks them. The floor is what "
+    "makes top-k tractable at 100 TB: an UNthresholded top-k must "
+    "score noise-level pairs and is inherently quadratic (that "
+    "exhaustive form is kept as doc_ngram_jaccard_topk). Oracle runs "
+    "the quadratic join + filter — identical rows by the prefix "
+    "theorem's zero-recall-loss guarantee.",
+    tags=("dedup", "jaccard", "setjoin"),
+)
+def q_jaccard_topk_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = jaccard_similarity_join(docs, 0.05)
+    top = pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id_a", "id_b", "jaccard", "rank"
+    )
+
+
+@register(
     "doc_dedup_keep_canonical",
     """
 SELECT doc_id, lang, source, n_chars
