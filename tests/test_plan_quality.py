@@ -46,6 +46,8 @@ SCALAR_SUBQUERY_BROADCAST = {
     "corpus_curation_funnel": 3,  # n_input × n_gated × n_nonempty 1-row appends
     "doc_bigram_lm_score": 1,  # vocab-size V scalar broadcast into probs
     "corpus_temperature_mixture": 1,  # (z, budget) normalizer row
+    "doc_dsir_log_weights": 2,  # Nt and Nr token-total 1-row appends
+    "doc_dsir_selection": 2,  # same estimator feeding the rank stage
 }
 
 
