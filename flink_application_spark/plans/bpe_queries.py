@@ -100,3 +100,37 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_idx int, lhs string, rhs string, n_pairs bigint",
     )
+
+
+@register(
+    "doc_bpe_token_counts",
+    None,  # depends on the iteratively-learned merge table
+    doc="Tokenizer APPLICATION at corpus scale: segment the vocabulary "
+    f"once under the {_N_MERGES} learned merges (scan-local folds over "
+    "the vocab-sized table), then count each document's BPE tokens via "
+    "an (exploded word → n_sym) dim join + per-doc sum — encoding a "
+    "100 TB corpus never re-runs the merge loop per document, it joins "
+    "a vocabulary table (the reference's enrichment shape with a "
+    "learned dimension). Word-level counts pinned against the Python "
+    "reference in tests/test_bpe.py.",
+    tags=("documents", "vocab", "bpe"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import tokens
+    from flink_application_spark.operators.bpe import bpe_segment
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    rules = bpe_learn(docs, n_merges=_N_MERGES)
+    vocab = bpe_segment(word_symbol_counts(docs), rules).select("word", "n_sym")
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("word"),
+    )
+    return (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )

@@ -96,3 +96,28 @@ def test_apply_merge_overlapping_runs_left_to_right(spark):
     )
     out = apply_merge(words, "a", "a").collect()[0]["syms"]
     assert out == ["aa", "a", END]
+
+
+def test_bpe_token_counts_match_python(spark, sf_dir):
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    wc = _word_counts(spark, sf_dir)
+    rules, vocab = _py_bpe(wc, 10)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in REGISTRY_GET("doc_bpe_token_counts").spark(spark, sf_dir).collect()
+    }
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    rows = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "").alias(
+            "toks"
+        ),
+    ).collect()
+    for r in rows:
+        toks = r["toks"] or []
+        if not toks:
+            assert r["doc_id"] not in got
+            continue
+        want = (len(toks), sum(len(vocab[w]) for w in toks))
+        assert got[r["doc_id"]] == want
