@@ -43,6 +43,11 @@ HEADLINE = [
     "emb_kmeans_assign",
     # the CEP automaton (pattern matching over 100k events)
     "events_cep_funnel_matches",
+    # round-2 additions: curation + tokenizer-prep flagships
+    "emb_semdedup_flags",
+    "doc_dsir_log_weights",
+    "doc_chunk_windows",
+    "vocab_bpe_pair_counts",
 ]
 
 

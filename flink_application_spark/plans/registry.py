@@ -180,16 +180,17 @@ SAMPLE_WINDOW = [
     "customer_apply_changelog",
     "customer_tree_depth_recursive_cte",
     "events_cep_signup_purchase_no_error",
-    # round-1 greens: one per family for continuity
-    "doc_exact_dedup_groups",
+    # round-2 additions, never driver-sampled
+    "emb_semdedup_flags",
+    "emb_semdedup_cluster_stats",
+    "doc_dsir_log_weights",
+    "doc_dsir_selection",
+    "vocab_bpe_pair_counts",
+    "doc_chunk_windows",
+    "doc_jaccard_topk_thresholded",
+    # round-1 greens: continuity representatives
     "doc_near_dup_pairs_minhash_lsh",
-    "doc_dedup_pipeline_stats",
     "mm_audio_window_features",
-    "emb_ivf_full_probe_exact",
-    "doc_bm25_search",
-    "doc_pii_redaction",
-    "events_sessionization",
-    "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier",
 ]
 
