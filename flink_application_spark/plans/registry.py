@@ -190,9 +190,9 @@ SAMPLE_WINDOW = [
     "vocab_bpe_pair_counts",
     "doc_chunk_windows",
     "doc_jaccard_topk_thresholded",
-    # round-1 greens: continuity representatives
-    "doc_near_dup_pairs_minhash_lsh",
-    "mm_audio_window_features",
+    "doc_quality_gate_audit",
+    "corpus_gate_attrition",
+    # round-1 green: continuity representative
     "tpch_q5_local_supplier",
 ]
 
