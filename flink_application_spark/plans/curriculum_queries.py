@@ -1,0 +1,49 @@
+"""Curriculum ordering — bucket documents by model-based difficulty
+(bigram-LM mean NLL) so a training pipeline can schedule easy→hard
+(curriculum learning) or hard-first (boosting-style reweighting).
+
+Composes the oracle-pinned LM scorer (`plans/lm_queries.py`): the
+difficulty signal is the corpus-trained bigram perplexity, bucketing
+is an ntile window over (score, doc_id) — fully ordered, hence
+deterministic across engines and partitionings. At 100 TB the global
+ntile sort is the one genuinely global operation; it sorts the SCORE
+table (doc_id + 2 numbers), never documents, and range partitioning
+keeps it parallel (Spark plans a RangePartitioning exchange, not a
+single-partition window, when the orderBy feeds a global sort first —
+here the quartile label is all we need, so the window's total order is
+the accepted cost of an exact global quantile split; the approximate
+alternative is percentile_approx bounds, traded here for oracle
+exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.plans.lm_queries import LM_SCORE_SQL, bigram_lm_scores
+from flink_application_spark.plans.registry import register
+
+_N_BUCKETS = 4
+
+
+@register(
+    "doc_curriculum_buckets",
+    f"""
+WITH lm AS ({LM_SCORE_SQL})
+SELECT doc_id, mean_nll,
+       ntile({_N_BUCKETS}) OVER (ORDER BY mean_nll, doc_id) AS difficulty
+FROM lm
+""",
+    doc=f"Curriculum difficulty buckets: ntile({_N_BUCKETS}) over the "
+    "bigram-LM mean NLL (corpus-trained perplexity — low = easy/"
+    "repetitive, high = hard/outlier) with doc_id tie-break. The "
+    "bucket table is what an easy→hard training scheduler joins "
+    "against; sorting touches only (doc_id, score) rows.",
+    tags=("documents", "curriculum", "lm"),
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    scores = bigram_lm_scores(docs).select("doc_id", "mean_nll")
+    w = Window.orderBy(F.col("mean_nll").asc(), F.col("doc_id").asc())
+    return scores.withColumn("difficulty", F.ntile(_N_BUCKETS).over(w))

@@ -172,6 +172,59 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
 
 
+@register(
+    "corpus_source_contamination_matrix",
+    "WITH "
+    + SHINGLES_CTE
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f"""
+, verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM verified v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+GROUP BY source_lo, source_hi
+""",
+    doc="Cross-source contamination matrix: verified near-dup pairs "
+    "(the LSH path) attributed to their source pair — which feeds "
+    "duplicate each other, the first question a crawl-intake dashboard "
+    "asks. Source lookup is two broadcast-sized dim joins over the "
+    "pair ids only (never text); symmetric key via least/greatest.",
+    tags=("dedup", "audit", "sources"),
+)
+def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
 def _simhash_oracle(n_bits: int) -> str:
     votes = []
     for j in range(n_bits):

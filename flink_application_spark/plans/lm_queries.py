@@ -96,9 +96,7 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "doc_bigram_lm_score",
-    """
+LM_SCORE_SQL = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -143,7 +141,12 @@ per_doc AS (
 )
 SELECT doc_id, n_scored, round(sum_nll / n_scored, 6) AS mean_nll
 FROM per_doc
-""",
+"""
+
+
+@register(
+    "doc_bigram_lm_score",
+    LM_SCORE_SQL,
     doc="Corpus-trained bigram LM quality score (the CCNet-style "
     "perplexity filter): add-one-smoothed P(tok|prev) from two hash "
     "aggregates + one join, per-document mean NLL folded over a "
