@@ -150,9 +150,10 @@ def match_pattern(
                     pdf[f"_g{j}"].fillna(False).to_numpy().tolist()
                     for j in range(k - 1)
                 ]
-            for m in greedy_scan_quant(
-                ts_us, svals, quantifiers, within_us, 0, len(pdf), guards=gvals
-            ):
+            q_matches, _, _ = greedy_scan_quant(
+                ts_us, svals, quantifiers, within_us, [], 0, len(pdf), guards=gvals
+            )
+            for m in q_matches:
                 row = {"key": key}
                 for j, positions in enumerate(m):
                     row[f"step_{j + 1}_ts"] = pdf["_ts"].iloc[positions[0]]
@@ -261,10 +262,11 @@ def greedy_scan_quant(
     flags: list[list[bool]],
     quants: list[str],
     within_us: int | None,
+    bound: list[list[int]],
     start: int,
     n: int,
     guards: list[list[bool] | None] | None = None,
-) -> list[list[list[int]]]:
+) -> tuple[list[list[list[int]]], list[list[int]], int]:
     """Quantified automaton core: each step is 'once' or 'oneOrMore'
     (Kleene plus, greedy — MATCH_RECOGNIZE `B+` / Flink CEP
     `.oneOrMore().greedy()` under relaxed contiguity), with optional
@@ -279,11 +281,15 @@ def greedy_scan_quant(
     trailing plus never knows when to stop without an `until`, so it
     is rejected at the API layer rather than silently lazy.
 
-    Returns matches as one position-list per step. Non-overlapping,
-    earliest, head-expiry rewind — same contract as `greedy_scan`."""
+    Returns (matches, open bound, scanned=n) — matches as one
+    position-list per step. Non-overlapping, earliest, head-expiry
+    rewind — same resumable contract as `greedy_scan`: callers
+    continuing across calls pass the returned `bound`/`scanned` back
+    in and must retain events from `bound[0][0]` on (the rewind on
+    horizon expiry or a guard kill can re-seek before `start`)."""
     k = len(quants)
     matches: list[list[list[int]]] = []
-    bound: list[list[int]] = []
+    bound = [list(b) for b in bound]
     i = start
     while i < n:
         step = len(bound)
@@ -322,4 +328,4 @@ def greedy_scan_quant(
             bound = []
             continue
         i += 1
-    return matches
+    return matches, bound, n

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from flink_application_spark.operators.cep import greedy_scan
+from flink_application_spark.operators.cep import greedy_scan, greedy_scan_quant
 
 
 def stateful_match_pattern(
@@ -174,6 +174,192 @@ def stateful_match_pattern(
             bound = [b - keep_from for b in bound]
             scanned -= keep_from
         state.update((ts_buf, id_buf, mask_buf, bound, scanned, max(frontier, wm_us)))
+
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return flags.groupBy("_key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_match_pattern_quant(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[Column],
+    quantifiers: list[str],
+    within_seconds: float | None = None,
+    id_col: str | None = None,
+    not_between: list[Column | None] | None = None,
+) -> DataFrame:
+    """Streaming twin of the QUANTIFIED batch operator
+    (`operators.cep.match_pattern` with quantifiers/not_between):
+    Kleene-plus steps and notFollowedBy guards on live keyed streams.
+
+    Same watermark-maturity harness as `stateful_match_pattern`; the
+    carried partial is the quantified core's list-of-position-lists
+    (flattened + per-step counts in state). Retention is always from
+    the open partial's head: BOTH the within-horizon rewind and a
+    guard kill re-seek there, so the O(1) bound-compaction the plain
+    operator applies without `within` is only valid here when neither
+    rewind source exists (no within AND no guards).
+
+    Step and guard predicates share one ≤63-bit mask: bits [0, k) are
+    steps, bits [k, 2k-1) the k-1 gap guards.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("stateful_match_pattern_quant: need at least one step")
+    if len(quantifiers) != k:
+        raise ValueError("quantifiers must match steps length")
+    if any(q not in ("once", "oneOrMore") for q in quantifiers):
+        raise ValueError("quantifiers are 'once' or 'oneOrMore'")
+    if quantifiers[-1] == "oneOrMore":
+        raise ValueError("the final step must be 'once' (no stop signal)")
+    if not_between is not None and len(not_between) != k - 1:
+        raise ValueError("not_between must have one entry per step gap (k-1)")
+    n_guard_bits = k - 1 if not_between is not None else 0
+    if k + n_guard_bits > 63:
+        raise ValueError("steps + guards exceed the 63-bit flag mask")
+    if id_col is None:
+        raise ValueError("stateful_match_pattern_quant requires id_col")
+    within_us = None if within_seconds is None else int(within_seconds * 1_000_000)
+    has_guards = not_between is not None
+    quants = list(quantifiers)
+
+    mask = F.lit(0).cast("bigint")
+    for i, s in enumerate(steps):
+        mask = mask + F.when(s.cast("boolean"), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+    if has_guards:
+        for j, g in enumerate(not_between):
+            if g is None:
+                continue
+            mask = mask + F.when(g.cast("boolean"), F.lit(1 << (k + j))).otherwise(
+                F.lit(0)
+            ).cast("bigint")
+
+    flags = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("_key"),
+        F.col(ts_col).alias("_ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        F.col(id_col).cast("bigint").alias("_id"),
+        mask.alias("_mask"),
+    )
+
+    out_fields = [StructField("key", flags.schema["_key"].dataType)]
+    for i in range(k):
+        out_fields.append(StructField(f"step_{i + 1}_ts", TimestampNTZType()))
+    for i in range(k):
+        out_fields.append(StructField(f"step_{i + 1}_id", LongType()))
+    for i in range(k):
+        out_fields.append(StructField(f"step_{i + 1}_n", LongType()))
+    out_schema = StructType(out_fields)
+
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("masks", ArrayType(LongType())),
+            StructField("bound_flat", ArrayType(IntegerType())),
+            StructField("bound_counts", ArrayType(IntegerType())),
+            StructField("scanned", LongType()),
+            StructField("frontier", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            (ts_buf, id_buf, mask_buf, bound_flat, bound_counts,
+             scanned, frontier) = state.get
+            ts_buf, id_buf, mask_buf = list(ts_buf), list(id_buf), list(mask_buf)
+            bound, off = [], 0
+            for c in bound_counts:
+                bound.append([int(p) for p in bound_flat[off:off + c]])
+                off += c
+            scanned = int(scanned)
+            frontier = int(frontier)
+        else:
+            ts_buf, id_buf, mask_buf = [], [], []
+            bound, scanned, frontier = [], 0, -(2**62)
+
+        new = []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            for tu, i_, m_ in zip(
+                pdf["_ts_us"].tolist(), pdf["_id"].tolist(), pdf["_mask"].tolist()
+            ):
+                if tu > frontier:
+                    new.append((int(tu), int(i_), int(m_)))
+        if new:
+            tail = list(zip(ts_buf[scanned:], id_buf[scanned:], mask_buf[scanned:]))
+            tail.extend(new)
+            tail.sort()
+            ts_buf = ts_buf[:scanned] + [x[0] for x in tail]
+            id_buf = id_buf[:scanned] + [x[1] for x in tail]
+            mask_buf = mask_buf[:scanned] + [x[2] for x in tail]
+
+        n_mature = 0
+        for tu in ts_buf:
+            if tu <= wm_us:
+                n_mature += 1
+            else:
+                break
+        flags_cols = [[(m >> i) & 1 == 1 for m in mask_buf] for i in range(k)]
+        guard_cols = None
+        if has_guards:
+            guard_cols = [
+                [(m >> (k + j)) & 1 == 1 for m in mask_buf] for j in range(k - 1)
+            ]
+        matches, bound, scanned = greedy_scan_quant(
+            ts_buf, flags_cols, quants, within_us, bound, scanned, n_mature,
+            guards=guard_cols,
+        )
+
+        rows = []
+        for m in matches:
+            row = {"key": key[0]}
+            for j, positions in enumerate(m):
+                row[f"step_{j + 1}_ts"] = pd.Timestamp(ts_buf[positions[0]], unit="us")
+                row[f"step_{j + 1}_id"] = id_buf[positions[0]]
+                row[f"step_{j + 1}_n"] = len(positions)
+            rows.append(row)
+
+        if bound and within_us is None and not has_guards:
+            # no rewind source: compact to the bound positions only
+            flat = [p for b in bound for p in b]
+            remap = {p: i for i, p in enumerate(flat)}
+            ts_buf = [ts_buf[p] for p in flat] + ts_buf[scanned:]
+            id_buf = [id_buf[p] for p in flat] + id_buf[scanned:]
+            mask_buf = [mask_buf[p] for p in flat] + mask_buf[scanned:]
+            bound = [[remap[p] for p in b] for b in bound]
+            scanned = len(flat)
+        else:
+            keep_from = bound[0][0] if bound else scanned
+            ts_buf = ts_buf[keep_from:]
+            id_buf = id_buf[keep_from:]
+            mask_buf = mask_buf[keep_from:]
+            bound = [[p - keep_from for p in b] for b in bound]
+            scanned -= keep_from
+        state.update(
+            (
+                ts_buf,
+                id_buf,
+                mask_buf,
+                [p for b in bound for p in b],
+                [len(b) for b in bound],
+                scanned,
+                max(frontier, wm_us),
+            )
+        )
 
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])

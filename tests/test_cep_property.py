@@ -82,7 +82,7 @@ def test_quantified_all_once_equals_plain(ev, within):
 
     ts, flags = ev
     plain, _, _ = _scan(ts, flags, within)
-    quant = greedy_scan_quant(ts, flags, ["once"] * K, within, 0, len(ts))
+    quant, _, _ = greedy_scan_quant(ts, flags, ["once"] * K, within, [], 0, len(ts))
     assert [[p[0] for p in m] for m in quant] == plain
     assert all(len(p) == 1 for m in quant for p in m)
 
@@ -95,7 +95,8 @@ def test_quantified_matches_valid_and_disjoint(ev, within):
     ts, flags = ev
     quants = ["once", "oneOrMore", "once"]
     seen: set[int] = set()
-    for m in greedy_scan_quant(ts, flags, quants, within, 0, len(ts)):
+    q_matches, _, _ = greedy_scan_quant(ts, flags, quants, within, [], 0, len(ts))
+    for m in q_matches:
         assert len(m) == K
         flat = [p for b in m for p in b]
         assert flat == sorted(flat)
@@ -124,9 +125,10 @@ def test_guarded_matches_have_clean_gaps(ev, within, data):
         [data.draw(st.booleans()) for _ in range(n)] if g else None
         for g in (data.draw(st.booleans()), data.draw(st.booleans()))
     ]
-    for m in greedy_scan_quant(
-        ts, flags, ["once"] * K, within, 0, n, guards=guards
-    ):
+    q_matches, _, _ = greedy_scan_quant(
+        ts, flags, ["once"] * K, within, [], 0, n, guards=guards
+    )
+    for m in q_matches:
         for j in range(K - 1):
             if guards[j] is None:
                 continue
@@ -136,3 +138,47 @@ def test_guarded_matches_have_clean_gaps(ev, within, data):
                 # unless that same event advanced the pattern (bound)
                 bound_positions = {p for b in m for p in b}
                 assert not guards[j][pos] or pos in bound_positions
+
+
+@settings(max_examples=300, deadline=None)
+@given(events(), st.one_of(st.none(), st.integers(0, 12)), st.data())
+def test_quant_resume_across_cut_equals_one_shot(ev, within, data):
+    """The quantified core is resumable under the same retention
+    contract as the plain one: retain from the open partial's head,
+    pass (bound, scanned) back in — union of emissions equals the
+    one-shot scan (the invariant streaming CEP quantifiers rest on)."""
+    from flink_application_spark.operators.cep import greedy_scan_quant
+
+    ts, flags = ev
+    n = len(ts)
+    quants = data.draw(
+        st.tuples(
+            st.sampled_from(["once", "oneOrMore"]),
+            st.sampled_from(["once", "oneOrMore"]),
+        )
+    )
+    quants = [quants[0], quants[1], "once"]
+    guards = [
+        [data.draw(st.booleans()) for _ in range(n)] if g else None
+        for g in (data.draw(st.booleans()), data.draw(st.booleans()))
+    ]
+    want, _, _ = greedy_scan_quant(ts, flags, quants, within, [], 0, n, guards=guards)
+
+    cut = data.draw(st.integers(0, n))
+    m1, bound, scanned = greedy_scan_quant(
+        ts, flags, quants, within, [], 0, cut, guards=guards
+    )
+    keep_from = bound[0][0] if bound else scanned
+    ts2 = ts[keep_from:]
+    flags2 = [f[keep_from:] for f in flags]
+    guards2 = [g[keep_from:] if g is not None else None for g in guards]
+    bound2 = [[p - keep_from for p in b] for b in bound]
+    m2, _, _ = greedy_scan_quant(
+        ts2, flags2, quants, within, bound2, scanned - keep_from, len(ts2),
+        guards=guards2,
+    )
+
+    got = list(m1) + [
+        [[p + keep_from for p in b] for b in m] for m in m2
+    ]
+    assert got == want

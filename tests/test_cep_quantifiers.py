@@ -103,7 +103,7 @@ def test_quant_core_once_only_equals_plain_scan():
         [False, False, True, False, False, True],
     ]
     plain, _, _ = greedy_scan(ts, flags, 3, None, [], 0, 6)
-    quant = greedy_scan_quant(ts, flags, ["once"] * 3, None, 0, 6)
+    quant, _, _ = greedy_scan_quant(ts, flags, ["once"] * 3, None, [], 0, 6)
     assert [[p[0] for p in m] for m in quant] == plain
 
 
