@@ -25,6 +25,8 @@ INTENTIONALLY_QUADRATIC = {
     "emb_knn_classify",  # scoring stage = brute-force baseline (swap to ANN at scale)
     "emb_mmr_diversified_topk",  # retrieval stage = brute-force baseline (swap to ANN at scale)
     "emb_contrastive_triplets",  # exact-retrieval oracle path (retrieve_topk(use_ann=) at scale)
+    "emb_label_noise_knn",  # agreement audit over the brute-force retriever (ANN drop-in at scale)
+    "emb_matryoshka_recall",  # recall eval BY DESIGN compares against the exact ranking
     # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
     # sign-LSH rework it must plan equi-joins only — a cartesian there
     # is a regression this test exists to catch.
@@ -48,6 +50,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "corpus_temperature_mixture": 1,  # (z, budget) normalizer row
     "doc_dsir_log_weights": 2,  # Nt and Nr token-total 1-row appends
     "doc_dsir_selection": 2,  # same estimator feeding the rank stage
+    "doc_curriculum_buckets": 1,  # inherits the LM's vocab-size V scalar append
 }
 
 
