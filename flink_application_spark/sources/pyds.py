@@ -22,7 +22,12 @@ import hashlib
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Reference generator operating points (CsvData.java:129-152, flink.conf:5-10).
 PROBES = ["DE", "cl", "ek", "ir", "kg", "kh", "mn", "nn", "ns", "rd", "sp", "sr", "st", "vr", "yd"]
@@ -47,6 +52,32 @@ class _Range(InputPartition):
     end: int
 
 
+def _row(seed: int, i: int, imsi_p: float, msisdn_p: float) -> tuple:
+    """Row i of the deterministic CDR stream — shared by the batch and
+    streaming readers, so the streaming source replays EXACTLY the
+    batch rows (offset ranges are row-index ranges)."""
+    import datetime as dt
+
+    span = START_MAX_MS - START_MIN_MS
+    ts_ms = START_MIN_MS + _h(seed, i, "ts") % span
+    ts = dt.datetime.fromtimestamp(ts_ms / 1000, dt.timezone.utc)
+    probe = PROBES[_h(seed, i, "probe") % len(PROBES)] + "..."
+    subscriber = 100_000 + i % 1000
+    imsi = (
+        250_000_000_000 + subscriber
+        if (_h(seed, i, "imsi") % 1_000_000) / 1_000_000 < imsi_p
+        else None
+    )
+    msisdn = (
+        79_000_000_000 + subscriber
+        if (_h(seed, i, "msisdn") % 1_000_000) / 1_000_000 < msisdn_p
+        else None
+    )
+    ip = f";10.{subscriber % 256}.{(subscriber // 256) % 256}.{1 + i % 2};"
+    uid = 1_700_000_000_000 + (i // 100) * 1_000_000 + _h(seed, i, "uid") % 1_000_000
+    return (ts, probe, imsi, msisdn, ip, uid)
+
+
 class CdrGenReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n", 1000))
@@ -62,31 +93,53 @@ class CdrGenReader(DataSourceReader):
         ]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
-        import datetime as dt
-
-        span = START_MAX_MS - START_MIN_MS
         for i in range(partition.start, partition.end):
-            ts_ms = START_MIN_MS + _h(self.seed, i, "ts") % span
-            ts = dt.datetime.fromtimestamp(ts_ms / 1000, dt.timezone.utc)
-            probe = PROBES[_h(self.seed, i, "probe") % len(PROBES)] + "..."
-            subscriber = 100_000 + i % 1000
-            imsi = (
-                250_000_000_000 + subscriber
-                if (_h(self.seed, i, "imsi") % 1_000_000) / 1_000_000 < self.imsi_p
-                else None
-            )
-            msisdn = (
-                79_000_000_000 + subscriber
-                if (_h(self.seed, i, "msisdn") % 1_000_000) / 1_000_000 < self.msisdn_p
-                else None
-            )
-            ip = f";10.{subscriber % 256}.{(subscriber // 256) % 256}.{1 + i % 2};"
-            uid = 1_700_000_000_000 + (i // 100) * 1_000_000 + _h(self.seed, i, "uid") % 1_000_000
-            yield (ts, probe, imsi, msisdn, ip, uid)
+            yield _row(self.seed, i, self.imsi_p, self.msisdn_p)
+
+
+class CdrGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the generator — the reference's rate-limited
+    `DataGeneratorSource` as a Structured Streaming source
+    (`spark.readStream.format("cdrgen")`).
+
+    Offsets are ROW INDICES (`{"i": n}`): each micro-batch emits the
+    next `rowsperbatch` rows; `readBetweenOffsets` regenerates any
+    offset range bit-identically (md5-derived rows, no RNG state), so
+    checkpoint replay re-emits exactly the same rows — exactly-once
+    without any source-side bookkeeping. Optional `maxrows` makes the
+    source finite (read() stops advancing the offset), which lets
+    availableNow/tests drain it deterministically."""
+
+    def __init__(self, options: dict):
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.max_rows = int(options.get("maxrows", -1))
+        self.imsi_p = float(options.get("imsinotnullprobability", 0.5))
+        self.msisdn_p = float(options.get("msisdnnotnullprobability", 0.1))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        end = i0 + self.rows_per_batch
+        if self.max_rows >= 0:
+            end = min(end, self.max_rows)
+        if end <= i0:
+            return iter(()), {"i": i0}
+        return (
+            iter([_row(self.seed, i, self.imsi_p, self.msisdn_p) for i in range(i0, end)]),
+            {"i": end},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for i in range(int(start["i"]), int(end["i"])):
+            yield _row(self.seed, i, self.imsi_p, self.msisdn_p)
 
 
 class CdrGenDataSource(DataSource):
-    """`spark.read.format("cdrgen").option("n", 10000).load()`."""
+    """`spark.read.format("cdrgen").option("n", 10000).load()` or
+    `spark.readStream.format("cdrgen").option("rowsPerBatch", 500)`."""
 
     @classmethod
     def name(cls) -> str:
@@ -97,6 +150,9 @@ class CdrGenDataSource(DataSource):
 
     def reader(self, schema) -> CdrGenReader:
         return CdrGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CdrGenStreamReader:
+        return CdrGenStreamReader(self.options)
 
 
 def register(spark) -> None:

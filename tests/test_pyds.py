@@ -47,3 +47,44 @@ def test_null_distributions_and_domains(spark):
     probes = {r[0] for r in df.select(F.substring("measuring_probe_name", 1, 2)).distinct().collect()}
     assert probes <= set(pyds.PROBES)
     df.unpersist()
+
+
+def test_stream_reader_matches_batch_rows(spark, tmp_path):
+    """The streaming source drains `maxrows` rows across micro-batches
+    and the union equals the batch reader's rows exactly (offset
+    ranges ARE row-index ranges; md5 rows make replay bit-identical)."""
+    import time
+
+    from flink_application_spark.sources import pyds
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("cdrgen")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 100)
+        .option("seed", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdrgen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("cdrgen_stream").count() >= 100:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    got = spark.table("cdrgen_stream")
+    want = (
+        spark.read.format("cdrgen").option("n", 100).option("seed", 7).load()
+    )
+    assert got.count() == 100
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
