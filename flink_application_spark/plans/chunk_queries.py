@@ -94,3 +94,53 @@ FROM chunks
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
     return chunk_windows(docs)
+
+
+@register(
+    "doc_chunk_exact_dedup_groups",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start
+  FROM toks WHERE len(toks) >= 1
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(toks, start + 1, least(start + {_WINDOW}, len(toks))),
+           ' ')) AS chunk_md5
+  FROM starts
+)
+SELECT chunk_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM chunks
+GROUP BY chunk_md5
+HAVING count(*) > 1
+""",
+    doc="Chunk-level exact dedup: identical chunk fingerprints "
+    "appearing more than once (within OR across documents) — the "
+    "boilerplate-span detector at chunk granularity, one hash "
+    "aggregate over the fingerprint column (16 bytes/chunk in the "
+    "shuffle, never chunk text). Canonical = lowest doc_id.",
+    tags=("documents", "chunking", "dedup"),
+)
+def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return (
+        chunk_windows(docs)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
