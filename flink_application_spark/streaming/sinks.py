@@ -91,6 +91,70 @@ def idempotent_batch_write(
     return sub
 
 
+def compact_batches(
+    spark,
+    root: str,
+    *,
+    min_live_batch: int,
+    combine: dict[str, str] | None = None,
+    group_cols: tuple[str, ...] = (),
+) -> int:
+    """Fold all ``_batch=<id>`` partitions with id < ``min_live_batch``
+    into one consolidated partition — the file-count control an
+    additive per-batch store needs at scale (a year of minute
+    triggers is ~500k tiny partitions without it).
+
+    Safety contract: only batches the streaming checkpoint has
+    durably COMMITTED may be compacted (a replayed live batch must
+    still find its own partition to overwrite — pass the query's last
+    committed batch id as ``min_live_batch``). The consolidated rows
+    land in ``_batch=<min_live_batch * -1 - 1>`` (a negative id no
+    real batch can collide with, distinct per compaction horizon);
+    prior consolidated partitions are re-absorbed by each compaction.
+
+    ``combine``: aggregation per value column (e.g. ``{"c": "sum"}``)
+    with ``group_cols`` as keys — the additive-merge that keeps the
+    consolidated partial semantically identical to the batches it
+    replaces. With ``combine=None`` rows are concatenated unchanged
+    (event stores). Returns the number of partitions absorbed."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    olds = []
+    for p in sorted(_glob.glob(os.path.join(root, "_batch=*"))):
+        try:
+            bid = int(os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < min_live_batch:
+            olds.append((bid, p))
+    if len(olds) < 2:
+        return 0  # nothing worth folding
+    df = spark.read.parquet(*[p for _, p in olds])
+    if combine:
+        df = df.groupBy(*group_cols).agg(
+            *[getattr(F, fn)(c).alias(c) for c, fn in combine.items()]
+        )
+    consolidated = os.path.join(root, f"_batch={-min_live_batch - 1}")
+    tmp = consolidated + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # absorb-then-swap: readers between the rm and the rename could
+    # see a partial store, so swap the consolidated dir in FIRST,
+    # then drop the absorbed partitions (transient double-count beats
+    # transient data loss for monitoring stores; exact readers should
+    # compact offline)
+    if os.path.exists(consolidated):
+        shutil.rmtree(consolidated)
+    os.rename(tmp, consolidated)
+    for _, p in olds:
+        if p != consolidated:
+            shutil.rmtree(p)
+    return len(olds)
+
+
 class SizeCalibratedRoller:
     """foreachBatch writer that approximates a byte-size rolling policy
     (flink.conf:54-55: sink.rolling-policy.file-size = 110 MB).

@@ -70,3 +70,41 @@ def test_replay_does_not_double_count(spark, skewed_stream_dir, tmp_path):
     hh.process_batch(batch, 0)  # crash-replay: overwrite, not add
     after = {r.key: r.estimate for r in hh.topk(spark, k=5).collect()}
     assert after == before
+
+
+def test_compaction_preserves_sketch_and_replay(spark, skewed_stream_dir, tmp_path):
+    """Folding committed batch partitions into one consolidated partial
+    leaves every estimate unchanged, and a LIVE batch can still replay
+    (its partition is untouched)."""
+    from flink_application_spark.streaming.sinks import compact_batches
+
+    hh = HeavyHitters(str(tmp_path / "state"), key_col="user")
+    q = hh.attach(
+        file_stream(spark, str(skewed_stream_dir), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    before_top = [(r.key, r.estimate) for r in hh.topk(spark, k=3).collect()]
+    cells_dir = hh._cells_dir
+    n = compact_batches(
+        spark,
+        cells_dir,
+        min_live_batch=2,  # batches 0,1 committed; batch 2 stays live
+        combine={"c": "sum"},
+        group_cols=("row", "bucket"),
+    )
+    assert n == 2
+    import glob
+    import os
+
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{cells_dir}/_batch=*"))
+    assert parts == ["_batch=-3", "_batch=2"]
+    assert [(r.key, r.estimate) for r in hh.topk(spark, k=3).collect()] == before_top
+
+    # live-batch replay still overwrites its own partition only
+    last_wave = sorted(
+        skewed_stream_dir.glob("*.parquet"), key=os.path.getmtime
+    )[-1]
+    hh.process_batch(spark.read.parquet(str(last_wave)), 2)
+    assert [(r.key, r.estimate) for r in hh.topk(spark, k=3).collect()] == before_top
