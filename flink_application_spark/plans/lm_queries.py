@@ -32,14 +32,13 @@ from flink_application_spark.functions.text import tokens
 from flink_application_spark.plans.registry import register
 
 
-def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+def _doc_bigrams(docs: DataFrame):
+    """(toks frame, per-position bigram rows) — the scan-local bigram
+    construction shared by training and scoring."""
     toks = docs.select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != "").alias("toks"),
     )
-    tok_rows = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    # bigram positions: (doc, pos, prev, tok) for pos >= 1, built scan-local
-    # from the array (no self-join on pos)
     bi_rows = toks.select(
         "doc_id",
         F.explode(
@@ -53,15 +52,21 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).filter(F.size("toks") >= 2).select("doc_id", "b.pos", "b.prev", "b.tok")
+    return toks, bi_rows
 
+
+def lm_model(docs: DataFrame) -> DataFrame:
+    """Train the add-one-smoothed bigram LM: (prev, tok, nll). The
+    model IS a table — persist it and scoring anywhere (batch or a
+    stream's foreachBatch) is a dim join, no broadcast of state."""
+    toks, bi_rows = _doc_bigrams(docs)
+    tok_rows = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     uni = tok_rows.groupBy(F.col("tok").alias("prev")).agg(
         F.count(F.lit(1)).alias("c_prev")
     )
     bi = bi_rows.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c_bi"))
     vocab = tok_rows.select(F.countDistinct("tok").alias("v"))
-
-    # P(tok|prev) = (c_bi + 1) / (c_prev + V)  — add-one over observed vocab
-    probs = (
+    return (
         bi.join(uni, "prev")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -76,6 +81,13 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
         )
     )
 
+
+def score_with_model(docs: DataFrame, probs: DataFrame) -> DataFrame:
+    """Score docs against a TRAINED model table: bigrams unseen by the
+    model are ignored (only scored mass counts — the same contract the
+    self-trained form has on its own corpus, where every bigram is
+    seen). Docs with zero scored bigrams drop out."""
+    _, bi_rows = _doc_bigrams(docs)
     scored = bi_rows.join(probs, ["prev", "tok"])
     # position-ordered sequential fold → deterministic float sum
     per_doc = scored.groupBy("doc_id").agg(
@@ -94,6 +106,10 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
         F.col("n_scored").cast("bigint").alias("n_scored"),
         F.round(F.col("sum_nll") / F.col("n_scored"), 6).alias("mean_nll"),
     )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    return score_with_model(docs, lm_model(docs))
 
 
 LM_SCORE_SQL = """
