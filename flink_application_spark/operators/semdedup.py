@@ -40,11 +40,66 @@ from flink_application_spark.functions.vectors import cosine
 from flink_application_spark.operators.kmeans import assign_clusters, init_centroids
 
 
+def assign_with_split(
+    emb: DataFrame,
+    k: int,
+    max_cluster_size: int | None = None,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Cluster assignment with the SemDeDup skew guard: any cluster
+    larger than ``max_cluster_size`` is recursively RE-CLUSTERED over
+    its own members (sub-centroids = the k smallest member ids —
+    deterministic, no RNG), up to ``max_depth`` rounds. This is the
+    paper's own answer to over-full clusters, and the same class of
+    fix as the minhash path's hot-bucket guard: no pair-join key may
+    be a constant fraction of the corpus.
+
+    Returns (vec_id, embedding, cluster) where cluster is a PATH
+    string ('3', '3/1', '3/1/0', …) so sub-clusters never collide."""
+    emb = emb.filter(F.col("embedding").isNotNull())
+    cents = init_centroids(emb, k, "vec_id")
+    out = assign_clusters(emb, cents).select(
+        "vec_id", "embedding", F.col("cluster").cast("string").alias("cluster")
+    )
+    if max_cluster_size is None:
+        return out
+    for _ in range(max_depth):
+        sizes = out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        hot = [
+            r["cluster"]
+            for r in sizes.filter(F.col("n") > max_cluster_size).collect()
+        ]
+        if not hot:
+            break
+        keep = out.filter(~F.col("cluster").isin(hot))
+        pieces = [keep]
+        for c in hot:
+            members = out.filter(F.col("cluster") == c).select(
+                "vec_id", "embedding"
+            )
+            sub_k = min(k, members.count())
+            sub_cents = init_centroids(members, sub_k, "vec_id")
+            pieces.append(
+                assign_clusters(members, sub_cents).select(
+                    "vec_id",
+                    "embedding",
+                    F.concat(
+                        F.lit(c + "/"), F.col("cluster").cast("string")
+                    ).alias("cluster"),
+                )
+            )
+        from functools import reduce
+
+        out = reduce(lambda a, b: a.unionByName(b), pieces).localCheckpoint()
+    return out
+
+
 def semdedup_flags(
     emb: DataFrame,
     threshold: float,
     k: int = 8,
     centroids: list[list[float]] | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Per-vector SemDeDup verdicts.
 
@@ -53,13 +108,20 @@ def semdedup_flags(
     cosine ≥ ``threshold``; the diagnostic columns say how many and how
     close. ``centroids`` defaults to the deterministic k-smallest-id
     seeds (pass ``kmeans_fit`` output for trained clusters at scale —
-    the flags logic is identical)."""
+    the flags logic is identical). ``max_cluster_size`` enables the
+    recursive oversized-cluster split (`assign_with_split`) — the
+    skew guard for corpora whose density defeats the seed centroids;
+    the oracle-checked registry query keeps the unguarded path (the
+    split changes cluster labels, hence verdicts, by design)."""
     emb = emb.filter(F.col("embedding").isNotNull())
-    if centroids is None:
-        centroids = init_centroids(emb, k, "vec_id")
-    assigned = assign_clusters(emb, centroids).select(
-        "vec_id", "embedding", "cluster"
-    )
+    if max_cluster_size is not None:
+        assigned = assign_with_split(emb, k, max_cluster_size)
+    else:
+        if centroids is None:
+            centroids = init_centroids(emb, k, "vec_id")
+        assigned = assign_clusters(emb, centroids).select(
+            "vec_id", "embedding", "cluster"
+        )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
     )

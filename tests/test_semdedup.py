@@ -47,3 +47,37 @@ def test_semdedup_threshold_monotone(spark, sf_dir):
     kept_loose = semdedup_flags(emb, threshold=0.25, k=8).filter("kept").count()
     kept_tight = semdedup_flags(emb, threshold=0.4, k=8).filter("kept").count()
     assert kept_tight >= kept_loose
+
+
+def test_semdedup_split_caps_cluster_size(spark, sf_dir):
+    """The skew guard: with max_cluster_size set, no final cluster
+    exceeds the cap (recursive re-cluster over member-seeded
+    sub-centroids), and the verdict contracts still hold on the
+    split labels."""
+    from flink_application_spark.operators.semdedup import (
+        assign_with_split,
+        semdedup_flags,
+    )
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    cap = 60
+    assigned = assign_with_split(emb, k=8, max_cluster_size=cap)
+    sizes = assigned.groupBy("cluster").count()
+    assert sizes.filter(F.col("count") > cap).count() == 0
+    # exhaustive: every vector assigned exactly once
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+
+    flags = semdedup_flags(emb, threshold=_T, k=8, max_cluster_size=cap).cache()
+    assert flags.count() == n
+    assert (
+        flags.filter(~F.col("kept"))
+        .filter((F.col("n_close_smaller") < 1) | (F.col("max_sim_smaller") < _T))
+        .count()
+        == 0
+    )
+    # lowest id per (split) cluster still always kept
+    lowest = flags.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    assert flags.join(lowest, ["cluster", "vec_id"]).filter(~F.col("kept")).count() == 0
+    flags.unpersist()
