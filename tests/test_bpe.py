@@ -121,3 +121,39 @@ def test_bpe_token_counts_match_python(spark, sf_dir):
             continue
         want = (len(toks), sum(len(vocab[w]) for w in toks))
         assert got[r["doc_id"]] == want
+
+
+def test_apply_merge_matches_python_on_random_words(spark):
+    """Hypothesis-style randomized check (deterministic seed): the
+    fold-based merge equals the reference left-to-right merge on
+    adversarial alphabets (single letters, repeated runs)."""
+    import random
+
+    rng = random.Random(1234)
+    words = set()
+    for _ in range(60):
+        words.add(
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 8)))
+        )
+    wc = {w: 1 for w in words}
+    df = spark.createDataFrame(
+        [(w, 1) for w in words], "word string, c bigint"
+    ).select(
+        "word",
+        "c",
+        F.concat(F.split("word", ""), F.array(F.lit(END))).alias("syms"),
+    )
+    for lhs, rhs in [("a", "a"), ("a", "b"), ("aa", "b"), ("b", END)]:
+        got = {
+            r["word"]: r["syms"] for r in apply_merge(df, lhs, rhs).collect()
+        }
+        for w in words:
+            syms, out, i = list(w) + [END], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            assert got[w] == out, (w, lhs, rhs)
