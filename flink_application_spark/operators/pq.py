@@ -1,0 +1,136 @@
+"""Product quantization (Jégou, Douze, Schmid, TPAMI 2011 — the
+FAISS ``IVFADC`` compression standard): split each d-dim vector into m
+subvectors, learn a small codebook per subspace, store each vector as
+m one-byte codes. 64-dim float (256 B) → 4 codes (4 B) at the demo
+parameters — the memory step that makes billion-vector ANN fit.
+
+Spark-first shape:
+
+- **codebooks**: per subspace, the deterministic k-smallest-id seed
+  centroids (same no-RNG contract as `operators/kmeans.py`; swap in
+  `kmeans_fit` per subspace for trained codebooks — the assignment
+  machinery is unchanged);
+- **encoding**: per subspace an `array_min( (d2, code) struct )`
+  argmin over broadcast literal sub-centroids — scan-local JVM folds,
+  zero shuffle, exactly the `assign_clusters` pattern on a slice;
+- **ADC search** (asymmetric distance): the query stays full-precision
+  — per subspace a lookup table of ||q_sub − centroid||² is computed
+  ONCE per query (m·k tiny literals via the same fold) and the
+  corpus-side distance is just m table lookups per vector: no
+  embedding is read at query time, only codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _sub(col: Column, s: int, sub_dim: int) -> Column:
+    return F.slice(col, s * sub_dim + 1, sub_dim)
+
+
+def _d2_lit(col: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def seed_codebooks(
+    emb: DataFrame, m: int, k: int, dim: int, id_col: str = "vec_id"
+) -> list[list[list[float]]]:
+    """codebooks[s][code] = sub-centroid: the k smallest ids' s-th
+    subvectors (deterministic; per-subspace `kmeans_fit` drops in)."""
+    sub_dim = dim // m
+    rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"seed_codebooks: need {k} rows, found {len(rows)}")
+    return [
+        [
+            [float(x) for x in r[0][s * sub_dim : (s + 1) * sub_dim]]
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: list[list[list[float]]], dim: int
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}, recon_d2): per-subspace argmin code
+    (ties → lowest code) plus total squared reconstruction error."""
+    m = len(codebooks)
+    sub_dim = dim // m
+    out = emb.filter(F.col("embedding").isNotNull())
+    recon = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        sub = _sub(F.col("embedding"), s, sub_dim)
+        cands = F.array(
+            *[
+                F.struct(
+                    _d2_lit(sub, c).alias("d2"), F.lit(i).alias("code")
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        best = F.array_min(cands)
+        out = out.withColumn(f"code_{s}", best["code"]).withColumn(
+            f"_d2_{s}", best["d2"]
+        )
+        recon = recon + F.col(f"_d2_{s}")
+    return out.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(m)],
+        F.round(recon, 6).alias("recon_d2"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: for each (query, subspace, code) the
+    distance contribution ||q_sub − centroid[code]||² is a literal-fold
+    column; the corpus side contributes ONLY its codes. Approximate by
+    construction (quantization error) — ranked by estimated distance,
+    ties → vec_id."""
+    m = len(codebooks)
+    sub_dim = dim // m
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # per query: adc_s = array of ||q_sub - centroid_c||^2 over codes
+    for s, book in enumerate(codebooks):
+        sub = _sub(F.col("qv"), s, sub_dim)
+        q = q.withColumn(
+            f"_adc_{s}", F.array(*[_d2_lit(sub, c) for c in book])
+        )
+    joined = codes.crossJoin(F.broadcast(q.drop("qv")))
+    est = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_adc_{s}"), F.col(f"code_{s}") + 1)
+        est = term if est is None else est + term
+    from pyspark.sql import Window
+
+    scored = joined.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", F.round(est, 6).alias("est_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "est_d2", "rank")
+    )
