@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_dsir_log_weights",
     "doc_chunk_windows",
     "vocab_bpe_pair_counts",
+    "doc_winnowing_fingerprints",
+    "emb_pq_adc_topk",
 ]
 
 
