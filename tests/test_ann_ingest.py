@@ -1,0 +1,59 @@
+"""Streaming IVF ingestion: queries over the continuously-ingested
+index equal the in-memory IVF over the union corpus with the same
+frozen centroids; replay converges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.ann_index import build_ivf_index
+from flink_application_spark.operators.similarity import ivf_topk, train_centroids
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.ann_ingest import IVFIngest
+
+
+def test_streamed_index_equals_batch_ivf(spark, sf_dir, tmp_path):
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    idx = str(tmp_path / "ivf")
+    cents = train_centroids(emb, n_centroids=8)
+    # build writes centroids/ + meta/ (and a static lists/ we ignore)
+    build_ivf_index(emb.limit(1), idx, centroids=cents)
+
+    import time
+
+    src = tmp_path / "in"
+    for part in range(3):
+        emb.filter(F.col("vec_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        time.sleep(1.2)  # distinct modTimes → batch order == wave order
+
+    ing = IVFIngest(idx)
+    q = ing.attach(
+        file_stream(spark, str(src), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {
+        tuple(r) for r in ing.query(spark, queries, k=5, n_probe=3).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivf_topk(queries, emb, k=5, n_probe=3, centroids=cents).collect()
+    }
+    assert got == want and len(want) == 50
+
+    # replay: re-ingesting wave 0's content under its batch id is a no-op
+    import glob
+    import os
+
+    first = sorted(src.glob("*.parquet"), key=os.path.getmtime)[0]
+    n_before = ing.lists(spark).count()
+    ing.process_batch(spark.read.parquet(str(first)), 0)
+    assert ing.lists(spark).count() == n_before
+    assert {
+        tuple(r) for r in ing.query(spark, queries, k=5, n_probe=3).collect()
+    } == want
