@@ -56,6 +56,37 @@ def decode_jsonl_value(
     return parsed.select("_p.*")
 
 
+def split_jsonl_quarantine(
+    df: DataFrame,
+    schema_ddl: str = DOCS_JSONL_SCHEMA_DDL,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): the dead-letter form of the tolerant decode —
+    instead of silently DROPPING malformed lines, they are routed to a
+    quarantine frame carrying the raw line plus a reason ('malformed'
+    for parse failures, 'blank' for whitespace-only lines), so a feed
+    whose producer breaks is debuggable from the sink, not from logs.
+    good ∪ quarantine covers every input line exactly once."""
+    schema = f"struct<{schema_ddl}, _corrupt_record STRING>"
+    parsed = df.withColumn(
+        "_p",
+        F.from_json(
+            F.col(value_col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    ok = F.col("_p").isNotNull() & F.col("_p._corrupt_record").isNull()
+    good = parsed.filter(ok).select("_p.*").drop("_corrupt_record")
+    quarantine = parsed.filter(~ok).select(
+        F.col(value_col).alias("raw_line"),
+        F.when(F.col("_p").isNull(), F.lit("blank"))
+        .otherwise(F.lit("malformed"))
+        .alias("reason"),
+    )
+    return good, quarantine
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -130,3 +130,26 @@ def test_blank_lines_dropped_not_phantom_nulls(spark):
     ]
     out = decode_jsonl_value(_lines_df(spark, lines)).collect()
     assert len(out) == 2 and {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_quarantine_split_covers_every_line(spark):
+    from flink_application_spark.sources.jsonl import (
+        decode_jsonl_value,
+        split_jsonl_quarantine,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}',
+        "{broken json",
+        "   ",
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}',
+        "",
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    good, quarantine = split_jsonl_quarantine(df)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    q = {(r["raw_line"], r["reason"]) for r in quarantine.collect()}
+    assert q == {("{broken json", "malformed"), ("   ", "blank"), ("", "blank")}
+    # conservation + agreement with the drop-malformed decode
+    assert good.count() + quarantine.count() == len(lines)
+    assert good.count() == decode_jsonl_value(df).count()
