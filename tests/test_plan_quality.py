@@ -53,6 +53,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_dsir_log_weights": 2,  # Nt and Nr token-total 1-row appends
     "doc_dsir_selection": 2,  # same estimator feeding the rank stage
     "doc_curriculum_buckets": 1,  # inherits the LM's vocab-size V scalar append
+    "corpus_drift_psi": 3,  # one (tb, tc, k) totals row appended per PSI feature
 }
 
 
