@@ -196,14 +196,14 @@ SAMPLE_WINDOW = [
     "events_cep_signup_purchase_no_error",
     # round-2 additions, never driver-sampled
     "emb_semdedup_flags",
-    "emb_semdedup_cluster_stats",
+    "emb_ivfadc_topk",
     "doc_dsir_log_weights",
     "doc_dsir_selection",
     "vocab_bpe_pair_counts",
     "doc_chunk_windows",
     "doc_jaccard_topk_thresholded",
     "doc_quality_gate_audit",
-    "corpus_gate_attrition",
+    "emb_pq_codes",
     # round-1 green: continuity representative
     "tpch_q5_local_supplier",
 ]
