@@ -49,7 +49,7 @@ HEADLINE = [
     "doc_chunk_windows",
     "vocab_bpe_pair_counts",
     "doc_winnowing_fingerprints",
-    "emb_pq_adc_topk",
+    "emb_ivfadc_topk",
 ]
 
 
