@@ -54,6 +54,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_dsir_selection": 2,  # same estimator feeding the rank stage
     "doc_curriculum_buckets": 1,  # inherits the LM's vocab-size V scalar append
     "corpus_drift_psi": 3,  # one (tb, tc, k) totals row appended per PSI feature
+    "corpus_mixture_materialized": 1,  # inherits the mixture plan's (z, budget) row
 }
 
 
