@@ -49,11 +49,14 @@ def _ivfadc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.filter(F.col("embedding").isNotNull())
     coarse = init_centroids(emb, _NC, "vec_id")
 
+    # persist: `assigned` feeds BOTH the PQ encode and the cluster
+    # re-join below (and the seed-residual collect) — without the
+    # barrier the 8-centroid assignment folds run three times
     assigned = assign_clusters(emb, coarse).select(
         "vec_id",
         "cluster",
         _residual(F.col("embedding"), coarse, F.col("cluster")).alias("residual"),
-    )
+    ).persist()
 
     # residual codebooks: the residuals of the k smallest ids, sliced
     seed_res = assigned.orderBy("vec_id").limit(_KC).select("residual").collect()
