@@ -39,3 +39,81 @@ def q_simgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
     pr = pagerank(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     return pr.select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "doc_simgraph_triangles",
+    "WITH "
+    + __import__(
+        "flink_application_spark.plans.dedup_queries", fromlist=["SHINGLES_CTE"]
+    ).SHINGLES_CTE
+    + ","
+    + __import__(
+        "flink_application_spark.plans.dedup_queries", fromlist=["_sigs_cte"]
+    )._sigs_cte()
+    + ","
+    + __import__(
+        "flink_application_spark.plans.dedup_queries", fromlist=["_pairs_cte"]
+    )._pairs_cte()
+    + f"""
+, edges AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {__import__("flink_application_spark.plans.dedup_queries", fromlist=["JACCARD_SQL"]).JACCARD_SQL}
+        >= {NEAR_DUP_THRESHOLD}
+),
+tri AS (
+  SELECT count(*) AS n_triangles FROM edges e1
+  JOIN edges e2 ON e2.id_a = e1.id_b
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT id_a AS node FROM edges UNION ALL SELECT id_b AS node FROM edges
+  ) GROUP BY node
+),
+w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       w.n_wedges AS n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN CAST(tri.n_triangles AS BIGINT) * 3000000 // w.n_wedges
+            ELSE 0 END AS clustering_ppm
+FROM tri CROSS JOIN w
+""",
+    doc="Triangle census of the near-dup graph: triangle count via the "
+    "ordered three-edge join (a<b<c once each), wedge count from "
+    "degrees, global clustering coefficient in integer ppm — how "
+    "CLIQUE-LIKE duplication families are (high = true boilerplate "
+    "families, low = chain-like drift). Edge-linear joins on an "
+    "already-blocked pair set; everything integer.",
+    tags=("documents", "graph", "dedup"),
+)
+def q_simgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    edges = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD).select(
+        "id_a", "id_b"
+    ).persist()
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("w")
+    ).collect()[0]["w"]
+    n_edges = edges.count()
+    edges.unpersist()
+    spark2 = docs.sparkSession
+    cl = (tri * 3_000_000) // wedges if wedges else 0
+    return spark2.createDataFrame(
+        [(n_edges, tri, int(wedges or 0), int(cl))],
+        "n_edges bigint, n_triangles bigint, n_wedges bigint, clustering_ppm bigint",
+    )
