@@ -29,6 +29,7 @@ INTENTIONALLY_QUADRATIC = {
     "emb_matryoshka_recall",  # recall eval BY DESIGN compares against the exact ranking
     "doc_text_search_topk",  # exact-retrieval oracle path of the text→vector→ANN stack
     "emb_pq_adc_topk",  # flat-PQ ADC scans all codes by design; the pruned form is emb_ivfadc_topk
+    "emb_lsh_ndcg",  # the IDEAL side is the exact ranking by definition of nDCG
     # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
     # sign-LSH rework it must plan equi-joins only — a cartesian there
     # is a regression this test exists to catch.
