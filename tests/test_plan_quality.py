@@ -56,7 +56,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_curriculum_buckets": 1,  # inherits the LM's vocab-size V scalar append
     "corpus_drift_psi": 3,  # one (tb, tc, k) totals row appended per PSI feature
     "corpus_mixture_materialized": 1,  # inherits the mixture plan's (z, budget) row
-    "doc_bigram_pmi": 1,  # (n_uni, n_bi) corpus-total 1-row append
+    "doc_bigram_pmi": 2,  # n_uni × n_bi 1-row totals, combined then appended
     "vocab_gini_concentration": 1,  # (V, N) vocab-total 1-row append
 }
 
