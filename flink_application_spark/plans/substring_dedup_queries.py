@@ -1,0 +1,138 @@
+"""Exact substring deduplication (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499) — the
+KEEP-FIRST form: any ≥L-token span appearing verbatim more than once
+in the corpus keeps its FIRST occurrence (global (doc_id, pos) order)
+and loses every other one. This differs from the df-threshold scrub
+(`doc_repeated_ngram_scrub` drops frequent grams EVERYWHERE); the
+paper's dedup preserves one copy of every span — the right semantics
+when the span is legitimate content that merely got crawled twice.
+
+Posting-list shape (the suffix-array result re-derived relationally):
+
+1. scan-local L-gram keying → (hash, doc, start) postings;
+2. per hash, the first occurrence = lexicographic min (doc, start) —
+   one hash agg;
+3. every NON-first occurrence marks its token span; a doc's removed
+   token count = |union of marked spans| (distinct covered positions
+   — explode of L per marked gram, bounded);
+4. per-doc report: tokens, removed, kept.
+
+The shuffle keys on md5(gram) (uniform); spans never exceed doc
+length; no pairwise work anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.functions.text import tokens
+from flink_application_spark.plans.registry import register
+
+_L = 10  # span length (tokens); the paper uses 50 on web-scale corpora
+
+
+@register(
+    "doc_substring_dedup_report",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(toks[i:i + {_L - 1}], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_L - 1})) AS i
+        FROM toks WHERE len(toks) >= {_L})
+),
+firsts AS (
+  SELECT h, min(doc_id * 100000 + start) AS first_key,
+         count(*) AS n_occ
+  FROM grams GROUP BY h
+),
+losers AS (
+  SELECT g.doc_id AS doc_id, g.start AS start
+  FROM grams g JOIN firsts f ON f.h = g.h
+  WHERE f.n_occ > 1 AND g.doc_id * 100000 + g.start <> f.first_key
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(start, start + {_L - 1})) AS pos
+    FROM losers
+  )
+),
+removed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+  FROM covered GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tok,
+       coalesce(r.n_removed, 0) AS n_removed,
+       CAST(len(t.toks) AS BIGINT) - coalesce(r.n_removed, 0) AS n_kept
+FROM toks t LEFT JOIN removed r ON r.doc_id = t.doc_id
+""",
+    doc=f"Exact substring dedup (arXiv:2107.06499, keep-first): every "
+    f"duplicated {_L}-token span keeps its global-first occurrence; "
+    "later occurrences' token positions are removed (span-union per "
+    "doc). Posting-list pipeline — md5-gram keying, one first-"
+    "occurrence agg, bounded span explode; no pairwise work. The "
+    "keep-one complement to the df-threshold boilerplate scrub.",
+    tags=("documents", "dedup", "scrub"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda t: t != "").alias("toks"),
+    )
+    grams = toks.filter(F.size("toks") >= _L).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_L - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, _L))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start", "g.h")
+    key = (F.col("doc_id") * 100000 + F.col("start")).alias("k")
+    firsts = grams.select("h", key).groupBy("h").agg(
+        F.min("k").alias("first_key"), F.count(F.lit(1)).alias("n_occ")
+    )
+    losers = (
+        grams.join(firsts, "h")
+        .filter(
+            (F.col("n_occ") > 1)
+            & (F.col("doc_id") * 100000 + F.col("start") != F.col("first_key"))
+        )
+        .select("doc_id", "start")
+    )
+    covered = losers.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (_L - 1))
+        ).alias("pos"),
+    ).distinct()
+    removed = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        toks.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tok"),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias(
+                "n_removed"
+            ),
+            (
+                F.size("toks").cast("bigint")
+                - F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint"))
+            ).alias("n_kept"),
+        )
+    )
