@@ -62,6 +62,42 @@ def seed_codebooks(
     ]
 
 
+def trained_codebooks(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    max_iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means codebooks — the QUALITY path the
+    seeded form stands in for (Jégou et al. TPAMI'11 §III trains
+    exactly this: an independent k-means per subquantizer).
+
+    Each subspace trains on the corpus's sliced subvectors with the
+    distributed `kmeans_fit` (broadcast-literal assignment folds,
+    posexplode partial-sum updates — the shuffle carries k·sub_dim
+    partials, never vectors), so codebook training scales like m
+    bounded k-means runs, not like a collect. Initialized from the
+    SAME k-smallest-id seeds as `seed_codebooks`, and Lloyd's updates
+    monotonically reduce within-subspace quantization MSE — trained
+    total recon_d2 ≤ seeded recon_d2 by construction (pinned in
+    tests/test_pq.py). Deterministic: no RNG anywhere."""
+    from flink_application_spark.operators.kmeans import kmeans_fit
+
+    sub_dim = dim // m
+    base = emb.filter(F.col("embedding").isNotNull())
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = base.select(
+            F.col(id_col),
+            _sub(F.col("embedding"), s, sub_dim).alias("embedding"),
+        )
+        cents, _ = kmeans_fit(sliced, k, id_col, max_iters=max_iters)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
 def pq_encode(
     emb: DataFrame, codebooks: list[list[list[float]]], dim: int
 ) -> DataFrame:

@@ -44,10 +44,17 @@ def _residual(emb_col: Column, cents: list[list[float]], cluster: Column) -> Col
     )
 
 
-def _ivfadc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfadc_spark(
+    spark: SparkSession, sf_dir: str, trained: bool = False
+) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     emb = emb.filter(F.col("embedding").isNotNull())
-    coarse = init_centroids(emb, _NC, "vec_id")
+    if trained:
+        from flink_application_spark.operators.kmeans import kmeans_fit
+
+        coarse, _ = kmeans_fit(emb, _NC, "vec_id", max_iters=10)
+    else:
+        coarse = init_centroids(emb, _NC, "vec_id")
 
     # persist: `assigned` feeds BOTH the PQ encode and the cluster
     # re-join below (and the seed-residual collect) — without the
@@ -58,15 +65,27 @@ def _ivfadc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _residual(F.col("embedding"), coarse, F.col("cluster")).alias("residual"),
     ).persist()
 
-    # residual codebooks: the residuals of the k smallest ids, sliced
-    seed_res = assigned.orderBy("vec_id").limit(_KC).select("residual").collect()
-    books = [
-        [
-            [float(x) for x in r[0][s * _SUB : (s + 1) * _SUB]]
-            for r in seed_res
+    if trained:
+        # per-subspace Lloyd's on the RESIDUALS (TPAMI'11 §IV trains
+        # the product quantizer on residual vectors) — the quality path
+        from flink_application_spark.operators.pq import trained_codebooks
+
+        books = trained_codebooks(
+            assigned.select("vec_id", F.col("residual").alias("embedding")),
+            _M,
+            _KC,
+            _DIM,
+        )
+    else:
+        # residual codebooks: the residuals of the k smallest ids, sliced
+        seed_res = assigned.orderBy("vec_id").limit(_KC).select("residual").collect()
+        books = [
+            [
+                [float(x) for x in r[0][s * _SUB : (s + 1) * _SUB]]
+                for r in seed_res
+            ]
+            for s in range(_M)
         ]
-        for s in range(_M)
-    ]
 
     codes = pq_encode(
         assigned.select("vec_id", "cluster", F.col("residual").alias("embedding")),
@@ -242,3 +261,20 @@ SELECT query_id, vec_id, est_d2, rank FROM (
 )
 def q_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_spark(spark, sf_dir)
+
+
+@register(
+    "emb_ivfadc_trained_topk",
+    None,  # coarse + residual codebook training are iterative k-means
+    # → rows-only; trained-vs-seeded quality is pinned at sf0.1 in
+    # tests/test_pq.py (generic PQ) and tests/test_ivf.py (IVF recall)
+    doc=f"IVFADC with TRAINED quantizers — coarse {_NC}-means via the "
+    f"distributed kmeans_fit AND per-subspace Lloyd's codebooks on the "
+    "residuals (TPAMI'11 §IV as written). Identical plan shape to the "
+    "seeded oracle twin emb_ivfadc_topk (equi probe join, codes-only "
+    "ADC); only the literal codebooks differ, so the 100 TB properties "
+    "carry over unchanged.",
+    tags=("embeddings", "quantization", "ann", "similarity"),
+)
+def q_ivfadc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfadc_spark(spark, sf_dir, trained=True)

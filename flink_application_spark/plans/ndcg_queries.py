@@ -1,4 +1,4 @@
-"""nDCG\@k retrieval evaluation — the graded companion to the
+"""nDCG@k retrieval evaluation — the graded companion to the
 Matryoshka recall query: recall counts overlap, nDCG weighs WHERE the
 good candidates landed (a near-miss at rank 5 scores higher than one
 missing entirely). Gain = exact cosine of the retrieved pair; ideal =

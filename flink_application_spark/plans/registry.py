@@ -145,73 +145,78 @@ def _load_all() -> None:
 
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. This list IS that window, curated explicitly (import order
-# alone can't express it once queries live in many modules):
-# - the §2 reference-parity core (every CDR surface, W2/P12),
-# - the six queries whose round-1 hash-fails (HUGEINT oracle types)
-#   were fixed after the round-1 driver snapshot — they must be
-#   sampled again to show green,
-# - every round-1-late and round-2 flagship that has NEVER been
-#   driver-sampled (kmeans, classifier, sampling, range join, scrub,
-#   LM, funnel, shuffle, mixture, triplets, merge, recursive CTE, CEP),
-# - a continuity set of round-1 greens covering each family.
+# alone can't express it once queries live in many modules).
+#
+# Round-3 rotation: rounds 1-2 drove 80 distinct queries to green
+# (union of CORRECTNESS_r01/r02 keys); everything previously sampled
+# green KEEPS that evidence on record, so this window spends its 50
+# rows on:
+# - the two round-2 red rows, re-sampled to show their fixes green
+#   (doc_hashing_trick_embedding: array<double> output serialized;
+#   cdr_generated_sample: md5-replay oracle added),
+# - 48 never-driver-sampled oracle-bearing queries — the full TPC-H
+#   sweep (q5 sampled green in r01/r02), the window/agg library, the
+#   text/cleaning family, multimodal phash, and the remaining
+#   eval/quantization queries — pushing the driver-sampled union to
+#   128/193.
 # Everything not listed keeps its import-order position after these.
 SAMPLE_WINDOW = [
-    # §2 reference core
-    "cdr_src_extended",
-    "cdr_exploded",
-    "cdr_exploded_udtf",
-    "cdr_dim_exploded",
-    "cdr_enrich_path_a",
-    "cdr_enrich_path_a_left",
-    "cdr_enrich_path_b",
-    "cdr_enrichment_full",
-    "cdr_generated_sample",
-    "cdr_dim_validity_intervals",
-    "cdr_enrich_path_b_asof",
-    "scalar_function_library",   # §2 P12
-    "events_latest_per_user",    # §2 W2
-    "events_asof_last_signup",
-    "events_interval_join_purchase_clicks",
-    # round-1 hash-fails fixed post-snapshot (must re-sample)
-    "mm_frame_sample",
-    "mm_frame_delta_scene_changes",
-    "doc_split_train_val_test",
-    "doc_pack_sequences",
-    "events_funnel_conversion",
-    "corpus_mixture_plan",
-    # round-1-late, never driver-sampled
-    "doc_jaccard_similarity_join",
-    "emb_pca_gram",
-    "emb_cosine_near_dup_pairs",
-    "emb_dup_components",
+    # round-2 red rows, fixed this round — must re-sample green
     "doc_hashing_trick_embedding",
-    "doc_novelty_scores",
-    # round-2 flagships, never driver-sampled
-    "emb_kmeans_assign",
-    "doc_quality_classifier_score",
-    "doc_weighted_sample",
-    "events_global_interval_join",
-    "doc_repeated_ngram_scrub",
-    "doc_bigram_lm_score",
-    "corpus_curation_funnel",
-    "doc_epoch_shuffle_shards",
-    "corpus_temperature_mixture",
-    "emb_contrastive_triplets",
-    "customer_apply_changelog",
-    "customer_tree_depth_recursive_cte",
-    "events_cep_signup_purchase_no_error",
-    # round-2 additions, never driver-sampled
-    "emb_semdedup_flags",
-    "emb_ivfadc_topk",
-    "doc_dsir_log_weights",
-    "doc_dsir_selection",
-    "vocab_bpe_pair_counts",
-    "doc_chunk_windows",
-    "doc_jaccard_topk_thresholded",
-    "doc_quality_gate_audit",
-    "emb_pq_codes",
-    # round-1 green: continuity representative
-    "tpch_q5_local_supplier",
+    "cdr_generated_sample",
+    # TPC-H sweep (every shape except the already-green q5)
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_unit_price",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_exists",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # window/agg library
+    "window_topn_per_group",
+    "window_running_revenue",
+    "window_lag_gap",
+    "events_sessionization",
+    "events_tumbling_window",
+    "events_hopping_window",
+    "events_cumulate_window",
+    "grouping_sets_order_stats",
+    "pivot_event_type_counts",
+    "salted_agg_lineitem",
+    # text / cleaning / docs
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_token_stats",
+    "doc_tfidf_topk",
+    "doc_bm25_search",
+    "doc_gopher_repetition",
+    "doc_decontaminate_vs_eval",
+    "doc_winnowing_fingerprints",
+    "doc_substring_dedup_report",
+    "doc_text_search_topk",
+    # multimodal
+    "mm_image_phash",
+    "mm_image_phash_near_dup_pairs",
+    # eval / quantization / corpus reporting
+    "emb_pq_adc_topk",
+    "emb_matryoshka_recall",
+    "emb_label_noise_knn",
+    "corpus_data_card",
+    "corpus_drift_psi",
 ]
 
 

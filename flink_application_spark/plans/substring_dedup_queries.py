@@ -48,14 +48,14 @@ grams AS (
         FROM toks WHERE len(toks) >= {_L})
 ),
 firsts AS (
-  SELECT h, min(doc_id * 100000 + start) AS first_key,
+  SELECT h, min(struct_pack(d := doc_id, s := start)) AS fk,
          count(*) AS n_occ
   FROM grams GROUP BY h
 ),
 losers AS (
   SELECT g.doc_id AS doc_id, g.start AS start
   FROM grams g JOIN firsts f ON f.h = g.h
-  WHERE f.n_occ > 1 AND g.doc_id * 100000 + g.start <> f.first_key
+  WHERE f.n_occ > 1 AND NOT (g.doc_id = f.fk.d AND g.start = f.fk.s)
 ),
 covered AS (
   SELECT DISTINCT doc_id, pos FROM (
@@ -101,15 +101,24 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.start", "g.h")
-    key = (F.col("doc_id") * 100000 + F.col("start")).alias("k")
+    # first occurrence = lexicographic min (doc_id, start) STRUCT —
+    # an arithmetic doc_id*C+start composite silently collides/reorders
+    # once a document exceeds C tokens (round-2 advice), and the same
+    # constant on the oracle side would hide it from parity tests
+    key = F.struct(
+        F.col("doc_id").alias("d"), F.col("start").alias("s")
+    ).alias("k")
     firsts = grams.select("h", key).groupBy("h").agg(
-        F.min("k").alias("first_key"), F.count(F.lit(1)).alias("n_occ")
+        F.min("k").alias("fk"), F.count(F.lit(1)).alias("n_occ")
     )
     losers = (
         grams.join(firsts, "h")
         .filter(
             (F.col("n_occ") > 1)
-            & (F.col("doc_id") * 100000 + F.col("start") != F.col("first_key"))
+            & ~(
+                (F.col("doc_id") == F.col("fk.d"))
+                & (F.col("start") == F.col("fk.s"))
+            )
         )
         .select("doc_id", "start")
     )

@@ -60,8 +60,13 @@ class DynamicRuleEngine:
         rules = read_rules(self.rules_path)
         spark = batch_df.sparkSession
         if not rules:
+            # derive the id column's type from the LIVE batch schema — a
+            # hardcoded bigint would write empty-batch parquet with a
+            # different schema than rule-matching batches under the same
+            # store, breaking later matches() reads (round-2 advice)
+            id_ddl = batch_df.schema[self.id_col].dataType.simpleString()
             empty = spark.createDataFrame(
-                [], f"rule_id string, {self.id_col} bigint"
+                [], f"rule_id string, {self.id_col} {id_ddl}"
             )
             idempotent_batch_write(empty, self._matches, batch_id)
             idempotent_batch_write(

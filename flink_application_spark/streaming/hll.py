@@ -37,12 +37,22 @@ class StreamingDistinctSketch:
     sketch binary, n_rows) — kilobytes regardless of batch size."""
 
     def __init__(
-        self, state_dir: str, *, group_cols: tuple[str, ...], item_col: str
+        self,
+        state_dir: str,
+        *,
+        group_cols: tuple[str, ...],
+        item_col: str,
+        group_types: dict[str, str] | None = None,
     ) -> None:
         if not group_cols:
             raise ValueError("need at least one group column")
         self.group_cols = list(group_cols)
         self.item_col = item_col
+        # DDL types for the empty-state estimates() frame; non-string
+        # keys (numeric ids) should declare theirs so the empty and
+        # populated paths return identical dtypes (round-2 advice).
+        # Once any batch is committed, the real parquet schema wins.
+        self.group_types = dict(group_types or {})
         self._dir = os.path.join(state_dir, "sketches")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -76,8 +86,11 @@ class StreamingDistinctSketch:
 
     def estimates(self, spark) -> DataFrame:
         """(group_cols..., est_distinct, n_rows) from the merged state."""
-        schema = ", ".join(f"{c} string" for c in self.group_cols)
         if not self._has_state():
+            schema = ", ".join(
+                f"{c} {self.group_types.get(c, 'string')}"
+                for c in self.group_cols
+            )
             return spark.createDataFrame(
                 [], f"{schema}, est_distinct bigint, n_rows bigint"
             )

@@ -67,8 +67,11 @@ class LateDataRouter:
                 on_time = batch_df
             else:
                 cutoff = wm - self.delay_us
-                late = batch_df.filter(ts_us < cutoff)
-                on_time = batch_df.filter(ts_us >= cutoff)
+                # NULL event times satisfy neither comparison — route
+                # them explicitly to on_time (a row without a timestamp
+                # cannot be "late"), preserving main ∪ late == input
+                late = batch_df.filter(ts_us.isNotNull() & (ts_us < cutoff))
+                on_time = batch_df.filter(ts_us.isNull() | (ts_us >= cutoff))
             idempotent_batch_write(on_time, self._main, batch_id)
             idempotent_batch_write(late, self._late, batch_id)
             # one-row ledger entry: this batch's max event time

@@ -84,7 +84,10 @@ class StreamingQuantileSketch:
     def _bin_value(self, sign: int, b: int) -> float:
         if sign == 0:
             return 0.0
-        mag = 2.0 * self.gamma**b / (self.gamma + 1)  # bin midpoint (geometric)
+        # negative values store bin = -idx (sign disambiguates), so the
+        # magnitude exponent is |idx| = b for positives, -b for negatives
+        idx = b if sign > 0 else -b
+        mag = 2.0 * self.gamma**idx / (self.gamma + 1)  # bin midpoint (geometric)
         return mag if sign > 0 else -mag
 
     def quantiles(self, spark, qs: list[float]) -> dict:
@@ -100,9 +103,11 @@ class StreamingQuantileSketch:
             )
         out: dict = {}
         for key, cells in by_group.items():
-            # total order over the real line: negatives by descending
-            # magnitude, zeros, positives by ascending magnitude
-            cells.sort(key=lambda t: (t[0], t[1] if t[0] >= 0 else -t[1]))
+            # total order over the real line: because negatives store
+            # bin = -idx, plain (sign, bin) ascending walks negatives
+            # largest-magnitude-first (idx desc ⇔ stored bin asc), then
+            # zeros, then positives magnitude-ascending — real-line order
+            cells.sort(key=lambda t: (t[0], t[1]))
             total = sum(c for _, _, c in cells)
             est = {}
             for q in qs:

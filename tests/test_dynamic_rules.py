@@ -80,3 +80,25 @@ def test_rule_replay_converges(spark, sf_dir, tmp_path):
     engine.process_batch(batch, 0)
     after = sorted(r["event_id"] for r in engine.matches(spark).collect())
     assert after == before and len(before) > 0
+
+
+def test_empty_rule_batch_schema_matches_typed_id(spark, tmp_path):
+    """An empty-rule batch followed by a matching batch must produce ONE
+    readable matches() store even for a non-bigint id column (round-2
+    advice: the empty frame hardcoded bigint)."""
+    from flink_application_spark.streaming.dynamic_rules import (
+        DynamicRuleEngine,
+        write_rules,
+    )
+
+    rules_path = str(tmp_path / "rules.json")
+    eng = DynamicRuleEngine(rules_path, str(tmp_path / "out"), id_col="sid")
+    batch = spark.createDataFrame(
+        [("a", 5), ("b", 50)], "sid string, v int"
+    )
+    eng.process_batch(batch, 0)  # no rules yet → typed empty write
+    write_rules({"big": "v > 10"}, rules_path)
+    eng.process_batch(batch, 1)
+    got = eng.matches(spark)
+    assert dict(got.dtypes)["sid"] == "string"
+    assert {r["sid"] for r in got.collect()} == {"b"}

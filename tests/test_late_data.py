@@ -79,3 +79,28 @@ def test_late_routing_replay_deterministic(spark, sf_dir, tmp_path):
     router.process_batch(waves[1], 1)  # replay the middle batch
     after = sorted(r["event_id"] for r in router.late(spark).collect())
     assert after == before
+
+
+def test_null_event_time_rows_survive(spark, tmp_path):
+    """Rows with NULL event time satisfy neither ts < cutoff nor
+    ts >= cutoff — before the round-2 advice fix they vanished once a
+    watermark existed, breaking main ∪ late == input. They must route
+    to on_time (no timestamp ⇒ cannot be late)."""
+    router = LateDataRouter(
+        str(tmp_path / "out"), ts_col="ts", allowed_delay_seconds=10
+    )
+    b0 = spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00"), (2, None)], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1 = spark.createDataFrame(
+        [(3, "2024-06-01 12:00:01"), (4, None), (5, "2024-06-01 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    router.process_batch(b0, 0)
+    router.process_batch(b1, 1)  # watermark from b0 now applies
+    on_ids = {r["id"] for r in router.on_time(spark).collect()}
+    late_ids = {r["id"] for r in router.late(spark).collect()}
+    assert on_ids | late_ids == {1, 2, 3, 4, 5}
+    assert on_ids & late_ids == set()
+    assert 4 in on_ids  # NULL ts under an active watermark: kept, on-time
+    assert 5 in late_ids  # genuinely late row still quarantined

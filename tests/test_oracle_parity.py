@@ -45,6 +45,27 @@ def test_no_hugeint_oracle_columns(con):
     assert not offenders, offenders
 
 
+def test_no_complex_typed_oracle_outputs(spark, sf_dir):
+    """The DRIVER's canonicalization (pandas sort_values over all
+    columns) cannot hash array/map/struct cells — round 2's only
+    genuine red row (`doc_hashing_trick_embedding`, array<double>)
+    errored in the driver while the builder-side harness string-
+    normalized lists and stayed green. Oracle-bearing queries must
+    emit driver-hashable scalars only (serialize vectors to strings
+    or explode to rows)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        df = spec.spark(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without an oracle still must run and return a schema."""
     for name, spec in REGISTRY.items():

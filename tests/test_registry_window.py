@@ -21,43 +21,33 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# §2-mapped queries that had only local oracle evidence in round 1,
-# the six post-snapshot HUGEINT fixes that must re-sample to show
-# green, and the round-2 flagships that have never been driver-sampled.
+# Round-3 window contract: the two round-2 red rows whose fixes must
+# re-sample green, plus representatives of each never-sampled family
+# (the full window is pinned exactly by
+# test_first_50_is_exactly_the_curated_window; this set documents the
+# non-negotiables).
 MUST_BE_IN_WINDOW = {
-    "cdr_src_extended",
-    "cdr_enrichment_full",
-    "cdr_enrich_path_a",
-    "cdr_enrich_path_b",
-    "cdr_enrich_path_b_asof",
-    "scalar_function_library",   # §2 P12
-    "events_latest_per_user",    # §2 W2
-    "doc_jaccard_similarity_join",
-    "emb_pca_gram",
-    "emb_cosine_near_dup_pairs",
-    "emb_dup_components",
-    # round-1 hash-fails fixed after the driver snapshot
-    "mm_frame_sample",
-    "mm_frame_delta_scene_changes",
-    "doc_split_train_val_test",
-    "doc_pack_sequences",
-    "events_funnel_conversion",
-    "corpus_mixture_plan",
-    # round-2 flagships
-    "emb_kmeans_assign",
-    "doc_quality_classifier_score",
-    "doc_weighted_sample",
-    "events_global_interval_join",
-    "doc_repeated_ngram_scrub",
-    "doc_bigram_lm_score",
-    "corpus_curation_funnel",
-    "doc_epoch_shuffle_shards",
-    "corpus_temperature_mixture",
-    "emb_contrastive_triplets",
-    "customer_apply_changelog",
-    "customer_tree_depth_recursive_cte",
-    "events_cep_signup_purchase_no_error",
+    # round-2 red rows, fixed this round
+    "doc_hashing_trick_embedding",
+    "cdr_generated_sample",
+    # family representatives of the round-3 rotation
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_sales_opportunity",
+    "window_topn_per_group",
+    "events_sessionization",
+    "doc_quality_scores",
+    "doc_bm25_search",
+    "doc_substring_dedup_report",
+    "mm_image_phash",
+    "emb_pq_adc_topk",
+    "corpus_data_card",
 }
+
+
+# Driver-sampled union audit: every name in the round-1/round-2
+# correctness files that is NOT re-sampled this round keeps its green
+# evidence only if it still exists under the same name — pinned by
+# test_no_duplicate_or_renamed_registrations below.
 
 
 @functools.lru_cache(maxsize=1)
@@ -98,3 +88,16 @@ def test_no_duplicate_or_renamed_registrations():
     _load_all()
     assert len(REGISTRY) == len(set(REGISTRY))
     assert MUST_BE_IN_WINDOW <= set(REGISTRY)
+
+
+def test_previously_sampled_queries_still_registered():
+    """Rotating the window only extends coverage if every query the
+    driver ALREADY sampled green keeps existing under the same name —
+    a rename or deletion silently forfeits its recorded evidence."""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sampled: set[str] = set()
+    for f in root.glob("CORRECTNESS_r*.json"):
+        sampled |= set(json.loads(f.read_text()))
+    _load_all()
+    missing = sampled - set(REGISTRY)
+    assert not missing, f"previously driver-sampled queries vanished: {missing}"

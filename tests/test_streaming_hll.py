@@ -104,3 +104,26 @@ def test_streaming_sketch_replay_converges(spark, typed_stream_dir, tmp_path):
         for r in store.estimates(spark).collect()
     )
     assert after == before
+
+
+def test_empty_state_estimates_dtypes_match_populated(spark, tmp_path):
+    """estimates() on a never-written store must return the same dtypes
+    the populated path returns when group keys are numeric (round-2
+    advice: the empty path hardcoded all-string keys)."""
+    from flink_application_spark.streaming.hll import StreamingDistinctSketch
+
+    sk = StreamingDistinctSketch(
+        str(tmp_path / "s"),
+        group_cols=("user_id",),
+        item_col="event_id",
+        group_types={"user_id": "bigint"},
+    )
+    empty = sk.estimates(spark)
+    assert dict(empty.dtypes)["user_id"] == "bigint"
+    assert empty.count() == 0
+    batch = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "user_id bigint, event_id bigint"
+    )
+    sk.process_batch(batch, 0)
+    pop = sk.estimates(spark)
+    assert dict(pop.dtypes)["user_id"] == dict(empty.dtypes)["user_id"]

@@ -110,3 +110,36 @@ def test_grouped_quantiles(spark, value_stream_dir, tmp_path):
         )
         rel = abs(est[(t,)][0.5] - exact) / abs(exact)
         assert rel <= 2 * _ALPHA, (t, est[(t,)][0.5], exact)
+
+
+def test_negative_and_mixed_values(spark, tmp_path):
+    """Full-real-line support (round-2 advice: negative magnitudes were
+    inverted by the stored-bin sign trick): estimates on an all-negative
+    and a mixed-sign batch must stay within the relative-error bound,
+    and the rank walk must traverse negatives in real-line order."""
+    vals = (
+        [-(1.07**i) for i in range(1, 60)]          # -1.07 .. ~-54
+        + [-(0.5**i) for i in range(1, 10)]          # (-0.5 .. ~-0.002)
+        + [0.0] * 5
+        + [0.5**i for i in range(1, 10)]
+        + [1.07**i for i in range(1, 60)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    sk = StreamingQuantileSketch(
+        str(tmp_path / "state"), value_col="value", alpha=_ALPHA
+    )
+    sk.process_batch(df, 0)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    est = sk.quantiles(spark, qs)[()]
+    exact = dict(
+        zip(qs, df.agg(F.percentile("value", F.array(*[F.lit(q) for q in qs]))).collect()[0][0])
+    )
+    for q in qs:
+        if exact[q] == 0:
+            assert abs(est[q]) <= _ALPHA
+        else:
+            rel = abs(est[q] - exact[q]) / abs(exact[q])
+            assert rel <= 2 * _ALPHA, (q, est[q], exact[q], rel)
+    # monotone: estimates must be non-decreasing in q (real-line walk)
+    ordered = [est[q] for q in qs]
+    assert ordered == sorted(ordered), ordered
