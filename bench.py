@@ -53,16 +53,22 @@ HEADLINE = [
 ]
 
 
-def stream_throughput(spark, sf_dir: str) -> tuple[float, int]:
+def stream_throughput(spark, sf_dir: str) -> tuple[float, int, float]:
     """End-to-end Structured Streaming throughput of the reference
     pipeline (SURVEY §6: the reference's only throughput operating
     point is its generator's 10 events/sec — we record events/sec at
     saturation instead). Snapshot the CDR fixture to parquet (untimed),
     then time an availableNow file-stream run of the FULL streaming
     enrichment (stream-static lookup join, explode, theta as-of join,
-    session-window arg-max dedup) into a memory sink. A far-future
-    sentinel row advances the watermark so every real session flushes
-    before the run ends (same pattern as tests/test_streaming.py)."""
+    session-window arg-max dedup) into the SIZE-ROLLED partitioned
+    parquet sink — the reference's production sink shape (S4 + byte
+    rolling), so the measured wall includes real sink IO and the
+    110 MB file-size ceiling is exercised at bench scale (round-2
+    verdict item 7). Returns (wall, events, max_sink_file_mb). A
+    far-future sentinel row advances the watermark so every real
+    session flushes before the run ends (same pattern as
+    tests/test_streaming.py)."""
+    import glob
     import shutil
     import tempfile
 
@@ -71,7 +77,9 @@ def stream_throughput(spark, sf_dir: str) -> tuple[float, int]:
     from flink_application_spark.plans.cdr import cdr_views
     from flink_application_spark.sources.streams import file_stream
     from flink_application_spark.streaming.pipeline import streaming_enrichment
-    from flink_application_spark.streaming.sinks import write_memory
+    from flink_application_spark.streaming.sinks import (
+        write_partitioned_parquet_size_rolled,
+    )
 
     root = tempfile.mkdtemp(prefix="bench_stream_")
     try:
@@ -103,14 +111,24 @@ def stream_throughput(spark, sf_dir: str) -> tuple[float, int]:
             gap="1 hour",
             watermark_delay="0 seconds",
         )
-        q = write_memory(result, "bench_stream_out")
+        q = write_partitioned_parquet_size_rolled(
+            result,
+            f"{root}/sink",
+            checkpoint=f"{root}/ckpt",
+            partition_by=("event_date", "probe"),
+            target_file_bytes=110 * 1024 * 1024,
+        )
         q.awaitTermination(300)
-        n_out = spark.table("bench_stream_out").count()
+        n_out = spark.read.parquet(f"{root}/sink").count()
         wall = time.perf_counter() - t0
         assert n_out > 0
+        max_file_mb = max(
+            os.path.getsize(p)
+            for p in glob.glob(f"{root}/sink/**/*.parquet", recursive=True)
+        ) / (1024 * 1024)
         imsi_msisdn.unpersist()
         ms_ip.unpersist()
-        return wall, n_events
+        return wall, n_events, round(max_file_mb, 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -170,21 +188,51 @@ def main() -> None:
         for name in HEADLINE:
             REGISTRY_GET(name).spark(spark, warm_dir).count()
 
-    # min of 2 runs per query: the steady-state cost of the plan, robust
-    # to transient machine load / GC landing on one run (standard
-    # best-of-N benchmark practice; each run still includes its own IO).
+    # median of 3 runs per query: single samples made q1/q3/q5 look
+    # regressed in round 2 (run-order noise on a contended box — the
+    # round-2 verdict falsified the "regression" by re-measurement);
+    # the median absorbs one bad run without hiding a real slowdown
+    # the way min-of-N can.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY_GET(name)
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
-    stream_wall, stream_events = stream_throughput(spark, sf_dir)
+    stream_wall, stream_events, max_sink_file_mb = stream_throughput(spark, sf_dir)
     ingest_wall, ingest_docs = ingest_throughput(spark, sf_dir)
+
+    # per-query deltas vs the most recent recorded BENCH_r{N}.json —
+    # positive = slower than last round, negative = faster
+    deltas: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as f:
+                doc = json.load(f)
+            # the driver wraps bench output under "parsed" (dict or
+            # repr-string); a raw bench line has "queries" at top level
+            parsed = doc.get("parsed", doc)
+            if isinstance(parsed, str):
+                import ast
+
+                parsed = ast.literal_eval(parsed)
+            prev = parsed.get("queries", {})
+            deltas = {
+                n: round(timings[n] - prev[n], 3)
+                for n in timings
+                if n in prev
+            }
+        except (OSError, ValueError, SyntaxError):
+            deltas = {}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -195,9 +243,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "samples_per_query": 3,
+                "aggregation": "median",
+                "deltas_vs_prev_round": deltas,
                 "stream_events_per_sec": round(stream_events / stream_wall, 1),
                 "stream_wall_sec": round(stream_wall, 3),
                 "stream_events": stream_events,
+                # r03+: the stream number includes REAL sink IO (size-
+                # rolled partitioned parquet) — r01/r02 used a memory
+                # sink, so events/sec is not directly comparable across
+                "stream_sink": "size_rolled_partitioned_parquet",
+                "max_sink_file_mb": max_sink_file_mb,
                 "ingest_docs_per_sec": round(ingest_docs / ingest_wall, 1),
                 "ingest_wall_sec": round(ingest_wall, 3),
                 "ingest_docs": ingest_docs,

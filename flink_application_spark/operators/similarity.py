@@ -401,6 +401,109 @@ def knn_classify(
     )
 
 
+def label_noise_audit(
+    corpus: DataFrame,
+    labels: DataFrame,
+    *,
+    k: int = 5,
+    use_ann: bool = False,
+    **ann_kwargs,
+) -> DataFrame:
+    """k-NN label-agreement audit over the pluggable retriever: for
+    every labeled vector, how many of its k nearest neighbors share
+    its label; ≤ 1 agreeing neighbor flags a mislabeling candidate.
+    The aggregate is retriever-agnostic — `use_ann=True` swaps the
+    O(n²) scoring join for the IVF probe join with no other change
+    (agreement vs exact pinned in tests/test_ivf.py)."""
+    topk = retrieve_topk(corpus, corpus, k, use_ann=use_ann, **ann_kwargs).select(
+        "query_id", "vec_id"
+    )
+    joined = topk.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            )
+        ),
+        "query_id",
+    ).join(
+        F.broadcast(labels.select("vec_id", F.col("label").alias("nlabel"))),
+        "vec_id",
+    )
+    agg = joined.groupBy(
+        F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label")
+    ).agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)).alias(
+            "n_same_label"
+        )
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        "n_same_label",
+        (F.col("n_same_label") <= 1).alias("noise_candidate"),
+    )
+
+
+def contrastive_triplets(
+    queries: DataFrame,
+    corpus: DataFrame,
+    labels: DataFrame,
+    *,
+    k_retrieve: int = 50,
+    use_ann: bool = False,
+    **ann_kwargs,
+) -> DataFrame:
+    """Triplet mining (best same-label positive + hardest different-
+    label negative + margin) over the pluggable retriever — the scale
+    form of `plans/contrastive_queries.py`'s exact all-pairs query:
+    candidates come from top-``k_retrieve`` retrieval (both the
+    positive and the HARD negative live in the query's neighborhood by
+    definition — a distant negative isn't hard), then two windowed
+    arg-maxes over ≤ k_retrieve rows per query. With ``use_ann=True``
+    the scoring join is the IVF probe join; nothing downstream
+    changes."""
+    cands = retrieve_topk(
+        queries, corpus, k_retrieve, use_ann=use_ann, **ann_kwargs
+    ).select("query_id", "vec_id", "cosine")
+    scored = cands.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+            )
+        ),
+        "query_id",
+    ).join(
+        F.broadcast(labels.select("vec_id", F.col("label").alias("cand_label"))),
+        "vec_id",
+    )
+    w = Window.partitionBy(
+        "query_id", F.col("cand_label") == F.col("query_label")
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos = best.filter(F.col("cand_label") == F.col("query_label")).select(
+        "query_id",
+        F.col("query_label").alias("label"),
+        F.col("vec_id").alias("positive_id"),
+        F.col("cosine").alias("positive_cos"),
+    )
+    neg = best.filter(F.col("cand_label") != F.col("query_label")).select(
+        "query_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("cosine").alias("negative_cos"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "label",
+        "positive_id",
+        "positive_cos",
+        "negative_id",
+        "negative_cos",
+        (F.round(F.col("positive_cos") - F.col("negative_cos"), 6) + F.lit(0.0)).alias(
+            "margin"
+        ),
+    )
+
+
 def mmr_rerank(
     queries: DataFrame,
     corpus: DataFrame,

@@ -18,18 +18,30 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-# Quadratic-by-design queries (documented exhaustive baselines).
+# Quadratic-by-design queries. Two classes remain (round-2 verdict
+# item 5 closed the rest by REGISTERING the scale paths):
+#
+# (a) exact-oracle baselines whose 100 TB path is now a registered
+#     `_ann`/thresholded twin (plans/ann_twins.py; agreement contracts
+#     in tests/test_ivf.py + tests/test_ann_twins.py) — the quadratic
+#     form is the oracle DuckDB can reproduce, the twin is the entry a
+#     deployment runs;
+# (b) evals that compare against the exact ranking BY DEFINITION
+#     (recall/nDCG) — nothing to flip.
 INTENTIONALLY_QUADRATIC = {
-    "doc_ngram_jaccard_topk",   # all-pairs exact Jaccard baseline
-    "emb_cosine_topk_bruteforce",  # brute-force ANN baseline (broadcast NLJ)
-    "emb_knn_classify",  # scoring stage = brute-force baseline (swap to ANN at scale)
-    "emb_mmr_diversified_topk",  # retrieval stage = brute-force baseline (swap to ANN at scale)
-    "emb_contrastive_triplets",  # exact-retrieval oracle path (retrieve_topk(use_ann=) at scale)
-    "emb_label_noise_knn",  # agreement audit over the brute-force retriever (ANN drop-in at scale)
-    "emb_matryoshka_recall",  # recall eval BY DESIGN compares against the exact ranking
-    "doc_text_search_topk",  # exact-retrieval oracle path of the text→vector→ANN stack
-    "emb_pq_adc_topk",  # flat-PQ ADC scans all codes by design; the pruned form is emb_ivfadc_topk
-    "emb_lsh_ndcg",  # the IDEAL side is the exact ranking by definition of nDCG
+    # (a) exact oracles with registered scale twins
+    "doc_ngram_jaccard_topk",   # twin: doc_jaccard_topk_thresholded (prefix-filtered setjoin)
+    "emb_cosine_topk_bruteforce",  # twin: emb_cosine_topk_ann (+ emb_ivf_full_probe_exact oracle)
+    "emb_knn_classify",  # twin: emb_knn_classify_ann
+    "emb_mmr_diversified_topk",  # twin: emb_mmr_diversified_topk_ann
+    "emb_contrastive_triplets",  # twin: emb_contrastive_triplets_ann
+    "emb_label_noise_knn",  # twin: emb_label_noise_knn_ann
+    "doc_text_search_topk",  # twin: doc_text_search_topk_ann
+    "emb_pq_adc_topk",  # twin: emb_ivfadc_topk (probe-pruned ADC, oracle-checked)
+    "emb_pq_trained_adc_topk",  # flat-PQ scan like its seeded oracle; pruned form is emb_ivfadc_trained_topk
+    # (b) exact-ranking evals by definition
+    "emb_matryoshka_recall",
+    "emb_lsh_ndcg",
     # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
     # sign-LSH rework it must plan equi-joins only — a cartesian there
     # is a regression this test exists to catch.
