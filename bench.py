@@ -50,6 +50,10 @@ HEADLINE = [
     "vocab_bpe_pair_counts",
     "doc_winnowing_fingerprints",
     "emb_ivfadc_topk",
+    # round-3 additions: ANN scale twin, estimator audit, Neyman sampler
+    "emb_knn_classify_ann",
+    "doc_minhash_estimate_error",
+    "doc_stratified_sample_neyman",
 ]
 
 

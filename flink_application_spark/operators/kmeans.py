@@ -46,21 +46,82 @@ def _d2_to_centroid(col: Column, centroid: list[float]) -> Column:
 
 
 def assign_clusters(
-    df: DataFrame, centroids: list[list[float]], col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Add ``cluster`` (argmin centroid index, ties → lowest index) and
-    ``d2`` (squared L2 to it). Pure scan-local JVM expression work."""
-    cands = F.array(
-        *[
-            F.struct(
-                _d2_to_centroid(F.col(col), c).alias("d2"),
-                F.lit(i).alias("cluster"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.array_min(cands)
-    return df.withColumn("cluster", best["cluster"]).withColumn("d2", best["d2"])
+    ``d2`` (squared L2 to it). Scan-local either way — no shuffle.
+
+    ``impl="arrow"`` (default): Arrow-batched numpy with the IDENTICAL
+    arithmetic as the fold form — per row, float64 accumulation in the
+    same left-to-right coordinate order (`acc += (x_j − c_j)²` for
+    j = 0..d−1), argmin taking the first minimum (lowest cluster on
+    ties). Catalyst higher-order folds run interpreted (~1.6 s for
+    2000×8×64 at sf0.1); the vectorized path is ~an order faster with
+    bit-equal output (pinned in tests/test_kmeans.py), so oracle hashes
+    are unchanged. ``impl="fold"`` keeps the pure-JVM expression form
+    (zero Python — the right choice when Arrow transfer of the vector
+    column dominates, e.g. very wide rows piped through many stages)."""
+    if impl == "fold":
+        cands = F.array(
+            *[
+                F.struct(
+                    _d2_to_centroid(F.col(col), c).alias("d2"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        best = F.array_min(cands)
+        return df.withColumn("cluster", best["cluster"]).withColumn("d2", best["d2"])
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+    k = len(cents)
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them beyond pyspark's resolver (pandas imported
+    # locally); hint-less pandas_udf defaults to SCALAR
+    @pandas_udf(f"struct<cluster:int,d2:double>")  # noqa: F541
+    def best(emb):
+        mask = emb.notna()
+        out_cl = np.full(len(emb), -1, dtype=np.int64)
+        out_d2 = np.full(len(emb), np.nan, dtype=np.float64)
+        if mask.any():
+            x = np.array(emb[mask].tolist(), dtype=np.float64)
+            n, d = x.shape
+            d2 = np.empty((n, k), dtype=np.float64)
+            for ci, c in enumerate(cents):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(d):  # fold order: left-to-right adds
+                    diff = x[:, j] - c[j]
+                    acc += diff * diff
+                d2[:, ci] = acc
+            cl = np.argmin(d2, axis=1)  # first min ⇒ lowest cluster
+            out_cl[mask.to_numpy()] = cl
+            out_d2[mask.to_numpy()] = d2[np.arange(n), cl]
+        return pd.DataFrame(
+            {
+                "cluster": pd.array(
+                    [None if c < 0 else int(c) for c in out_cl], dtype="Int32"
+                ),
+                # NULL (not NaN) for null embeddings, like the fold form
+                "d2": pd.array(
+                    [None if c < 0 else v for c, v in zip(out_cl, out_d2)],
+                    dtype="Float64",
+                ),
+            }
+        )
+
+    out = df.withColumn("_best", best(F.col(col)))
+    return out.withColumn("cluster", F.col("_best.cluster")).withColumn(
+        "d2", F.col("_best.d2")
+    ).drop("_best")
 
 
 def init_centroids(

@@ -99,33 +99,82 @@ def trained_codebooks(
 
 
 def pq_encode(
-    emb: DataFrame, codebooks: list[list[list[float]]], dim: int
+    emb: DataFrame, codebooks: list[list[list[float]]], dim: int, impl: str = "arrow"
 ) -> DataFrame:
     """(vec_id, code_0..code_{m-1}, recon_d2): per-subspace argmin code
-    (ties → lowest code) plus total squared reconstruction error."""
+    (ties → lowest code) plus total squared reconstruction error.
+
+    ``impl="arrow"`` (default) runs the identical arithmetic as the
+    literal-fold form in Arrow-batched numpy — per subspace, float64
+    distance accumulation in the same left-to-right coordinate order
+    and first-minimum argmin; recon sums the subspace d2s in subspace
+    order starting from 0.0, exactly like the fold's column chain, and
+    the final 6-decimal round stays in Spark (F.round is HALF_UP; numpy
+    rounds half-even). Bit-equal to ``impl="fold"`` (pinned in
+    tests/test_pq.py) so the DuckDB oracle hashes are unchanged; ~an
+    order faster (Catalyst HOFs run interpreted)."""
     m = len(codebooks)
     sub_dim = dim // m
     out = emb.filter(F.col("embedding").isNotNull())
-    recon = F.lit(0.0)
-    for s, book in enumerate(codebooks):
-        sub = _sub(F.col("embedding"), s, sub_dim)
-        cands = F.array(
-            *[
-                F.struct(
-                    _d2_lit(sub, c).alias("d2"), F.lit(i).alias("code")
-                )
-                for i, c in enumerate(book)
-            ]
+    if impl == "fold":
+        recon = F.lit(0.0)
+        for s, book in enumerate(codebooks):
+            sub = _sub(F.col("embedding"), s, sub_dim)
+            cands = F.array(
+                *[
+                    F.struct(
+                        _d2_lit(sub, c).alias("d2"), F.lit(i).alias("code")
+                    )
+                    for i, c in enumerate(book)
+                ]
+            )
+            best = F.array_min(cands)
+            out = out.withColumn(f"code_{s}", best["code"]).withColumn(
+                f"_d2_{s}", best["d2"]
+            )
+            recon = recon + F.col(f"_d2_{s}")
+        return out.select(
+            "vec_id",
+            *[f"code_{s}" for s in range(m)],
+            F.round(recon, 6).alias("recon_d2"),
         )
-        best = F.array_min(cands)
-        out = out.withColumn(f"code_{s}", best["code"]).withColumn(
-            f"_d2_{s}", best["d2"]
-        )
-        recon = recon + F.col(f"_d2_{s}")
-    return out.select(
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [
+        [np.asarray(c, dtype=np.float64) for c in book] for book in codebooks
+    ]
+    fields = ", ".join([f"code_{s}:int" for s in range(m)] + ["recon:double"])
+
+    # hint-less: `from __future__ import annotations` breaks resolution
+    @pandas_udf(f"struct<{fields}>")
+    def encode(embs):
+        x = np.array(embs.tolist(), dtype=np.float64)
+        n = len(x)
+        cols: dict[str, object] = {}
+        recon = np.zeros(n, dtype=np.float64)  # fold starts at 0.0
+        for s, book in enumerate(books):
+            sub = x[:, s * sub_dim : (s + 1) * sub_dim]
+            d2 = np.empty((n, len(book)), dtype=np.float64)
+            for ci, c in enumerate(book):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(sub_dim):  # fold order
+                    diff = sub[:, j] - c[j]
+                    acc += diff * diff
+                d2[:, ci] = acc
+            code = np.argmin(d2, axis=1)  # first min ⇒ lowest code
+            cols[f"code_{s}"] = code.astype("int32")
+            recon = recon + d2[np.arange(n), code]  # subspace order
+        cols["recon"] = recon
+        return pd.DataFrame(cols)
+
+    enc = out.withColumn("_enc", encode(F.col("embedding")))
+    return enc.select(
         "vec_id",
-        *[f"code_{s}" for s in range(m)],
-        F.round(recon, 6).alias("recon_d2"),
+        *[F.col(f"_enc.code_{s}").alias(f"code_{s}") for s in range(m)],
+        F.round(F.col("_enc.recon"), 6).alias("recon_d2"),
     )
 
 

@@ -100,3 +100,33 @@ def test_empty_cluster_keeps_zero_vector(spark):
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     cents, _ = kmeans_fit(df, 3, "vec_id", max_iters=3)
     assert cents[2] == [0.0, 0.0] or cents[1] == [0.0, 0.0]  # an emptied seed zeroed
+
+
+def test_assign_arrow_bit_equals_fold(spark, sf_dir):
+    """The Arrow assignment path must reproduce the JVM fold BIT-FOR-BIT
+    (same left-to-right float64 accumulation, first-min argmin) — this
+    equality is what lets the default impl change without touching any
+    oracle."""
+    from flink_application_spark.catalog import register_views
+    from flink_application_spark.operators.kmeans import (
+        assign_clusters,
+        init_centroids,
+    )
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))[
+        "embeddings"
+    ].filter(F.col("embedding").isNotNull())
+    cents = init_centroids(emb, 8, "vec_id")
+    fold = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in assign_clusters(emb, cents, impl="fold")
+        .select("vec_id", "cluster", "d2")
+        .collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in assign_clusters(emb, cents, impl="arrow")
+        .select("vec_id", "cluster", "d2")
+        .collect()
+    }
+    assert fold == arrow

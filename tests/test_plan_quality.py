@@ -70,6 +70,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "corpus_mixture_materialized": 1,  # inherits the mixture plan's (z, budget) row
     "doc_bigram_pmi": 2,  # n_uni × n_bi 1-row totals, combined then appended
     "vocab_gini_concentration": 1,  # (V, N) vocab-total 1-row append
+    "doc_stratified_sample_neyman": 1,  # Neyman normalizer Σ(N_h·σ_h) 1-row append
 }
 
 

@@ -124,3 +124,14 @@ def test_trained_codebooks_beat_seeded(spark):
         recall[name] = adc.join(exact, ["query_id", "vec_id"]).count()
     exact.unpersist()
     assert recall["trained"] >= recall["seed"], recall
+
+
+def test_pq_encode_arrow_bit_equals_fold(spark, sf_dir):
+    """Arrow encode must be bit-identical to the literal-fold form
+    (codes AND recon_d2) — the equality that keeps the oracle rows
+    green across the default-impl switch."""
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    books = seed_codebooks(emb, m=4, k=8, dim=_DIM)
+    fold = {r["vec_id"]: tuple(r)[1:] for r in pq_encode(emb, books, _DIM, impl="fold").collect()}
+    arrow = {r["vec_id"]: tuple(r)[1:] for r in pq_encode(emb, books, _DIM, impl="arrow").collect()}
+    assert fold == arrow
