@@ -50,9 +50,9 @@ HEADLINE = [
     "vocab_bpe_pair_counts",
     "doc_winnowing_fingerprints",
     "emb_ivfadc_topk",
-    # round-3 additions: ANN scale twin, estimator audit, Neyman sampler
+    # round-3 additions: ANN scale twin, sketch audit, Neyman sampler
     "emb_knn_classify_ann",
-    "doc_minhash_estimate_error",
+    "doc_minhash_estimate_vs_exact",
     "doc_stratified_sample_neyman",
 ]
 
@@ -213,6 +213,7 @@ def main() -> None:
     # per-query deltas vs the most recent recorded BENCH_r{N}.json —
     # positive = slower than last round, negative = faster
     deltas: dict[str, float] = {}
+    prev_agg = None
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         f for f in os.listdir(here)
@@ -235,6 +236,9 @@ def main() -> None:
                 for n in timings
                 if n in prev
             }
+            # surface methodology skew: r01/r02 recorded min-of-2, so
+            # a median-vs-min delta reads high by construction
+            prev_agg = parsed.get("aggregation", "min_of_2")
         except (OSError, ValueError, SyntaxError):
             deltas = {}
 
@@ -250,6 +254,7 @@ def main() -> None:
                 "samples_per_query": 3,
                 "aggregation": "median",
                 "deltas_vs_prev_round": deltas,
+                "deltas_prev_aggregation": prev_agg if deltas else None,
                 "stream_events_per_sec": round(stream_events / stream_wall, 1),
                 "stream_wall_sec": round(stream_wall, 3),
                 "stream_events": stream_events,

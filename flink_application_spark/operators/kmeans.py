@@ -75,7 +75,13 @@ def assign_clusters(
             ]
         )
         best = F.array_min(cands)
-        return df.withColumn("cluster", best["cluster"]).withColumn("d2", best["d2"])
+        # NULL embedding → NULL cluster AND d2 (without the guard,
+        # array_min over null-d2 structs picks cluster 0 with NULL d2 —
+        # a misleading assignment, and a fold/arrow divergence)
+        ok = F.col(col).isNotNull()
+        return df.withColumn(
+            "cluster", F.when(ok, best["cluster"])
+        ).withColumn("d2", F.when(ok, best["d2"]))
 
     import numpy as np
     import pandas as pd

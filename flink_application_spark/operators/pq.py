@@ -86,16 +86,22 @@ def trained_codebooks(
     from flink_application_spark.operators.kmeans import kmeans_fit
 
     sub_dim = dim // m
-    base = emb.filter(F.col("embedding").isNotNull())
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sliced = base.select(
-            F.col(id_col),
-            _sub(F.col("embedding"), s, sub_dim).alias("embedding"),
-        )
-        cents, _ = kmeans_fit(sliced, k, id_col, max_iters=max_iters)
-        books.append([[float(x) for x in c] for c in cents])
-    return books
+    # persist: every subspace runs max_iters assign+update passes over
+    # its slice — without the barrier the source scan and float decode
+    # re-run ~2·m·max_iters times (the ivfadc `assigned` discipline)
+    base = emb.filter(F.col("embedding").isNotNull()).persist()
+    try:
+        books: list[list[list[float]]] = []
+        for s in range(m):
+            sliced = base.select(
+                F.col(id_col),
+                _sub(F.col("embedding"), s, sub_dim).alias("embedding"),
+            )
+            cents, _ = kmeans_fit(sliced, k, id_col, max_iters=max_iters)
+            books.append([[float(x) for x in c] for c in cents])
+        return books
+    finally:
+        base.unpersist()
 
 
 def pq_encode(

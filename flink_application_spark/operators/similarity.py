@@ -491,7 +491,9 @@ def contrastive_triplets(
         F.col("vec_id").alias("negative_id"),
         F.col("cosine").alias("negative_cos"),
     )
-    return pos.join(neg, "query_id").select(
+    # one row per query per side — broadcast beats the SMJ Catalyst
+    # picks when it can't see the post-window cardinality
+    return pos.join(F.broadcast(neg), "query_id").select(
         "query_id",
         "label",
         "positive_id",

@@ -42,7 +42,13 @@ _ANN = dict(n_centroids=16, n_probe=4)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    # NULL embeddings are filtered here (like every exact counterpart):
+    # the IVF assignment UDF builds a dense numpy batch and would raise
+    # on a None cell, breaking the "same downstream logic" twin contract
+    # asymmetrically
+    return register_views(spark, sf_dir, tables=("embeddings",))[
+        "embeddings"
+    ].filter(F.col("embedding").isNotNull())
 
 
 @register(

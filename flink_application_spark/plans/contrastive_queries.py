@@ -101,7 +101,8 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand_id").alias("negative_id"),
         F.col("cosine").alias("negative_cos"),
     )
-    return pos.join(neg, "query_id").select(
+    # one row per query per side after the rn=1 filter — broadcast
+    return pos.join(F.broadcast(neg), "query_id").select(
         "query_id",
         "label",
         "positive_id",

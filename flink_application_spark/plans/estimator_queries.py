@@ -1,28 +1,19 @@
-"""Estimator-quality and statistical-sampling queries.
+"""Statistical-sampling queries.
 
-Two additions a production curation pipeline runs before trusting its
-own approximations:
+**Neyman-allocated stratified sample** — optimal allocation
+(Neyman 1934): stratum h gets sample share ∝ N_h·σ_h, so
+high-variance strata are oversampled at fixed total budget. The
+allocation arithmetic is kept INTEGER (rounded weights, integer
+division) so both engines derive identical counts — float
+summation-order ulps can't flip a floor().
 
-- **MinHash estimator error** — the LSH dedup path (dedup_queries)
-  decides from the ESTIMATED Jaccard implied by signature agreement;
-  this query measures that estimator against exact Jaccard on the very
-  candidate pairs the pipeline generates (the textbook property: the
-  match fraction of k independent minhashes is an unbiased estimator
-  of J with variance J(1-J)/k — Broder 1997). Everything is
-  md5-deterministic, so DuckDB reproduces signatures, candidates,
-  estimates and errors bit-for-bit.
-- **Neyman-allocated stratified sample** — optimal allocation
-  (Neyman 1934): stratum h gets sample share ∝ N_h·σ_h, so
-  high-variance strata are oversampled at fixed total budget. The
-  allocation arithmetic is kept INTEGER (rounded weights, integer
-  division) so both engines derive identical counts — float
-  summation-order ulps can't flip a floor().
+(The MinHash estimator-vs-exact audit lives in
+`plans/dedup_queries.py:doc_minhash_estimate_vs_exact` — driver-green
+since round 1; est/err are scan-local arithmetic on its output.)
 
-Scale notes: the error query adds one narrow join to the existing LSH
-shuffle (signatures are k small strings per doc; bodies never move).
-The sampler is one stats aggregate (|strata| rows), one 1-row
-broadcast normalizer append, and a per-stratum md5 rank — the same
-range-partitionable window every other sampler here uses.
+Scale notes: the sampler is one stats aggregate (|strata| rows), one
+1-row broadcast normalizer append, and a per-stratum md5 rank — the
+same range-partitionable window every other sampler here uses.
 """
 
 from __future__ import annotations
@@ -30,88 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_application_spark.catalog import register_views
-from flink_application_spark.operators.minhash import (
-    DEFAULT_K,
-    jaccard_column,
-    lsh_candidate_pairs,
-    with_minhash_signature,
-    with_shingles,
-)
-from flink_application_spark.plans.dedup_queries import (
-    SHINGLES_CTE,
-    _pairs_cte,
-    _sigs_cte,
-    JACCARD_SQL,
-)
 from flink_application_spark.plans.registry import register
-
-_MATCH_SQL = " + ".join(
-    f"(CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END)" for i in range(DEFAULT_K)
-)
-
-
-@register(
-    "doc_minhash_estimate_error",
-    "WITH "
-    + SHINGLES_CTE
-    + ","
-    + _sigs_cte()
-    + ","
-    + _pairs_cte()
-    + f"""
-SELECT p.id_a AS id_a, p.id_b AS id_b,
-       {JACCARD_SQL} AS jaccard_exact,
-       round(({_MATCH_SQL}) / {DEFAULT_K}.0, 6) AS jaccard_est,
-       round(abs({JACCARD_SQL} - round(({_MATCH_SQL}) / {DEFAULT_K}.0, 6)), 6)
-         AS abs_err
-FROM pairs p
-JOIN sh sa ON sa.doc_id = p.id_a
-JOIN sh sb ON sb.doc_id = p.id_b
-JOIN mh ma ON ma.doc_id = p.id_a
-JOIN mh mb ON mb.doc_id = p.id_b
-""",
-    doc=f"MinHash estimator audit on the LSH candidate pairs: exact "
-    f"Jaccard vs the signature estimate (agreeing fraction of "
-    f"{DEFAULT_K} minhashes — unbiased with variance J(1-J)/k, "
-    "Broder'97) and the absolute error, per pair. This is the "
-    "measurement that justifies trusting signature agreement at 100 TB "
-    "where exact verification of every pair is unaffordable. Fully "
-    "md5-deterministic — oracle reproduces every estimate.",
-    tags=("dedup", "minhash", "eval"),
-)
-def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    sh = with_shingles(docs).persist()
-    sig = with_minhash_signature(sh)
-    pairs = lsh_candidate_pairs(sh)
-    a = sig.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(DEFAULT_K)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(DEFAULT_K)],
-    )
-    matches = sum(
-        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-        for i in range(DEFAULT_K)
-    )
-    est = F.round(matches / F.lit(float(DEFAULT_K)), 6)
-    exact = jaccard_column(F.col("sh_a"), F.col("sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            exact.alias("jaccard_exact"),
-            est.alias("jaccard_est"),
-            F.round(F.abs(exact - est), 6).alias("abs_err"),
-        )
-    )
-
 
 _BUDGET = 100  # total sample size across strata
 

@@ -207,3 +207,87 @@ def q_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "vec_id", "hamming", "rank")
     )
+
+
+@register(
+    "emb_sq8_adc_topk",
+    f"""
+WITH dims AS (SELECT unnest(generate_series(0, {_DIM - 1})) AS pos),
+vals AS (
+  SELECT e.vec_id AS vec_id, d.pos AS pos,
+         CAST(e.embedding[d.pos + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN dims d
+  WHERE e.embedding IS NOT NULL
+),
+stats AS (
+  SELECT pos, min(val) AS mn, max(val) AS mx FROM vals GROUP BY pos
+),
+deq AS (
+  SELECT v.vec_id AS vec_id, v.pos AS pos,
+         s.mn + (CASE WHEN s.mx = s.mn THEN 0
+                 ELSE floor((v.val - s.mn) / (s.mx - s.mn) * 255 + 0.5) END)
+               * (s.mx - s.mn) / 255 AS dval
+  FROM vals v JOIN stats s ON s.pos = v.pos
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(sum((q.val - c.dval) * (q.val - c.dval)), 6) AS est_d2
+  FROM vals q JOIN deq c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_NQ}
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, vec_id, est_d2, rank FROM (
+  SELECT query_id, vec_id, est_d2,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY est_d2, vec_id
+         ) AS rank
+  FROM pairs
+) WHERE rank <= {_TOPK}
+""",
+    doc=f"SQ8 asymmetric search: full-precision queries against "
+    "DEQUANTIZED 1-byte corpus codes — top-{0} by estimated L2 over "
+    "the long (vec_id,pos) layout, so the join key is the dimension "
+    "index and per-pair work is a partial-agg sum (map-side combined). "
+    "Completes SQ8 as a retrieval method next to codes + recon-error; "
+    "ranks oracle-reproduced (floor(x+0.5) coding, 6-decimal rounds "
+    "absorbing summation-order ulps).".format(_TOPK),
+    tags=("embeddings", "quantization", "ann", "similarity"),
+)
+def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    stats = vals.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5)
+    )
+    deq = vals.join(F.broadcast(stats), "pos").select(
+        F.col("vec_id"),
+        "pos",
+        (F.col("mn") + code * (F.col("mx") - F.col("mn")) / 255).alias("dval"),
+    )
+    q = vals.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qval")
+    )
+    pairs = (
+        deq.join(q, "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("dval")) * (F.col("qval") - F.col("dval"))),
+                6,
+            ).alias("est_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "est_d2", "rank")
+    )

@@ -688,8 +688,9 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.grouping("o_orderstatus").alias("g_status"),
-            F.grouping("o_orderpriority").alias("g_priority"),
+            # grouping() is TINYINT in Spark, BIGINT in DuckDB — align
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
@@ -1115,7 +1116,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT vec_id,
        len(embedding) AS n_dims,
-       round(embedding[1], 4) + 0.0 AS first_dim,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_dim,
        len(list_filter(embedding, x -> x > 0)) AS n_positive,
        round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS dim_sum,
        round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 4) + 0.0 AS dim_max,
@@ -1138,7 +1139,12 @@ def q_collection_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id") < 200).select(
         "vec_id",
         F.size(e).alias("n_dims"),
-        (F.round(F.element_at(e, 1), 4) + F.lit(0.0)).alias("first_dim"),
+        # round on DOUBLE on both engines: rounding the raw float32 and
+        # widening after yields a different double than widening first
+        # (driver dtype audit: first_dim was float32 on the oracle side)
+        (F.round(F.element_at(e, 1).cast("double"), 4) + F.lit(0.0)).alias(
+            "first_dim"
+        ),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
         (F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4) + F.lit(0.0)).alias("dim_sum"),
         (F.round(F.array_max(dbl), 4) + F.lit(0.0)).alias("dim_max"),

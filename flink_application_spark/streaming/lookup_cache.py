@@ -83,6 +83,7 @@ class PartialLookupCache:
         # key -> (written_at, [Row, ...]); OrderedDict end = most recent use
         self._cache: OrderedDict[object, tuple[float, list[Row]]] = OrderedDict()
         self._n_rows = 0
+        self._schema = None  # resolved lazily, once — invariant for the cache's life
         self.metrics = CacheMetrics()
 
     # -- cache mechanics ---------------------------------------------------
@@ -135,11 +136,10 @@ class PartialLookupCache:
                 self.metrics.misses += 1
         if missed:
             self.metrics.loads += 1
-            loaded = (
-                self._loader()
-                .filter(F.col(self.key_col).isin([k for k in missed]))
-                .collect()
-            )
+            src = self._loader()
+            if self._schema is None:
+                self._schema = src.schema
+            loaded = src.filter(F.col(self.key_col).isin(missed)).collect()
             by_key: dict[object, list[Row]] = {k: [] for k in missed}
             for r in loaded:
                 by_key.setdefault(r[self.key_col], []).append(r)
@@ -147,8 +147,13 @@ class PartialLookupCache:
                 rows = by_key.get(k, [])
                 self._insert(k, rows, now)  # negative entries cached too
                 served.extend(rows)
-        dim_schema = self._loader().schema
-        return spark.createDataFrame(served, dim_schema)
+        if self._schema is None:
+            # 100%-hit path before any load this process: resolve once;
+            # every later batch reuses it (a JDBC loader would otherwise
+            # pay a schema round-trip per batch — the traffic the cache
+            # exists to avoid)
+            self._schema = self._loader().schema
+        return spark.createDataFrame(served, self._schema)
 
     def join_batch(
         self,

@@ -130,3 +130,22 @@ def test_assign_arrow_bit_equals_fold(spark, sf_dir):
         .collect()
     }
     assert fold == arrow
+
+
+def test_assign_null_embedding_is_null_both_impls(spark):
+    """NULL embedding → (NULL cluster, NULL d2) on BOTH impls — the fold
+    form used to emit (cluster=0, d2=NULL), a misleading assignment and
+    a fold/arrow divergence (round-3 self-review)."""
+    from flink_application_spark.operators.kmeans import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    cents = [[0.0, 0.0], [1.0, 2.0]]
+    for impl in ("fold", "arrow"):
+        rows = {
+            r["vec_id"]: (r["cluster"], r["d2"])
+            for r in assign_clusters(df, cents, impl=impl).collect()
+        }
+        assert rows[2] == (None, None), (impl, rows[2])
+        assert rows[1] == (1, 0.0), (impl, rows[1])
