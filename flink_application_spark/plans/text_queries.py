@@ -847,3 +847,29 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "doc_langid_confusion",
+    "WITH langid AS ("
+    + _lang_id_oracle()
+    + """)
+SELECT lang_label, lang_predicted,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM langid GROUP BY lang_label, lang_predicted
+""",
+    doc="Language-ID confusion matrix: the heuristic's predictions "
+    "cross-tabulated against the corpus's lang labels — the eval a "
+    "pipeline runs before trusting lang-gated routing at scale. One "
+    "scan + one tiny (|langs|²-row) aggregate on top of the pinned "
+    "doc_lang_id scoring. (On this English-ish word-salad corpus the "
+    "matrix mostly shows the tie-break floor, which is exactly what "
+    "an honest eval should reveal.)",
+    tags=("text", "langid", "eval"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_lang_id(spark, sf_dir)
+        .groupBy("lang_label", "lang_predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

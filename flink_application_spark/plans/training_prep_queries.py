@@ -125,3 +125,57 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(share * F.col("budget") / F.col("tokens"), F.lit(10.0)), 6
         ).alias("sample_rate"),
     )
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, md5('epoch{_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1 AS rn
+  FROM keyed
+),
+sharded AS (
+  SELECT r.doc_id AS doc_id,
+         r.rn // {_DOCS_PER_SHARD} AS shard,
+         r.rn % {_DOCS_PER_SHARD} AS offset_in_shard,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY offset_in_shard))
+         AS content_checksum
+FROM sharded GROUP BY shard
+""",
+    doc="Reproducible-dataloading manifest: per epoch shard, its doc "
+    "count, token count, and an order-sensitive md5 checksum of the "
+    "doc_id sequence — what a training job records so a rerun (or a "
+    "different cluster) can PROVE it consumed byte-identical shards. "
+    "Composes the deterministic md5 shuffle with one per-shard "
+    "aggregate; the checksum folds ids in offset order via a sorted "
+    "struct collect (engine-deterministic on both sides).",
+    tags=("documents", "training-prep", "export"),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.export import with_epoch_shards
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    sharded = with_epoch_shards(
+        docs.select("doc_id"), "doc_id", _EPOCH, _DOCS_PER_SHARD
+    ).join(docs.select("doc_id", _n_tokens().cast("bigint").alias("n_tokens")), "doc_id")
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("offset_in_shard", "doc_id"))),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered_ids, ",")).alias("content_checksum"),
+    )
