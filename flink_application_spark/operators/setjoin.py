@@ -143,3 +143,103 @@ def jaccard_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All ordered (id_a != id_b, containment) pairs with exact n-gram
+    containment C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold.
+
+    Containment is the ASYMMETRIC near-dup question Jaccard cannot ask:
+    a short document quoted wholesale inside a long one has containment
+    ≈ 1.0 but Jaccard ≈ |A|/|B| — invisible to any symmetric threshold.
+    It is the signal for sub-document duplication (quotes, mirrored
+    articles with added boilerplate, prepended headers), the case the
+    reference's equality dedup (EnrichmentApp.java:142-156) and our
+    Jaccard join both miss.
+
+    Same prefix-filter machinery as jaccard_similarity_join, one-sided:
+    if |A∩B| ≥ t·|A| then A's rarest-first prefix of length
+    |A| − ⌈t·|A|⌉ + 1 must contain a common shingle (else all common
+    shingles fit in the last ⌈t·|A|⌉ − 1 slots — fewer than t·|A|).
+    So PREFIX postings of the contained side join FULL postings of the
+    container side — every qualifying ordered pair is caught, exactly.
+    Extra pruning: |B| ≥ |A∩B| ≥ t·|A| (size filter), and the PPJoin
+    positional bound c ≤ 1 + min(|A|−rk_a, |B|−rk_b) for the first
+    common token under the shared global order.
+
+    Scale shape identical to the Jaccard join: all joins move (id,
+    token) pairs, never document bodies; hot shingles sort out of
+    prefixes; exact verify touches candidates only. Oracle = the
+    quadratic ordered self-join (tests + driver gate).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docs = docs.filter(F.col(text_col).isNotNull())
+
+    sh = (
+        with_shingles(docs, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("id"), "shingles")
+        .withColumn("sz", F.size("shingles"))
+        .persist()
+    )
+
+    post = sh.select("id", "sz", F.explode("shingles").alias("tok"))
+    tok_df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    ranked = (
+        post.join(tok_df, "tok").withColumn("rk", F.row_number().over(w)).persist()
+    )
+
+    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
+    prefix = ranked.filter(F.col("rk") <= pref_len).select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rk").alias("rk_a"),
+        "tok",
+    )
+    full = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rk").alias("rk_b"),
+        "tok",
+    )
+
+    need = F.ceil(F.lit(threshold) * F.col("sz_a") - _EPS)
+    ubound = 1 + F.least(
+        F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
+    )
+    cands = (
+        prefix.join(full, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - _EPS)
+        .filter(ubound >= need)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("_c", inter)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_c").cast("double") / F.size("sh_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -331,6 +331,42 @@ def q_jaccard_topk_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_SQL = (
+    "round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 "
+    "/ len(sa.shingles), 6)"
+)
+
+
+@register(
+    "doc_containment_join",
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {CONTAINMENT_SQL} AS containment
+FROM sh sa JOIN sh sb ON sa.doc_id <> sb.doc_id
+WHERE sa.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+  AND sb.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+  AND {CONTAINMENT_SQL} >= 0.8
+""",
+    doc="EXACT asymmetric containment join at C(A in B) = "
+    "|sh(A) ∩ sh(B)| / |sh(A)| >= 0.8 — the sub-document duplication "
+    "question Jaccard cannot ask (a short doc quoted inside a long one "
+    "has containment ≈ 1 but Jaccard ≈ |A|/|B|). One-sided prefix "
+    "filtering: rarest-first prefix postings of the CONTAINED side "
+    "equi-joined against full postings, with the |B| >= t·|A| size "
+    "bound and the PPJoin positional bound — provably zero recall "
+    "loss, no O(n²) loop. Oracle is the quadratic ordered self-join.",
+    tags=("dedup", "containment", "setjoin"),
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.setjoin import (
+        containment_similarity_join,
+    )
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return containment_similarity_join(docs, 0.8)
+
+
 @register(
     "doc_dedup_keep_canonical",
     """

@@ -87,3 +87,72 @@ def test_null_text_docs_excluded(spark, synth_docs):
     got = _rows(jaccard_similarity_join(with_nulls, 0.5))
     assert got == _rows(jaccard_similarity_join(synth_docs, 0.5))
     assert not any(900 in (a, b) or 901 in (a, b) for a, b, _ in got)
+
+# --- containment (asymmetric) ----------------------------------------------
+
+from flink_application_spark.operators.setjoin import (  # noqa: E402
+    containment_similarity_join,
+)
+
+
+def _brute_containment(docs, t):
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    c = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c.cast("double") / F.size("sh_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= t)
+    )
+
+
+def _crows(df):
+    return {(r.id_a, r.id_b, r.containment) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def quote_docs(spark, synth_docs):
+    """synth_docs plus a long doc that quotes doc 3 wholesale: the
+    quoted->container pair has containment ~1 but Jaccard well below
+    any near-dup threshold — the asymmetric case the join exists for."""
+    quoted = synth_docs.filter(F.col("doc_id") == 3).collect()[0].text
+    filler = " ".join(f"pad{i} filler{i} extra{i}" for i in range(30))
+    return synth_docs.union(
+        spark.createDataFrame(
+            [(200, quoted + " " + filler)], "doc_id bigint, text string"
+        )
+    )
+
+
+@pytest.mark.parametrize("t", [0.5, 0.8, 1.0])
+def test_containment_matches_bruteforce(spark, quote_docs, t):
+    assert _crows(containment_similarity_join(quote_docs, t)) == _crows(
+        _brute_containment(quote_docs, t)
+    )
+
+
+def test_containment_is_asymmetric(spark, quote_docs):
+    """The quoted doc is contained in the container (high C), but the
+    container is NOT contained in the quoted doc, and the pair is
+    invisible to the symmetric Jaccard join at the same threshold."""
+    got = _crows(containment_similarity_join(quote_docs, 0.8))
+    assert any(a == 3 and b == 200 for a, b, _ in got)
+    assert not any(a == 200 and b == 3 for a, b, _ in got)
+    jac = _rows(jaccard_similarity_join(quote_docs, 0.8))
+    assert not any({a, b} == {3, 200} for a, b, _ in jac)
+
+
+def test_containment_no_cartesian_in_plan(spark, quote_docs):
+    plan = (
+        containment_similarity_join(quote_docs, 0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
