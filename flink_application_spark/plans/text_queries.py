@@ -873,3 +873,84 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_label", "lang_predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# Quality-gate pass predicate shared with the Wilson oracle (the same
+# composite as doc_quality_scores, thresholded at 0.5).
+_QUALITY_SQL = (
+    "round(0.3 * least(length(text) * 1.0 / 500.0, 1.0)"
+    f" + 0.4 * round(len(list_filter({_TOKS}, t -> t IN ({{stop}}))) * 1.0"
+    " / greatest(len(" + _TOKS + "), 1), 6)"
+    " + 0.3 * (1.0 - round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+    " * 1.0 / greatest(length(text), 1), 6)), 6)"
+).format(stop=_in_list(EN_STOPWORDS))
+
+# Wilson 95% lower bound written ONCE, in the exact operation order
+# both engines must share: z² is spelled 1.96*1.96 (a literal 3.8416
+# parses to a different last-ulp double than the product).
+_WILSON_SQL = (
+    "round(((p + (1.96*1.96)/(2*n)) - 1.96 * sqrt((p*(1.0-p) + "
+    "(1.96*1.96)/(4*n))/n)) / (1.0 + (1.96*1.96)/n) + 0.0, 6)"
+)
+
+
+@register(
+    "source_quality_wilson",
+    f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN {_QUALITY_SQL} >= 0.5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_good
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_docs, n_good,
+         n_good / n_docs AS p, n_docs * 1.0 AS n
+  FROM per
+),
+scored AS (
+  SELECT source, n_docs, n_good, round(p, 6) AS good_rate,
+         {_WILSON_SQL} AS wilson_lb
+  FROM rates
+)
+SELECT source, n_docs, n_good, good_rate, wilson_lb,
+       row_number() OVER (ORDER BY wilson_lb DESC, source ASC) AS rank
+FROM scored
+""",
+    doc="Per-source quality ranking by the Wilson 95% lower confidence "
+    "bound on the quality-gate pass rate (gate = the doc_quality_scores "
+    "composite >= 0.5). The Wilson bound is how a curation pipeline "
+    "ranks sources honestly: a source with 3/3 good docs must NOT "
+    "outrank one with 9500/10000 — the raw rate says it does, the "
+    "lower bound says otherwise. One scan + one |sources|-row "
+    "aggregate; the bound arithmetic is spelled in an identical "
+    "operation order on both engines (z² as 1.96*1.96, never the "
+    "literal) so the rounded doubles hash-match.",
+    tags=("text", "quality", "eval"),
+)
+def q_source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    good = F.when(quality_score(F.col("text")) >= 0.5, 1).otherwise(0)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(good).cast("bigint").alias("n_good"),
+    )
+    p = F.col("n_good") / F.col("n_docs")
+    n = F.col("n_docs").cast("double")
+    zz = F.lit(1.96) * F.lit(1.96)
+    wilson = (
+        (p + zz / (2 * n))
+        - F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + zz / (4 * n)) / n)
+    ) / (F.lit(1.0) + zz / n)
+    scored = per.select(
+        "source",
+        "n_docs",
+        "n_good",
+        F.round(p, 6).alias("good_rate"),
+        F.round(wilson + F.lit(0.0), 6).alias("wilson_lb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("wilson_lb").desc(), F.col("source").asc())
+    return scored.withColumn("rank", F.row_number().over(w))
