@@ -141,6 +141,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import ann_twins  # noqa: F401  (late)
     from flink_application_spark.plans import estimator_queries  # noqa: F401  (late)
     from flink_application_spark.plans import quantize_extra  # noqa: F401  (late)
+    from flink_application_spark.plans import fusion_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
