@@ -329,3 +329,114 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.alias("zy"),
         zvalue_expr(x, y, _ZBITS).alias("zvalue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Luhn-validated credit-card detection (checksum PII)
+# --------------------------------------------------------------------------
+
+def _luhn_sum_sql(col: str, n: int = 16) -> str:
+    """Unrolled Luhn sum over a fixed-width digit string — the SAME
+    generated SQL runs under Spark (F.expr) and DuckDB, so checksum
+    parity is by construction. Digit j (1-based from the left) sits at
+    position n-j+1 from the right; even right-positions double (minus
+    9 when the doubled digit exceeds 9)."""
+    terms = []
+    for j in range(1, n + 1):
+        d = f"CAST(substr({col}, {j}, 1) AS INT)"
+        if (n - j + 1) % 2 == 0:
+            terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+# Plant-time sum over the 15 base digits: in the final 16-digit string
+# (base15 || check) digit j of base15 sits at right-position 17-j, so
+# the doubling parity is shifted by one vs a standalone 15-digit sum —
+# built explicitly rather than via _luhn_sum_sql.
+_LUHN15 = "(" + " + ".join(
+    (
+        f"(CASE WHEN 2*CAST(substr(base15, {j}, 1) AS INT) > 9 "
+        f"THEN 2*CAST(substr(base15, {j}, 1) AS INT) - 9 "
+        f"ELSE 2*CAST(substr(base15, {j}, 1) AS INT) END)"
+        if (17 - j) % 2 == 0
+        else f"CAST(substr(base15, {j}, 1) AS INT)"
+    )
+    for j in range(1, 16)
+) + ")"
+_LUHN16_C = _luhn_sum_sql("c", 16)
+
+
+@register(
+    "doc_pii_luhn_cards",
+    f"""
+WITH seeded AS (
+  SELECT doc_id, text,
+         lpad(CAST(400000000000000 + (doc_id * 37) % 100000000000 AS VARCHAR),
+              15, '0') AS base15
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CAST((10 - {_LUHN15} % 10) % 10 AS BIGINT) AS check_digit,
+         text || ' card ' || base15
+              || CAST((10 - {_LUHN15} % 10) % 10 AS VARCHAR)
+              || ' ref ' || base15
+              || CAST((10 - {_LUHN15} % 10 + 5) % 10 AS VARCHAR) AS text
+  FROM seeded
+)
+SELECT doc_id, check_digit,
+       CAST(len(regexp_extract_all(text, '[0-9]{{16}}')) AS BIGINT)
+         AS n_candidates,
+       CAST(len(list_filter(regexp_extract_all(text, '[0-9]{{16}}'),
+                            c -> {_LUHN16_C} % 10 = 0)) AS BIGINT)
+         AS n_luhn_valid
+FROM planted
+""",
+    doc="Checksum-verified credit-card detection: a 16-digit regex "
+    "alone over-redacts (order ids, timestamps); real scrubbers "
+    "validate the Luhn checksum first. Each doc gets one valid and "
+    "one corrupted (check+5) planted number derived from doc_id — the "
+    "validator must accept exactly the valid one. The unrolled Luhn "
+    "sum is ONE generated SQL string evaluated by both engines "
+    "(Spark F.expr / DuckDB), so checksum parity is structural. "
+    "Scan-local: zero shuffles, IO-speed at 100 TB.",
+    tags=("text", "cleaning", "pii", "documents"),
+)
+def q_pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "base15",
+        F.lpad(
+            (F.lit(400000000000000) + (F.col("doc_id") * 37) % 100000000000)
+            .cast("string"),
+            15,
+            "0",
+        ),
+    )
+    luhn15 = F.expr(_LUHN15)
+    check = (10 - luhn15 % 10) % 10
+    bad_check = (10 - luhn15 % 10 + 5) % 10
+    planted = seeded.select(
+        "doc_id",
+        check.cast("bigint").alias("check_digit"),
+        F.concat(
+            F.col("text"),
+            F.lit(" card "),
+            F.col("base15"),
+            check.cast("string"),
+            F.lit(" ref "),
+            F.col("base15"),
+            bad_check.cast("string"),
+        ).alias("text"),
+    )
+    # the shared Luhn SQL runs verbatim inside Spark SQL's HOF lambda
+    return planted.selectExpr(
+        "doc_id",
+        "check_digit",
+        "CAST(size(regexp_extract_all(text, '[0-9]{16}', 0)) AS BIGINT)"
+        " AS n_candidates",
+        "CAST(size(filter(regexp_extract_all(text, '[0-9]{16}', 0),"
+        f" c -> {_LUHN16_C} % 10 = 0)) AS BIGINT) AS n_luhn_valid",
+    )

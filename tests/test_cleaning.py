@@ -110,3 +110,35 @@ def test_time_weighted_avg_hand_computed(spark):
         assert got == {1: 25.0}
     finally:
         spark.catalog.dropTempView("events")
+
+
+def test_luhn_sum_sql_validates_known_cards(spark):
+    """The generated Luhn SQL must accept canonical valid test numbers
+    and reject single-digit corruptions."""
+    from flink_application_spark.plans.cleaning_queries import _LUHN16_C
+
+    cases = [
+        ("4111111111111111", True),   # canonical Visa test number
+        ("5500005555555559", True),   # canonical MC test number
+        ("4111111111111112", False),  # corrupted check digit
+        ("4111111111111121", False),  # corrupted body digit
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "c string")
+    got = {
+        r.c: r.ok
+        for r in df.selectExpr("c", f"({_LUHN16_C} % 10 = 0) AS ok").collect()
+    }
+    assert got == {c: ok for c, ok in cases}
+
+
+def test_luhn_query_accepts_exactly_the_valid_plant(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    df = REGISTRY_GET("doc_pii_luhn_cards").spark(spark, sf_dir)
+    assert (
+        df.filter(
+            (F.col("n_candidates") != 2) | (F.col("n_luhn_valid") != 1)
+        ).count()
+        == 0
+    )
