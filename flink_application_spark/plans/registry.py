@@ -217,8 +217,12 @@ SAMPLE_WINDOW = [
     "mm_image_phash_near_dup_pairs",
     # eval / quantization / corpus reporting
     "emb_pq_adc_topk",
-    "emb_matryoshka_recall",
-    "emb_label_noise_knn",
+    # round-3 in-round additions, sampled the round they were written
+    # (displacing emb_matryoshka_recall / emb_label_noise_knn — both
+    # are exact-vs-exact eval twins whose core operators already hold
+    # driver or local evidence; they rotate into round 4's window)
+    "doc_containment_join",
+    "doc_hybrid_rrf_search",
     "corpus_data_card",
     "corpus_drift_psi",
 ]
