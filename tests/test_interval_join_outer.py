@@ -1,0 +1,112 @@
+"""Stream-stream LEFT OUTER interval join: unmatched left rows must
+eventually emit with NULL right columns — but only once the watermark
+passes their band, which under availableNow means a SECOND run on the
+same checkpoint (the null-emission state flush needs a later batch to
+observe the advanced watermark). The batch twin is the plain left join;
+stream must converge to it across the two runs.
+
+This is the streaming form of the reference's LEFT lookup join
+(EnrichmentAppWithoutExplode.java uses LEFT so unmatched CDRs survive);
+inner-join parity is pinned in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.interval_join import interval_join
+
+
+def _run(left, right):
+    # causal condition folded INTO the join (a post-filter would eat
+    # the NULL rows the outer join exists to keep)
+    cond = (F.col("click_ad_id") == F.col("ad_id")) & (
+        F.col("click_time") >= F.col("imp_time")
+    )
+    return interval_join(
+        left,
+        right,
+        cond,
+        left_ts="click_time",
+        right_ts="imp_time",
+        lower="30 seconds",
+        upper="30 seconds",
+        left_watermark="0 seconds",
+        right_watermark="0 seconds",
+        how="left_outer",
+    )
+
+
+def test_left_outer_interval_join_stream_converges_to_batch(spark, tmp_path):
+    imp_rows = [
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:00:10"),
+    ]
+    clk_rows = [
+        (1, "2024-01-01 00:00:20"),  # matches imp@00:00
+        (2, "2024-01-01 00:00:45"),  # 35s after imp@00:10 -> NULL row
+        (9, "2024-01-01 00:00:30"),  # no impression at all -> NULL row
+    ]
+    sentinel_imp = [(99, "2099-01-01 00:00:00")]
+    sentinel_clk = [(99, "2099-01-01 00:00:00")]
+
+    def _imp(rows):
+        return spark.createDataFrame(rows, "ad_id bigint, imp_time string").select(
+            "ad_id", F.col("imp_time").cast("timestamp").alias("imp_time")
+        )
+
+    def _clk(rows):
+        return spark.createDataFrame(
+            rows, "click_ad_id bigint, click_time string"
+        ).select(
+            "click_ad_id",
+            F.col("click_time").cast("timestamp").alias("click_time"),
+        )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _imp(imp_rows).write.mode("append").parquet(imp_dir)
+    _clk(clk_rows).write.mode("append").parquet(clk_dir)
+    time.sleep(1.2)  # wave ordering: sentinels must land in a LATER batch
+    _imp(sentinel_imp).write.mode("append").parquet(imp_dir)
+    _clk(sentinel_clk).write.mode("append").parquet(clk_dir)
+
+    def _one_run(max_files=None):
+        out = _run(
+            file_stream(spark, clk_dir, max_files_per_trigger=max_files),
+            file_stream(spark, imp_dir, max_files_per_trigger=max_files),
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: one file per trigger so the sentinel batch's watermark is
+    # observed by a subsequent batch within the same run; run 2 (a
+    # restart with a fresh far-future file) covers the flush in case
+    # run 1's final batch still held the NULL rows in state
+    _one_run(max_files=1)
+    time.sleep(1.2)
+    _imp([(100, "2099-06-01 00:00:00")]).write.mode("append").parquet(imp_dir)
+    _clk([(100, "2099-06-01 00:00:00")]).write.mode("append").parquet(clk_dir)
+    _one_run(max_files=1)
+
+    got = (
+        spark.read.parquet(sink)
+        .filter(~F.col("click_ad_id").isin(99, 100))
+        .select("click_ad_id", "click_time", "ad_id", "imp_time")
+    )
+    want = _run(_clk(clk_rows), _imp(imp_rows)).select(
+        "click_ad_id", "click_time", "ad_id", "imp_time"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the two unmatched clicks are present exactly once, with NULLs
+    nulls = got.filter(F.col("ad_id").isNull())
+    assert sorted(r.click_ad_id for r in nulls.collect()) == [2, 9]
