@@ -699,3 +699,88 @@ def q_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaccard_column(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
     )
+
+
+@register(
+    "doc_lsh_recall_audit",
+    "WITH "
+    + SHINGLES_CTE
+    + ","
+    + _sigs_cte()
+    + ","
+    + _pairs_cte()
+    + f"""
+, verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+),
+exact AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+  WHERE sa.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+    AND sb.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+    AND {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+v AS (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM verified),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM pairs)
+SELECT n_exact, n_candidates, n_verified,
+       CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_verified * 1000000 // n_exact AS BIGINT)
+       END AS recall_ppm,
+       CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_verified * 1000000 // n_candidates AS BIGINT)
+       END AS precision_ppm
+FROM e, v, c
+""",
+    doc="LSH quality audit against GROUND TRUTH: the verified MinHash-"
+    "LSH pair set measured against the exact prefix-filtered set-"
+    "similarity join at the same threshold. verified ⊆ exact by "
+    "construction (the verify step removes every false positive), so "
+    "recall_ppm = verified/exact is the LSH band scheme's true recall "
+    "and precision_ppm = verified/candidates is the banding's candidate "
+    "precision — the two numbers that size k/bands for a corpus. This "
+    "is the eval a pipeline must run before trusting LSH dedup at "
+    "100 TB (on a sample, exactly like this query at sf); integer-ppm "
+    "division keeps both engines bit-identical.",
+    tags=("dedup", "minhash", "lsh", "eval"),
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.minhash import (
+        jaccard_column,
+        lsh_candidate_pairs,
+    )
+    from flink_application_spark.operators.setjoin import jaccard_similarity_join
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    sh = with_shingles(docs).persist()
+    cands = lsh_candidate_pairs(sh).persist()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            jaccard_column(F.col("sh_a"), F.col("sh_b")) >= NEAR_DUP_THRESHOLD
+        )
+    )
+    exact = jaccard_similarity_join(docs, NEAR_DUP_THRESHOLD)
+    n_e = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_v = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    n_c = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    return (
+        n_e.crossJoin(n_v)
+        .crossJoin(n_c)
+        .selectExpr(
+            "n_exact",
+            "n_candidates",
+            "n_verified",
+            "CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE n_verified * 1000000L div n_exact END AS recall_ppm",
+            "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE n_verified * 1000000L div n_candidates END AS precision_ppm",
+        )
+    )

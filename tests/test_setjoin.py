@@ -156,3 +156,16 @@ def test_containment_no_cartesian_in_plan(spark, quote_docs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """verified ⊆ exact and verified ⊆ candidates are structural; the
+    ppm ratios must respect them."""
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    r = REGISTRY_GET("doc_lsh_recall_audit").spark(spark, sf_dir).collect()[0]
+    assert r.n_verified <= r.n_exact
+    assert r.n_verified <= r.n_candidates
+    assert 0 <= r.recall_ppm <= 1_000_000
+    assert 0 <= r.precision_ppm <= 1_000_000
+    assert r.n_exact > 0, "testdata must contain planted near-dups"
