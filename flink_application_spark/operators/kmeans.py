@@ -37,7 +37,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _d2_to_centroid(col: Column, centroid: list[float]) -> Column:
     """Squared L2 distance to a literal centroid as a sequential
     left-to-right double fold — the cross-engine-reproducible form."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    from flink_application_spark.operators.pq import lit_double_array
+
+    c = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),

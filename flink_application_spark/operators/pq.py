@@ -29,8 +29,43 @@ def _sub(col: Column, s: int, sub_dim: int) -> Column:
     return F.slice(col, s * sub_dim + 1, sub_dim)
 
 
+def lit_double_array(vals) -> Column:
+    """Literal array<double> built from ONE parsed SQL string instead
+    of len(vals) py4j F.lit round trips — identical Catalyst literal
+    after constant folding (CAST('<repr>' AS DOUBLE) parses the
+    shortest round-trip repr back to the exact same double), but plan
+    CONSTRUCTION drops from O(dim) JVM calls to one. On literal-heavy
+    plans (PQ/IVFADC ADC tables: m*k centroids of dim/m doubles) this
+    is seconds of driver time per query."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+    )
+
+
+def d2_lit_sql(col_sql: str, centroid) -> str:
+    """The _d2_lit fold as ONE SQL string (same tree, same left-to-
+    right double fold → identical values) — callers that build m*k of
+    these (ADC tables) parse one expression instead of issuing
+    hundreds of py4j calls. `0D` keeps the accumulator double (a bare
+    0.0 would parse as DECIMAL and change the arithmetic)."""
+    arr = "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({col_sql}, {arr}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+
+
+def adc_table_expr(col_sql: str, book) -> Column:
+    """array(||col − centroid_c||² for c in book) as one parsed
+    expression — the per-(query, subspace) ADC lookup table."""
+    return F.expr(
+        "array(" + ", ".join(d2_lit_sql(col_sql, c) for c in book) + ")"
+    )
+
+
 def _d2_lit(col: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -203,9 +238,9 @@ def pq_adc_topk(
     )
     # per query: adc_s = array of ||q_sub - centroid_c||^2 over codes
     for s, book in enumerate(codebooks):
-        sub = _sub(F.col("qv"), s, sub_dim)
         q = q.withColumn(
-            f"_adc_{s}", F.array(*[_d2_lit(sub, c) for c in book])
+            f"_adc_{s}",
+            adc_table_expr(f"slice(qv, {s * sub_dim + 1}, {sub_dim})", book),
         )
     joined = codes.crossJoin(F.broadcast(q.drop("qv")))
     est = None

@@ -19,7 +19,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.kmeans import assign_clusters, init_centroids
-from flink_application_spark.operators.pq import _d2_lit, _sub, pq_encode
+from flink_application_spark.operators.pq import (
+    _d2_lit,
+    _sub,
+    adc_table_expr,
+    d2_lit_sql,
+    pq_encode,
+)
 from flink_application_spark.plans.registry import register
 
 _NC = 8      # coarse clusters
@@ -34,7 +40,9 @@ _TOPK = 5
 
 def _centroid_lookup(cents: list[list[float]], idx: Column) -> Column:
     """centroid[idx] as a literal array-of-arrays element_at."""
-    table = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    from flink_application_spark.operators.pq import lit_double_array
+
+    table = F.array(*[lit_double_array(c) for c in cents])
     return F.element_at(table, idx + 1)
 
 
@@ -98,13 +106,13 @@ def _ivfadc_spark(
     q = emb.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cands = F.array(
-        *[
-            F.struct(
-                _d2_lit(F.col("qv"), c).alias("d2"), F.lit(i).alias("cluster")
-            )
+    cands = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('d2', {d2_lit_sql('qv', c)}, 'cluster', {i})"
             for i, c in enumerate(coarse)
-        ]
+        )
+        + ")"
     )
     probed = q.select(
         "query_id",
@@ -117,9 +125,9 @@ def _ivfadc_spark(
         "qr", _residual(F.col("qv"), coarse, F.col("cluster"))
     )
     for s, book in enumerate(books):
-        sub = _sub(F.col("qr"), s, _SUB)
         probed = probed.withColumn(
-            f"_adc_{s}", F.array(*[_d2_lit(sub, c) for c in book])
+            f"_adc_{s}",
+            adc_table_expr(f"slice(qr, {s * _SUB + 1}, {_SUB})", book),
         )
 
     joined = codes.join(
