@@ -33,6 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from flink_application_spark.operators.pq import lit_double_array
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 
@@ -181,11 +182,11 @@ def pca_project_k(
     """Project each centered vector onto k components — one ``pc{i}``
     column per component, all JVM-side folds against broadcast
     literals (a k×d matrix of literals; fine for feature-reduction k)."""
-    mu = F.array(*[F.lit(float(m)) for m in mean])
+    mu = lit_double_array(mean)
     centered = F.zip_with(F.col(col), mu, lambda x, m: x.cast("double") - m)
     out = df.withColumn("_centered", centered)
     for i, comp in enumerate(components):
-        c = F.array(*[F.lit(float(x)) for x in comp])
+        c = lit_double_array(comp)
         proj = F.aggregate(
             F.zip_with(F.col("_centered"), c, lambda x, w: x * w),
             F.lit(0.0),
@@ -229,8 +230,8 @@ def pca_project(
 ) -> DataFrame:
     """Project each (centered) vector onto the component: a JVM-side
     fold against broadcast literal arrays — no Python in the scan."""
-    comp = F.array(*[F.lit(float(c)) for c in component])
-    mu = F.array(*[F.lit(float(m)) for m in mean])
+    comp = lit_double_array(component)
+    mu = lit_double_array(mean)
     centered = F.zip_with(F.col(col), mu, lambda x, m: x.cast("double") - m)
     proj = F.aggregate(
         F.zip_with(centered, comp, lambda x, c: x * c),
