@@ -109,7 +109,15 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
                 {"doc_id": out_doc, "fp": out_fp, "pos": out_pos}
             ).astype({"doc_id": "int64", "fp": "int64", "pos": "int64"})
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # a small corpus arrives as ONE parquet split, which would serialize
+    # the Arrow stage on a single core (measured 1.5 s -> 0.5 s at
+    # sf0.1); at 100 TB the scan is already multi-split and this is one
+    # tiny (doc_id, text) shuffle
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    inp = docs.select("doc_id", "text")
+    if inp.rdd.getNumPartitions() < n:
+        inp = inp.repartition(n)
+    return inp.mapInPandas(
         part, schema="doc_id bigint, fp bigint, pos bigint"
     )
 
