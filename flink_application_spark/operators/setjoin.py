@@ -37,31 +37,29 @@ from flink_application_spark.operators.minhash import with_shingles
 _EPS = 1e-9
 
 
-def jaccard_similarity_join(
+def _ranked_postings(
     docs: DataFrame,
     threshold: float,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """All (id_a < id_b, jaccard) pairs with exact n-gram Jaccard ≥
-    threshold. Exact: returns the identical row set to the quadratic
-    self-join over non-NULL-text documents (the DuckDB oracle runs
-    that form). NULL-text documents are excluded up front: they have
-    no content to be similar on, and their [NULL] shingle arrays would
-    silently vanish at the token equi-joins while the quadratic
-    baseline pairs them at jaccard 1.0 — excluding them keeps the
-    exactness contract honest instead of data-dependent."""
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    docs = docs.filter(F.col(text_col).isNotNull())
-
-    sh = (
-        with_shingles(docs, text_col=text_col, id_col=id_col)
-        .select(F.col(id_col).alias("id"), "shingles")
-        .withColumn("sz", F.size("shingles"))
-        .persist()
-    )
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
+):
+    """Shared prefix-filter machinery for both set-similarity joins:
+    the (persisted) shingle table, plus PREFIX and FULL posting
+    projections ranked under the global (document-frequency, token)
+    order. `shingles` lets a caller that already materialized the
+    [id_col, shingles] table (restricted to non-NULL-text documents —
+    the joins' documented contract) reuse it instead of re-tokenizing
+    the corpus. Returns (sh, prefix, full)."""
+    if shingles is None:
+        docs = docs.filter(F.col(text_col).isNotNull())
+        sh = with_shingles(docs, text_col=text_col, id_col=id_col).select(
+            F.col(id_col).alias("id"), "shingles"
+        )
+    else:
+        sh = shingles.select(F.col(id_col).alias("id"), "shingles")
+    sh = sh.withColumn("sz", F.size("shingles")).persist()
 
     post = sh.select("id", "sz", F.explode("shingles").alias("tok"))
     tok_df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -89,6 +87,30 @@ def jaccard_similarity_join(
         F.col("sz").alias("sz_b"),
         F.col("rk").alias("rk_b"),
         "tok",
+    )
+    return sh, prefix, full
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """All (id_a < id_b, jaccard) pairs with exact n-gram Jaccard ≥
+    threshold. Exact: returns the identical row set to the quadratic
+    self-join over non-NULL-text documents (the DuckDB oracle runs
+    that form). NULL-text documents are excluded up front: they have
+    no content to be similar on, and their [NULL] shingle arrays would
+    silently vanish at the token equi-joins while the quadratic
+    baseline pairs them at jaccard 1.0 — excluding them keeps the
+    exactness contract honest instead of data-dependent."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh, prefix, full = _ranked_postings(
+        docs, threshold, id_col=id_col, text_col=text_col, shingles=shingles
     )
 
     # Minimum required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉ (from
@@ -151,6 +173,7 @@ def containment_similarity_join(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All ordered (id_a != id_b, containment) pairs with exact n-gram
     containment C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold.
@@ -180,34 +203,8 @@ def containment_similarity_join(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    docs = docs.filter(F.col(text_col).isNotNull())
-
-    sh = (
-        with_shingles(docs, text_col=text_col, id_col=id_col)
-        .select(F.col(id_col).alias("id"), "shingles")
-        .withColumn("sz", F.size("shingles"))
-        .persist()
-    )
-
-    post = sh.select("id", "sz", F.explode("shingles").alias("tok"))
-    tok_df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
-    ranked = (
-        post.join(tok_df, "tok").withColumn("rk", F.row_number().over(w)).persist()
-    )
-
-    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - _EPS) + 1
-    prefix = ranked.filter(F.col("rk") <= pref_len).select(
-        F.col("id").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("rk").alias("rk_a"),
-        "tok",
-    )
-    full = ranked.select(
-        F.col("id").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("rk").alias("rk_b"),
-        "tok",
+    sh, prefix, full = _ranked_postings(
+        docs, threshold, id_col=id_col, text_col=text_col, shingles=shingles
     )
 
     need = F.ceil(F.lit(threshold) * F.col("sz_a") - _EPS)

@@ -342,11 +342,13 @@ CONTAINMENT_SQL = (
     "WITH "
     + SHINGLES_CTE
     + f"""
-SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {CONTAINMENT_SQL} AS containment
-FROM sh sa JOIN sh sb ON sa.doc_id <> sb.doc_id
-WHERE sa.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
-  AND sb.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
-  AND {CONTAINMENT_SQL} >= 0.8
+SELECT id_a, id_b, containment FROM (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {CONTAINMENT_SQL} AS containment
+  FROM sh sa JOIN sh sb ON sa.doc_id <> sb.doc_id
+  WHERE sa.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+    AND sb.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+)
+WHERE containment >= 0.8
 """,
     doc="EXACT asymmetric containment join at C(A in B) = "
     "|sh(A) ∩ sh(B)| / |sh(A)| >= 0.8 — the sub-document duplication "
@@ -767,7 +769,15 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaccard_column(F.col("sh_a"), F.col("sh_b")) >= NEAR_DUP_THRESHOLD
         )
     )
-    exact = jaccard_similarity_join(docs, NEAR_DUP_THRESHOLD)
+    # reuse the persisted shingle table (restricted to the joins'
+    # non-NULL-text contract) — the exact side must not re-tokenize
+    exact = jaccard_similarity_join(
+        docs,
+        NEAR_DUP_THRESHOLD,
+        shingles=sh.filter(F.col("text").isNotNull()).select(
+            "doc_id", "shingles"
+        ),
+    )
     n_e = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_v = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
     n_c = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))

@@ -20,8 +20,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.kmeans import assign_clusters, init_centroids
 from flink_application_spark.operators.pq import (
-    _d2_lit,
-    _sub,
     adc_table_expr,
     d2_lit_sql,
     pq_encode,

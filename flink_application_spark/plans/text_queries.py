@@ -33,6 +33,18 @@ def _in_list(words: list[str]) -> str:
     return ", ".join("'" + w + "'" for w in words)
 
 
+# The quality composite shared by doc_quality_scores and the Wilson
+# gate — ONE spelling, so the gate can never de-sync from the
+# published scores.
+_QUALITY_SQL = (
+    "round(0.3 * least(length(text) * 1.0 / 500.0, 1.0)"
+    f" + 0.4 * round(len(list_filter({_TOKS}, t -> t IN ({{stop}}))) * 1.0"
+    " / greatest(len(" + _TOKS + "), 1), 6)"
+    " + 0.3 * (1.0 - round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+    " * 1.0 / greatest(length(text), 1), 6)), 6)"
+).format(stop=_in_list(EN_STOPWORDS))
+
+
 @register(
     "doc_token_stats",
     f"""
@@ -97,11 +109,7 @@ SELECT doc_id, lang,
              / greatest(length(text), 1), 6) AS punct_ratio,
        round(len(list_filter({_TOKS}, t -> t IN ({_in_list(EN_STOPWORDS)}))) * 1.0
              / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
-       round(0.3 * least(length(text) * 1.0 / 500.0, 1.0)
-           + 0.4 * round(len(list_filter({_TOKS}, t -> t IN ({_in_list(EN_STOPWORDS)}))) * 1.0
-                         / greatest(len({_TOKS}), 1), 6)
-           + 0.3 * (1.0 - round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
-                                / greatest(length(text), 1), 6)), 6) AS quality
+       {_QUALITY_SQL} AS quality
 FROM documents
 """,
     doc="Quality scoring: length saturation + stopword ratio + "
@@ -874,16 +882,6 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
-
-# Quality-gate pass predicate shared with the Wilson oracle (the same
-# composite as doc_quality_scores, thresholded at 0.5).
-_QUALITY_SQL = (
-    "round(0.3 * least(length(text) * 1.0 / 500.0, 1.0)"
-    f" + 0.4 * round(len(list_filter({_TOKS}, t -> t IN ({{stop}}))) * 1.0"
-    " / greatest(len(" + _TOKS + "), 1), 6)"
-    " + 0.3 * (1.0 - round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-    " * 1.0 / greatest(length(text), 1), 6)), 6)"
-).format(stop=_in_list(EN_STOPWORDS))
 
 # Wilson 95% lower bound written ONCE, in the exact operation order
 # both engines must share: z² is spelled 1.96*1.96 (a literal 3.8416
