@@ -54,6 +54,9 @@ HEADLINE = [
     "emb_knn_classify_ann",
     "doc_minhash_estimate_vs_exact",
     "doc_stratified_sample_neyman",
+    # round-4: the honest quantization config (trained codebooks) timed
+    # alongside the seeded emb_ivfadc_topk it must stay within 1.5× of
+    "emb_ivfadc_trained_topk",
 ]
 
 
@@ -191,6 +194,67 @@ def ingest_throughput(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def roll_ceiling_proof(spark) -> tuple[float, float, int, float]:
+    """Exercise the size-rolled sink's REAL 110 MB ceiling (flink.conf
+    54-55). Every prior recorded run rolled at 0.01 MB — three orders
+    of magnitude under the contract — so the bytes-per-row calibration
+    was unproven where it matters. Synthesize ~250 MB of INCOMPRESSIBLE
+    rows (concatenated unhex(md5) binaries — snappy can't shrink them,
+    so encoded size ≈ raw size) in ONE logical partition, stream them
+    through write_partitioned_parquet_size_rolled at the full 110 MB
+    target, and record (max_file_mb, total_mb, n_files, wall). The
+    ceiling holds iff max_file_mb ≤ 110 with n_files > 1 (≥2 rolls).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.sources.streams import file_stream
+    from flink_application_spark.streaming.sinks import (
+        write_partitioned_parquet_size_rolled,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_roll_")
+    try:
+        # 50k rows × 320 md5 digests × 16 B = ~256 MB of full-entropy
+        # payload; all rows share part='p0' so the rolls happen INSIDE
+        # one partition directory.
+        payload = F.concat(
+            *[F.unhex(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|{i}"))))
+              for i in range(320)]
+        )
+        (
+            spark.range(50_000)
+            .select("id", F.lit("p0").alias("part"), payload.alias("blob"))
+            .write.parquet(f"{root}/src")
+        )
+        t0 = time.perf_counter()
+        q = write_partitioned_parquet_size_rolled(
+            file_stream(spark, f"{root}/src"),
+            f"{root}/sink",
+            checkpoint=f"{root}/ckpt",
+            partition_by=("part",),
+            target_file_bytes=110 * 1024 * 1024,
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        sizes = [
+            os.path.getsize(p)
+            for p in glob.glob(f"{root}/sink/**/*.parquet", recursive=True)
+        ]
+        mb = 1024 * 1024
+        return (
+            round(max(sizes) / mb, 2),
+            round(sum(sizes) / mb, 1),
+            len(sizes),
+            round(wall, 3),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -198,7 +262,14 @@ def main() -> None:
     from flink_application_spark.plans.registry import REGISTRY_GET
     from flink_application_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Quiet everything that could interleave with (or push out of the
+    # driver's tail capture) the single JSON result line: ERROR-only
+    # logs and no console progress bars. BENCH_r03.json was recorded
+    # with "parsed": null because log noise cut the line.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm JVM/JIT/codegen on the SAME plans at the smallest scale
     # factor (different directory — none of the benched sf's data or
     # page cache is touched), so timings measure steady-state execution
@@ -223,32 +294,47 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
-    stream_wall, stream_events, sink_wall, max_sink_file_mb = stream_throughput(
-        spark, sf_dir
-    )
-    ingest_wall, ingest_docs = ingest_throughput(spark, sf_dir)
+    # Streaming/ingest get the same median-of-3 treatment as the
+    # queries: r03 recorded single-sample drops (−25% events/sec, −52%
+    # docs/sec) that were run-order noise on a contended box — the
+    # exact class the query medians were added to kill.
+    stream_runs = [stream_throughput(spark, sf_dir) for _ in range(3)]
+    stream_wall = sorted(r[0] for r in stream_runs)[1]
+    stream_events = stream_runs[0][1]
+    sink_wall = sorted(r[2] for r in stream_runs)[1]
+    max_sink_file_mb = max(r[3] for r in stream_runs)
+    ingest_runs = [ingest_throughput(spark, sf_dir) for _ in range(3)]
+    ingest_wall = sorted(r[0] for r in ingest_runs)[1]
+    ingest_docs = ingest_runs[0][1]
+    # once (not ×3): ~500 MB of synthetic IO proves the real ceiling
+    roll_max_mb, roll_total_mb, roll_files, roll_wall = roll_ceiling_proof(spark)
 
-    # per-query deltas vs the most recent recorded BENCH_r{N}.json —
-    # positive = slower than last round, negative = faster
+    # per-query deltas vs the most recent USABLE bench artifact —
+    # positive = slower than last round, negative = faster. Walk
+    # newest→oldest over both the driver's BENCH_r{N}.json (whose
+    # "parsed" may be a dict, a repr string, or null when the tail
+    # capture cut the line — r03 was null and crashed the first form
+    # of this loader) and our own BENCH_LOCAL_r{N}.json fallbacks.
     deltas: dict[str, float] = {}
     prev_agg = None
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        if f.endswith(".json")
+        and (f.startswith("BENCH_r") or f.startswith("BENCH_LOCAL_r"))
     )
-    if prior:
+    for fname in sorted(prior, key=lambda f: f.removesuffix(".json").split("_r")[-1], reverse=True):
         try:
-            with open(os.path.join(here, prior[-1])) as f:
+            with open(os.path.join(here, fname)) as f:
                 doc = json.load(f)
-            # the driver wraps bench output under "parsed" (dict or
-            # repr-string); a raw bench line has "queries" at top level
-            parsed = doc.get("parsed", doc)
+            parsed = doc.get("parsed", doc) if isinstance(doc, dict) else None
             if isinstance(parsed, str):
                 import ast
 
                 parsed = ast.literal_eval(parsed)
-            prev = parsed.get("queries", {})
+            if not isinstance(parsed, dict) or not parsed.get("queries"):
+                continue
+            prev = parsed["queries"]
             deltas = {
                 n: round(timings[n] - prev[n], 3)
                 for n in timings
@@ -257,40 +343,66 @@ def main() -> None:
             # surface methodology skew: r01/r02 recorded min-of-2, so
             # a median-vs-min delta reads high by construction
             prev_agg = parsed.get("aggregation", "min_of_2")
+            break
         except (OSError, ValueError, SyntaxError):
-            deltas = {}
+            continue
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "samples_per_query": 3,
-                "aggregation": "median",
-                "deltas_vs_prev_round": deltas,
-                "deltas_prev_aggregation": prev_agg if deltas else None,
-                # memory-sink saturation: same sink shape r01/r02
-                # recorded, so this key stays round-over-round
-                # comparable; the production-sink number is separate
-                "stream_events_per_sec": round(stream_events / stream_wall, 1),
-                "stream_wall_sec": round(stream_wall, 3),
-                "stream_events": stream_events,
-                # size-rolled partitioned parquet (real sink IO +
-                # 110 MB byte-rolling, the reference's S4 shape)
-                "stream_sink_events_per_sec": round(stream_events / sink_wall, 1),
-                "stream_sink_wall_sec": round(sink_wall, 3),
-                "stream_sink": "size_rolled_partitioned_parquet",
-                "max_sink_file_mb": max_sink_file_mb,
-                "ingest_docs_per_sec": round(ingest_docs / ingest_wall, 1),
-                "ingest_wall_sec": round(ingest_wall, 3),
-                "ingest_docs": ingest_docs,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "samples_per_query": 3,
+        "aggregation": "median",
+        "streaming_samples": 3,
+        "streaming_aggregation": "median",
+        "deltas_vs_prev_round": deltas,
+        "deltas_prev_aggregation": prev_agg if deltas else None,
+        # memory-sink saturation: same sink shape r01/r02
+        # recorded, so this key stays round-over-round
+        # comparable; the production-sink number is separate
+        "stream_events_per_sec": round(stream_events / stream_wall, 1),
+        "stream_wall_sec": round(stream_wall, 3),
+        "stream_events": stream_events,
+        # size-rolled partitioned parquet (real sink IO +
+        # 110 MB byte-rolling, the reference's S4 shape)
+        "stream_sink_events_per_sec": round(stream_events / sink_wall, 1),
+        "stream_sink_wall_sec": round(sink_wall, 3),
+        "stream_sink": "size_rolled_partitioned_parquet",
+        "max_sink_file_mb": max_sink_file_mb,
+        "ingest_docs_per_sec": round(ingest_docs / ingest_wall, 1),
+        "ingest_wall_sec": round(ingest_wall, 3),
+        "ingest_docs": ingest_docs,
+        # 110 MB rolling-ceiling proof with real bytes (≥2 rolls in one
+        # partition of incompressible rows; ceiling holds iff
+        # roll_proof_max_file_mb ≤ 110 and roll_proof_files > 1)
+        "roll_proof_max_file_mb": roll_max_mb,
+        "roll_proof_total_mb": roll_total_mb,
+        "roll_proof_files": roll_files,
+        "roll_proof_wall_sec": roll_wall,
+    }
+    # In-repo fallback artifact: BENCH_r03.json survived only as a
+    # truncated tail capture ("parsed": null), so the dict is also
+    # written to BENCH_LOCAL_r{N}.json (N = next round not yet recorded
+    # by the driver) where nothing can cut it.
+    rounds = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    local = os.path.join(here, f"BENCH_LOCAL_r{max(rounds, default=0) + 1:02d}.json")
+    try:
+        with open(local, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # the one machine-readable line, LAST
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -196,6 +196,60 @@ def kmeans_fit(
     return cents, iters
 
 
+def kmeans_fit_local(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    col: str = "embedding",
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    sample_rows: int = 65536,
+) -> tuple[list[list[float]], int]:
+    """Lloyd's on a DRIVER-BOUNDED deterministic sample — the codebook-
+    training shape production ANN systems use (FAISS trains coarse and
+    product quantizers on a bounded training sample, not the corpus;
+    k·d centroids never justify corpus-wide iteration passes). The
+    sample is the `sample_rows` smallest ids (Spark plans orderBy+limit
+    as a distributed TakeOrdered — no global sort), one collect, then
+    numpy Lloyd's with the SAME semantics as the distributed trainer:
+    k-smallest-id init, first-minimum argmin (lowest cluster on ties),
+    empty cluster → zero vector, the same squared-shift stop rule.
+
+    Use `kmeans_fit` when the model must train on every row (it scales
+    as bounded partial-agg passes); use this when a bounded sample is
+    statistically sufficient — 10 iterations go from 10 distributed
+    jobs to one collect + microseconds (emb_ivfadc_trained_topk:
+    18 s → ~1 s at sf0.1)."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(col)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"kmeans_fit_local: need {k} rows, found {len(rows)}")
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = x[:k].copy()  # k smallest ids — init_centroids' seeds
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(d2, axis=1)  # first min ⇒ lowest cluster
+        new = np.zeros_like(cents)
+        for c in range(k):
+            members = x[cl == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        shift = float(((new - cents) ** 2).sum(axis=1).max())
+        cents = new
+        if shift <= tol:
+            break
+    return [[float(v) for v in c] for c in cents], iters
+
+
 def cluster_profile(assigned: DataFrame) -> DataFrame:
     """Per-cluster size and mean within-cluster squared distance —
     the standard convergence/health readout."""

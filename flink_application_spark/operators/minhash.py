@@ -77,6 +77,73 @@ def with_shingles(
     return sh.repartition(num_partitions)
 
 
+def lsh_candidate_recall(similarity: float, rows_per_band: int, bands: int) -> float:
+    """P[candidate] for a pair at Jaccard `similarity` under banded
+    MinHash-LSH with `bands` bands × `rows_per_band` rows: each band
+    collides with probability s^r (all r minhashes agree), and the pair
+    is a candidate if ANY band collides — 1 − (1 − s^r)^b (Broder /
+    Leskovec-Rajaraman-Ullman ch. 3). Monotone in s, so this evaluated
+    at the dedup threshold t lower-bounds the expected recall over all
+    true pairs (every true pair has s ≥ t)."""
+    if not (0.0 <= similarity <= 1.0):
+        raise ValueError(f"similarity must be in [0, 1], got {similarity}")
+    return 1.0 - (1.0 - similarity**rows_per_band) ** bands
+
+
+def size_lsh_for_recall(
+    threshold: float,
+    target_recall: float,
+    max_k: int = 256,
+    max_rows_per_band: int = 16,
+) -> tuple[int, int, int]:
+    """Pick (k, rows_per_band, bands) so the banding's candidate recall
+    at Jaccard = `threshold` meets `target_recall` — the 1−(1−t^r)^b
+    sizing every pipeline must do BEFORE trusting LSH dedup at scale
+    (q_lsh_recall_audit then measures the achieved recall on real data;
+    tests validate the curve against the audit's measured numbers).
+
+    Minimizes total signature width k = r·b (the per-doc compute and
+    the band-store footprint); ties prefer LARGER r — a steeper S-curve
+    admits fewer sub-threshold candidate pairs, i.e. better candidate
+    precision for the same recall and k.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    import math
+
+    best: tuple[int, int, int] | None = None
+    for r in range(1, max_rows_per_band + 1):
+        p_band = threshold**r
+        # tiny p underflows 1-p to exactly 1.0 → log(1-p) = 0; no
+        # finite b reaches the target at this r or any larger one
+        if p_band <= 0.0 or (p_band < 1.0 and 1.0 - p_band >= 1.0):
+            break
+        # smallest b with 1-(1-p)^b >= target  ⇔  b >= log(1-target)/log(1-p)
+        if p_band >= 1.0:
+            b = 1
+        else:
+            b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+        k = r * b
+        if k > max_k:
+            continue
+        # float-edge safety: the ceil can land a hair under target
+        while lsh_candidate_recall(threshold, r, b) < target_recall and r * b <= max_k:
+            b += 1
+        k = r * b
+        if k > max_k:
+            continue
+        if best is None or k < best[0] or (k == best[0] and r > best[1]):
+            best = (k, r, b)
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) with k <= {max_k} reaches recall "
+            f"{target_recall} at threshold {threshold}"
+        )
+    return best
+
+
 def minhash_expr(i: int) -> F.Column:
     """min over shingles of md5('<i>|' + shingle) — one permutation of
     the md5 hash family (lexicographic min over hex strings)."""

@@ -372,6 +372,82 @@ def retrieve_topk(
     return brute_force_topk(queries, corpus, k=k)
 
 
+def radius_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: float,
+    *,
+    use_ann: bool = False,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """Range search (FAISS `range_search`): ALL corpus vectors with
+    cosine ≥ `radius` per query — the dedup/recall-sweep companion of
+    top-k (top-k bounds the RESULT size, radius bounds the QUALITY;
+    near-dup mining wants the latter). Returns (query_id, vec_id,
+    cosine), unranked.
+
+    Exact path: broadcast query set × corpus scan with the JVM-side
+    dot/norm fold — O(|Q|·|C|) by definition, the oracle form. ANN
+    path: the IVF probe equi-join generates candidates (same index as
+    `ivf_topk`), then the SAME radius filter applies — results are a
+    SUBSET of the exact set structurally (tests pin ann ⊆ exact and
+    full-probe ≡ exact)."""
+    from flink_application_spark.functions.vectors import dot, norm
+
+    if use_ann:
+        if centroids is None:
+            centroids = train_centroids(corpus, n_centroids=n_centroids)
+        assign1 = _assign_udf(centroids, 1)
+        c = corpus.select(
+            "vec_id",
+            "embedding",
+            F.element_at(assign1(F.col("embedding")), 1).alias("cluster"),
+        )
+        assignp = _assign_udf(centroids, n_probe)
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(assignp(F.col("embedding"))).alias("cluster"),
+        )
+        scored = (
+            c.join(F.broadcast(q), "cluster")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+            )
+            .distinct()  # a (query, vec) pair can meet in several probed lists
+        )
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                norm(F.col("embedding")).alias("_qn"),
+            )
+        )
+        c = corpus.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("_cn")
+        )
+        scored = (
+            c.crossJoin(q)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    dot(F.col("qv"), F.col("embedding"))
+                    / (F.col("_qn") * F.col("_cn")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+    return scored.filter(F.col("cosine") >= radius)
+
+
 def knn_classify(
     queries: DataFrame,
     corpus: DataFrame,

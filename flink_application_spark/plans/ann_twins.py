@@ -152,6 +152,26 @@ def q_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_radius_search_ann",
+    None,
+    doc="ANN twin of emb_radius_search: the same cosine ≥ 0.25 radius "
+    "filter over IVF probe candidates (equi-join on list id) instead "
+    "of the query×corpus product. Structurally a SUBSET of the exact "
+    "result (the radius filter applies to a candidate subset); "
+    "ann ⊆ exact and full-probe ≡ exact pinned in "
+    "tests/test_ann_twins.py.",
+    tags=("similarity", "embeddings", "range-search", "ann", "scale-twin"),
+)
+def q_radius_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import radius_search
+
+    emb = _emb(spark, sf_dir)
+    return radius_search(
+        emb.filter(F.col("vec_id") < 5), emb, 0.25, use_ann=True, **_ANN
+    )
+
+
+@register(
     "doc_text_search_topk_ann",
     None,
     doc="ANN twin of doc_text_search_topk: hashing-trick document "

@@ -91,6 +91,15 @@ JACCARD_SQL = (
     "/ len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)"
 )
 
+# Recall-audit variant: NULL-text docs produce [NULL] shingle arrays whose
+# concat_ws band keys all collapse to md5('') — every NULL-text pair becomes
+# an LSH candidate that "verifies" at jaccard 1.0 while the exact join
+# excludes NULL text, breaking verified ⊆ exact. Both engines tokenize only
+# non-NULL-text docs for the audit.
+SHINGLES_NONNULL_CTE = SHINGLES_CTE.replace(
+    "FROM documents\n", "FROM documents WHERE text IS NOT NULL\n", 1
+)
+
 
 # --- queries ----------------------------------------------------------------
 
@@ -706,7 +715,7 @@ def q_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_lsh_recall_audit",
     "WITH "
-    + SHINGLES_CTE
+    + SHINGLES_NONNULL_CTE
     + ","
     + _sigs_cte()
     + ","
@@ -722,9 +731,7 @@ def q_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 exact AS (
   SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
   FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
-  WHERE sa.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
-    AND sb.doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
-    AND {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
 ),
 e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
 v AS (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM verified),
@@ -751,32 +758,49 @@ FROM e, v, c
     tags=("dedup", "minhash", "lsh", "eval"),
 )
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return lsh_recall_audit_frame(docs)
+
+
+def lsh_recall_audit_frame(
+    docs: DataFrame,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """LSH recall/precision vs the exact join over one docs frame.
+
+    NULL-text docs are excluded ONCE, before shingling, and the SAME
+    shingle table feeds both the LSH/verified side and the exact join
+    (without this, [NULL] shingle arrays collapse to md5('') band keys
+    and NULL-text pairs verify at jaccard 1.0 while the exact side
+    excludes them — verified ⊄ exact, recall_ppm > 1e6).
+
+    (k, bands) are parameters so `size_lsh_for_recall`'s chosen scheme
+    can be validated against this audit's MEASURED recall — the loop
+    from theory (1−(1−t^r)^b) to evidence on the actual corpus.
+    """
     from flink_application_spark.operators.minhash import (
         jaccard_column,
         lsh_candidate_pairs,
     )
     from flink_application_spark.operators.setjoin import jaccard_similarity_join
 
-    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    docs = docs.filter(F.col("text").isNotNull())
     sh = with_shingles(docs).persist()
-    cands = lsh_candidate_pairs(sh).persist()
+    cands = lsh_candidate_pairs(sh, k=k, bands=bands).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .filter(
-            jaccard_column(F.col("sh_a"), F.col("sh_b")) >= NEAR_DUP_THRESHOLD
-        )
+        .filter(jaccard_column(F.col("sh_a"), F.col("sh_b")) >= threshold)
     )
-    # reuse the persisted shingle table (restricted to the joins'
-    # non-NULL-text contract) — the exact side must not re-tokenize
+    # reuse the persisted shingle table — the exact side must not re-tokenize
     exact = jaccard_similarity_join(
         docs,
-        NEAR_DUP_THRESHOLD,
-        shingles=sh.filter(F.col("text").isNotNull()).select(
-            "doc_id", "shingles"
-        ),
+        threshold,
+        shingles=sh.select("doc_id", "shingles"),
     )
     n_e = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_v = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))

@@ -58,6 +58,31 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_radius_search",
+    f"""
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+WHERE cosine >= 0.25
+""",
+    doc="Range search (FAISS range_search): every corpus vector with "
+    "cosine ≥ 0.25 of each of 5 query vectors — the quality-bounded "
+    "companion of top-k retrieval (near-dup mining bounds similarity, "
+    "not result count). Broadcast queries × corpus scan, JVM-side "
+    "dot/norm folds; exact oracle baseline of emb_radius_search_ann.",
+    tags=("similarity", "embeddings", "range-search"),
+)
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import radius_search
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return radius_search(emb.filter(F.col("vec_id") < 5), emb, 0.25)
+
+
+@register(
     "emb_lsh_ann_topk",
     f"""
 WITH b AS (

@@ -128,6 +128,53 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_quality_threshold_sweep",
+    f"""
+WITH scored AS (
+  SELECT {_QUALITY_SQL} AS q, length(text) AS nc FROM documents
+)
+SELECT t10,
+       CAST(sum(CASE WHEN q >= t10 / 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN q >= t10 / 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(count(*) AS BIGINT) AS kept_ppm,
+       CAST(sum(CASE WHEN q >= t10 / 10.0 THEN nc ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM scored, (SELECT unnest(generate_series(0, 9)) AS t10) thresholds
+GROUP BY t10
+""",
+    doc="Curation yield curve: documents and characters surviving the "
+    "quality gate at every threshold 0.0..0.9 — the number a pipeline "
+    "reads BEFORE picking its gate (a threshold that throws away 80% "
+    "of tokens is a budget decision, not a default). Shares "
+    "_QUALITY_SQL with doc_quality_scores so the sweep can never "
+    "de-sync from the published scores; one scan, the 10 thresholds "
+    "ride a per-row explode (no join), integer ppm both engines.",
+    tags=("text", "quality", "curation"),
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # exchange barrier: the quality HOF fold is referenced by three
+    # aggregates downstream of the explode — behind the repartition it
+    # is ONE evaluation per doc, not 3×10 (attributes cross exchanges,
+    # expressions do not; same trick as minhash.with_shingles)
+    scored = docs.select(
+        quality_score(F.col("text")).alias("q"),
+        F.length("text").alias("nc"),
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sweep = scored.select(
+        "q", "nc", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("t10")
+    )
+    kept = "CASE WHEN q >= t10 / 10.0 THEN {v} ELSE 0 END"
+    return sweep.groupBy("t10").agg(
+        F.expr(f"CAST(sum({kept.format(v='1')}) AS BIGINT)").alias("n_kept"),
+        F.expr(
+            f"CAST(sum({kept.format(v='1')}) AS BIGINT) * 1000000L div count(*)"
+        ).alias("kept_ppm"),
+        F.expr(f"CAST(sum({kept.format(v='nc')}) AS BIGINT)").alias("kept_chars"),
+    )
+
+
 def _lang_id_oracle() -> str:
     score_cols = ",\n       ".join(
         f"len(list_filter({_TOKS}, t -> t IN ({_in_list(words)}))) AS score_{lang}"

@@ -102,3 +102,57 @@ def test_label_noise_exact_form_matches_operator(spark, sf_dir):
     a = {tuple(r) for r in via_op.collect()}
     b = {tuple(r) for r in registered.collect()}
     assert a == b
+
+
+def test_radius_search_full_probe_matches_exact(spark):
+    """n_probe = n_centroids degrades IVF radius search to the exact
+    scan — identical (query, vec, cosine) rows."""
+    from flink_application_spark.operators.similarity import radius_search
+
+    emb = _clustered_corpus(spark, n_clusters=4, per_cluster=30)
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {tuple(r) for r in radius_search(q, emb, 0.5).collect()}
+    full = {
+        tuple(r)
+        for r in radius_search(
+            q, emb, 0.5, use_ann=True, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert full == exact
+    assert exact, "clustered corpus must have in-radius neighbors"
+
+
+def test_radius_search_ann_is_subset_of_exact(spark):
+    """Structural contract: the ANN radius result applies the same
+    radius filter to a candidate SUBSET, so ann ⊆ exact at ANY probe
+    count — deterministic, no recall flake."""
+    from flink_application_spark.operators.similarity import radius_search
+
+    emb = _clustered_corpus(spark)
+    q = emb.filter(F.col("vec_id") % 30 == 0)
+    exact = {(r.query_id, r.vec_id) for r in radius_search(q, emb, 0.5).collect()}
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in radius_search(
+            q, emb, 0.5, use_ann=True, n_centroids=10, n_probe=2
+        ).collect()
+    }
+    assert ann <= exact
+    # clustered data: probing the home clusters finds most of the mass
+    assert len(ann) >= 0.5 * len(exact)
+
+
+def test_radius_search_registered_twin_subset_on_driver_data(spark, sf_dir):
+    """The registered pair on real driver data: emb_radius_search_ann
+    rows ⊆ emb_radius_search rows (cosine column included — same
+    rounding on both paths)."""
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    exact = {
+        tuple(r) for r in REGISTRY_GET("emb_radius_search").spark(spark, sf_dir).collect()
+    }
+    ann = {
+        tuple(r)
+        for r in REGISTRY_GET("emb_radius_search_ann").spark(spark, sf_dir).collect()
+    }
+    assert ann <= exact

@@ -142,3 +142,29 @@ def test_luhn_query_accepts_exactly_the_valid_plant(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_quality_threshold_sweep_curve_shape(spark, sf_dir):
+    """The yield curve must be monotone non-increasing in the
+    threshold, cover all 10 thresholds, and keep everything at 0.0
+    (quality is non-negative by construction)."""
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    rows = {
+        r.t10: r
+        for r in REGISTRY_GET("doc_quality_threshold_sweep")
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(range(10))
+    n_docs = rows[0].n_kept
+    assert rows[0].kept_ppm == 1_000_000
+    prev = None
+    for t in range(10):
+        r = rows[t]
+        assert 0 <= r.n_kept <= n_docs
+        assert 0 <= r.kept_ppm <= 1_000_000
+        if prev is not None:
+            assert r.n_kept <= prev.n_kept
+            assert r.kept_chars <= prev.kept_chars
+        prev = r

@@ -89,24 +89,33 @@ def test_left_outer_interval_join_stream_converges_to_batch(spark, tmp_path):
         q.awaitTermination(300)
 
     # run 1: one file per trigger so the sentinel batch's watermark is
-    # observed by a subsequent batch within the same run; run 2 (a
-    # restart with a fresh far-future file) covers the flush in case
-    # run 1's final batch still held the NULL rows in state
+    # observed by a subsequent batch within the same run; each restart
+    # (with a fresh far-future file) flushes state the previous run's
+    # final batch still held. Convergence is EVENTUAL by contract, and
+    # on a loaded box the flush can need an extra restart — so retry
+    # with additional flush waves instead of pinning the exact run
+    # count (the assertion still demands full convergence).
     _one_run(max_files=1)
-    time.sleep(1.2)
-    _imp([(100, "2099-06-01 00:00:00")]).write.mode("append").parquet(imp_dir)
-    _clk([(100, "2099-06-01 00:00:00")]).write.mode("append").parquet(clk_dir)
-    _one_run(max_files=1)
-
-    got = (
-        spark.read.parquet(sink)
-        .filter(~F.col("click_ad_id").isin(99, 100))
-        .select("click_ad_id", "click_time", "ad_id", "imp_time")
-    )
     want = _run(_clk(clk_rows), _imp(imp_rows)).select(
         "click_ad_id", "click_time", "ad_id", "imp_time"
     )
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    expected = sorted(map(tuple, want.collect()))
+    got = None
+    for attempt in range(3):
+        time.sleep(1.2)
+        flush_id = 100 + attempt
+        ts = f"2099-0{6 + attempt}-01 00:00:00"
+        _imp([(flush_id, ts)]).write.mode("append").parquet(imp_dir)
+        _clk([(flush_id, ts)]).write.mode("append").parquet(clk_dir)
+        _one_run(max_files=1)
+        got = (
+            spark.read.parquet(sink)
+            .filter(F.col("click_ad_id") < 99)
+            .select("click_ad_id", "click_time", "ad_id", "imp_time")
+        )
+        if sorted(map(tuple, got.collect())) == expected:
+            break
+    assert sorted(map(tuple, got.collect())) == expected
     # the two unmatched clicks are present exactly once, with NULLs
     nulls = got.filter(F.col("ad_id").isNull())
     assert sorted(r.click_ad_id for r in nulls.collect()) == [2, 9]

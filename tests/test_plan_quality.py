@@ -40,6 +40,7 @@ INTENTIONALLY_QUADRATIC = {
     "emb_pq_adc_topk",  # twin: emb_ivfadc_topk (probe-pruned ADC, oracle-checked)
     "emb_pq_trained_adc_topk",  # flat-PQ scan like its seeded oracle; pruned form is emb_ivfadc_trained_topk
     "emb_binary_hamming_topk",  # binary codes FLAT scan by design (two popcounts/candidate — FAISS IndexBinaryFlat)
+    "emb_radius_search",  # twin: emb_radius_search_ann (IVF probe candidates, same radius filter)
     # (b) exact-ranking evals by definition
     "emb_matryoshka_recall",
     "emb_lsh_ndcg",
@@ -72,6 +73,8 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_bigram_pmi": 2,  # n_uni × n_bi 1-row totals, combined then appended
     "vocab_gini_concentration": 1,  # (V, N) vocab-total 1-row append
     "doc_stratified_sample_neyman": 1,  # Neyman normalizer Σ(N_h·σ_h) 1-row append
+    "doc_hybrid_rrf_search": 1,  # inherits doc_bm25_search's (N, avgdl) stats row
+    "doc_lsh_recall_audit": 2,  # n_exact × n_verified × n_candidates 1-row combine
 }
 
 

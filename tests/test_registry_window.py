@@ -21,26 +21,27 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-3 window contract: the two round-2 red rows whose fixes must
-# re-sample green, plus representatives of each never-sampled family
-# (the full window is pinned exactly by
+# Round-4 window contract: the round-3 additions that never got a
+# driver row (incl. the NULL-text recall-audit fix that must sample
+# green), plus representatives of each never-sampled family (the full
+# window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window; this set documents the
 # non-negotiables).
 MUST_BE_IN_WINDOW = {
-    # round-2 red rows, fixed this round
-    "doc_hashing_trick_embedding",
-    "cdr_generated_sample",
-    # family representatives of the round-3 rotation
-    "tpch_q1_pricing_summary",
-    "tpch_q22_global_sales_opportunity",
-    "window_topn_per_group",
-    "events_sessionization",
-    "doc_quality_scores",
-    "doc_bm25_search",
-    "doc_substring_dedup_report",
-    "mm_image_phash",
-    "emb_pq_adc_topk",
-    "corpus_data_card",
+    # round-3 additions with no driver row yet
+    "doc_lsh_recall_audit",
+    "doc_pii_luhn_cards",
+    "source_quality_wilson",
+    "doc_stratified_sample_neyman",
+    "emb_sq8_adc_topk",
+    "emb_binary_hamming_topk",
+    # family representatives of the round-4 rotation
+    "collection_function_library",
+    "set_ops_customers",
+    "events_retention_cohorts",
+    "doc_bigram_pmi",
+    "doc_split_leakage_audit",
+    "doc_systematic_sample",
 }
 
 

@@ -169,3 +169,28 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     assert 0 <= r.recall_ppm <= 1_000_000
     assert 0 <= r.precision_ppm <= 1_000_000
     assert r.n_exact > 0, "testdata must contain planted near-dups"
+
+
+def test_lsh_recall_audit_null_text_docs(spark):
+    """Round-3 ADVICE regression: NULL-text docs get [NULL] shingle
+    arrays whose band keys all collapse to md5(''), so every NULL-text
+    pair became an LSH candidate verifying at jaccard 1.0 while the
+    exact join excluded them — verified ⊄ exact, recall_ppm > 1e6.
+    The audit must exclude NULL text on BOTH sides."""
+    from flink_application_spark.plans.dedup_queries import lsh_recall_audit_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, None),
+            (4, None),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    r = lsh_recall_audit_frame(docs).collect()[0]
+    assert r.n_verified <= r.n_exact, "verified ⊆ exact must survive NULL text"
+    assert r.n_verified <= r.n_candidates
+    assert 0 <= r.recall_ppm <= 1_000_000
+    assert 0 <= r.precision_ppm <= 1_000_000

@@ -94,6 +94,12 @@ def test_v2_transform_with_state_converges(spark, batched_input):
     )
 
     if not transform_with_state_available():
+        # Environment blocker, re-verified round 4: no google.protobuf
+        # distribution exists anywhere on this container's disk (only
+        # typeshed stubs) and package installs are off-limits, so the
+        # transformWithStateInPandas state server cannot start. The
+        # processor logic itself is fully covered by the v1
+        # applyInPandasWithState twin above.
         pytest.skip("google.protobuf unavailable: transformWithState state server cannot start")
 
     spark.conf.set(
