@@ -214,19 +214,19 @@ SAMPLE_WINDOW = [
     "doc_curriculum_buckets",
     "doc_langid_confusion",
     "doc_length_percentile_filter",
-    "doc_rolling_hash",
     "doc_semdedup_flags",
     "doc_simgraph_triangles",
     "doc_split_by_component",
     "doc_split_leakage_audit",
     "doc_subword_count",
     "doc_systematic_sample",
-    "doc_top_vocab",
     # round-4 in-round additions, sampled the round they were written
-    # (displacing doc_chunk_sliding_window / source_boilerplate_ngrams
-    # to the round-5 rotation)
+    # (displacing doc_chunk_sliding_window / source_boilerplate_ngrams /
+    # doc_rolling_hash / doc_top_vocab to the round-5 rotation)
     "doc_quality_threshold_sweep",
     "emb_radius_search",
+    "emb_ivf_recall_curve",
+    "corpus_token_budget_planner",
 ]
 
 

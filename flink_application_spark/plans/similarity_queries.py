@@ -8,7 +8,7 @@ in BOTH engines so the oracle matches bit-for-bit after rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.similarity import (
@@ -348,4 +348,190 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     return mmr_rerank(
         emb.filter(F.col("vec_id") < 5), emb, k_retrieve=20, k_final=5, lam=0.7
+    )
+
+
+# --- IVF probe-sweep recall curve -------------------------------------------
+
+_RC_NC = 8   # seeded coarse centroids (k smallest vec_ids — no RNG)
+_RC_NQ = 5   # query set: vec_id < 5
+_RC_K = 10   # recall@10
+_RC_MAXP = 4  # sweep n_probe = 1..4
+
+_RC_D2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+_RC_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "emb_ivf_recall_curve",
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS c
+  FROM e ORDER BY vec_id LIMIT {_RC_NC}
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, cent.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_RC_D2.format(a='e.emb', b='cent.c')}, cent.cluster
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < {_RC_NQ}),
+probes AS (
+  SELECT query_id, qv, cluster, pr FROM (
+    SELECT q.query_id, q.qv, cent.cluster,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_RC_D2.format(a='q.qv', b='cent.c')}, cent.cluster
+           ) AS pr
+    FROM q CROSS JOIN cent
+  ) WHERE pr <= {_RC_MAXP}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id, p.pr,
+         {_RC_COS.format(a='p.qv', b='e.emb')} AS cosine
+  FROM probes p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> p.query_id
+),
+levels AS (
+  SELECT query_id, vec_id, cosine,
+         unnest(generate_series(pr, {_RC_MAXP})) AS n_probe
+  FROM scored
+),
+ann AS (
+  SELECT n_probe, query_id, vec_id FROM (
+    SELECT n_probe, query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY n_probe, query_id
+             ORDER BY cosine DESC, vec_id
+           ) AS rk
+    FROM levels
+  ) WHERE rk <= {_RC_K}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_RC_COS.format(a='q.qv', b='e.emb')} DESC, e.vec_id
+           ) AS rk
+    FROM q JOIN e ON e.vec_id <> q.query_id
+  ) WHERE rk <= {_RC_K}
+)
+SELECT a.n_probe, a.query_id,
+       CAST(sum(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         * 1000000 // {_RC_K} AS recall_ppm
+FROM ann a
+LEFT JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+GROUP BY a.n_probe, a.query_id
+""",
+    doc=f"IVF probe-sweep recall curve, oracle-EXACT: recall@{_RC_K} of "
+    f"seeded-centroid IVF retrieval vs the exact ranking at every "
+    f"n_probe 1..{_RC_MAXP} — the operating-point eval a pipeline runs "
+    "before trusting IVF ANN at 100 TB, symmetric with the LSH recall "
+    "audit (doc_lsh_recall_audit + size_lsh_for_recall). Fully "
+    "deterministic: seeded centroids (k smallest vec_ids), the "
+    "assignment/probe d2s are sequential double folds (the "
+    "emb_kmeans_assign arithmetic), candidate→level expansion is a "
+    "per-row explode(sequence(pr, max_probe)) — a candidate probed at "
+    "rank pr serves every level ≥ pr, so the sweep costs ONE candidate "
+    "scoring pass, not one per probe level. The exact side is the "
+    "eval's definition (INTENTIONALLY_QUADRATIC class b).",
+    tags=("similarity", "embeddings", "ivf", "ann", "eval"),
+)
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.kmeans import (
+        assign_clusters,
+        init_centroids,
+    )
+    from flink_application_spark.operators.pq import d2_lit_sql
+    from flink_application_spark.operators.similarity import brute_force_topk
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    emb = emb.filter(F.col("embedding").isNotNull())
+    cents = init_centroids(emb, _RC_NC, "vec_id")
+    assigned = assign_clusters(emb, cents).select("vec_id", "embedding", "cluster")
+    q = emb.filter(F.col("vec_id") < _RC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # probe ranking: array_sort over (d2, cluster) literal-fold structs —
+    # the oracle-proven emb_ivfadc_topk probe shape, sliced to max level
+    cands = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('d2', {d2_lit_sql('qv', c)}, 'cluster', {i})"
+            for i, c in enumerate(cents)
+        )
+        + ")"
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.posexplode(F.slice(F.array_sort(cands), 1, _RC_MAXP)).alias("pos", "p"),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("p.cluster").alias("cluster"),
+        (F.col("pos") + 1).alias("pr"),
+    )
+    from flink_application_spark.functions.vectors import cosine
+
+    # broadcast the |Q|·max_probe probe rows against the corpus-side
+    # inverted list (the ivf_topk join shape — no shuffle of vectors)
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "pr",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    levels = scored.withColumn(
+        "n_probe", F.explode(F.sequence(F.col("pr"), F.lit(_RC_MAXP)))
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        levels.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RC_K)
+        .select("n_probe", "query_id", "vec_id")
+    )
+    exact = brute_force_topk(q.select(F.col("query_id").alias("vec_id"),
+                                      F.col("qv").alias("embedding")),
+                             emb, k=_RC_K).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        ann.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        .groupBy("n_probe", "query_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) AS BIGINT)"
+            ).alias("n_hits"),
+            F.expr(
+                "CAST(sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) AS BIGINT)"
+                f" * 1000000L div {_RC_K}"
+            ).alias("recall_ppm"),
+        )
     )

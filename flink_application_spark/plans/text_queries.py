@@ -999,3 +999,96 @@ def q_source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("wilson_lb").desc(), F.col("source").asc())
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "corpus_token_budget_planner",
+    f"""
+WITH scored AS (
+  SELECT source,
+         len({_TOKS}) AS tok,
+         CAST(floor({_QUALITY_SQL} * 1000000 + 0.5) AS BIGINT) AS qppm
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS src_tokens,
+         CAST(sum(qppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_qppm
+  FROM scored GROUP BY source
+),
+ranked AS (
+  SELECT source, n_docs, src_tokens, avg_qppm,
+         row_number() OVER (ORDER BY avg_qppm DESC, source) AS rank,
+         CAST(sum(src_tokens) OVER () AS BIGINT) // 2 AS budget
+  FROM per_source
+),
+alloc AS (
+  SELECT source, rank, n_docs, avg_qppm, src_tokens, budget,
+         coalesce(CAST(sum(src_tokens) OVER (
+           ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS cum_before
+  FROM ranked
+)
+SELECT source, rank, n_docs, avg_qppm, src_tokens,
+       least(src_tokens, greatest(CAST(0 AS BIGINT), budget - cum_before))
+         AS alloc_tokens
+FROM alloc
+""",
+    doc="Greedy token-budget allocation across sources: rank sources by "
+    "integer mean quality (ppm — float averages can flip ranks across "
+    "engines by summation-order ulps, integers cannot), then fill a "
+    "budget of half the corpus tokens best-source-first; the marginal "
+    "source gets the remainder. The planning query behind 'train on "
+    "the best N tokens' — mixture planning by quality rather than "
+    "corpus share (corpus_temperature_mixture is the share-based "
+    "planner). One scan + one small shuffle on source; the budget and "
+    "running totals are window aggregates over the per-source frame "
+    "(|sources| rows), so there is no scalar-subquery append at all.",
+    tags=("corpus", "quality", "curation", "sampling"),
+)
+def q_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "source",
+        token_count(F.col("text")).alias("tok"),
+        # floor(x·1e6 + 0.5) = cross-engine HALF_UP to integer ppm
+        F.floor(quality_score(F.col("text")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("qppm"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("src_tokens"),
+        F.expr("CAST(sum(qppm) AS BIGINT) div count(*)").alias("avg_qppm"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("avg_qppm").desc(), F.col("source").asc())
+    w_all = Window.partitionBy()
+    ranked = per_source.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        "avg_qppm",
+        F.row_number().over(w_rank).alias("rank"),
+        F.expr("CAST(sum(src_tokens) OVER () AS BIGINT) div 2").alias("budget"),
+    )
+    w_cum = (
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    alloc = ranked.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("src_tokens").over(w_cum).cast("bigint"), F.lit(0)),
+    )
+    return alloc.select(
+        "source",
+        "rank",
+        "n_docs",
+        "avg_qppm",
+        "src_tokens",
+        F.least(
+            F.col("src_tokens"),
+            F.greatest(F.lit(0).cast("bigint"), F.col("budget") - F.col("cum_before")),
+        ).alias("alloc_tokens"),
+    )

@@ -168,3 +168,37 @@ def test_quality_threshold_sweep_curve_shape(spark, sf_dir):
             assert r.n_kept <= prev.n_kept
             assert r.kept_chars <= prev.kept_chars
         prev = r
+
+
+def test_token_budget_planner_invariants(spark, sf_dir):
+    """Greedy fill semantics: ranks contiguous, every allocation within
+    its source's tokens, the total allocation exactly equals the
+    budget (half the corpus tokens — the corpus always covers it), and
+    the allocation is prefix-shaped: fully-funded sources, then at most
+    one partial, then zeros."""
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    rows = sorted(
+        REGISTRY_GET("corpus_token_budget_planner").spark(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    total = sum(r.src_tokens for r in rows)
+    budget = total // 2
+    assert sum(r.alloc_tokens for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.alloc_tokens <= r.src_tokens
+    state = "full"
+    for r in rows:
+        if state == "full" and r.alloc_tokens == r.src_tokens:
+            continue
+        if state == "full" and 0 < r.alloc_tokens < r.src_tokens:
+            state = "tail"
+            continue
+        if r.alloc_tokens == 0:
+            state = "tail"
+            continue
+        raise AssertionError(f"allocation not prefix-shaped at rank {r.rank}")
+    # quality ordering: avg_qppm non-increasing with rank
+    qs = [r.avg_qppm for r in rows]
+    assert qs == sorted(qs, reverse=True)

@@ -44,6 +44,7 @@ INTENTIONALLY_QUADRATIC = {
     # (b) exact-ranking evals by definition
     "emb_matryoshka_recall",
     "emb_lsh_ndcg",
+    "emb_ivf_recall_curve",  # recall@k vs the exact ranking IS the eval
     # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
     # sign-LSH rework it must plan equi-joins only — a cartesian there
     # is a regression this test exists to catch.
