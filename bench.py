@@ -57,6 +57,9 @@ HEADLINE = [
     # round-4: the honest quantization config (trained codebooks) timed
     # alongside the seeded emb_ivfadc_topk it must stay within 1.5× of
     "emb_ivfadc_trained_topk",
+    # round-4: the probe-sweep eval must stay ~one-retrieval cheap —
+    # that's its whole design claim (one scoring pass for all levels)
+    "emb_ivf_recall_curve",
 ]
 
 

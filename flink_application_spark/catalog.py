@@ -52,6 +52,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to defaultParallelism when the input arrives in
+    fewer partitions — the driver testdata parquet files are ONE row
+    group each (unsplittable), so any expensive per-row stage chained
+    onto a raw scan runs on a single core. Cost is one small
+    round-robin shuffle of the projected columns; at 100 TB the scan
+    is already multi-split and this is a no-op. Use on the INPUT of
+    interpreted-HOF / Arrow stages, not blanket in the catalog (a
+    blanket repartition taxes every cheap query with a shuffle)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -11,10 +11,21 @@ canonical "iterative algorithm on Spark" shape:
     until no label changes
 
 Each round is one join (labels × edges) + one min-aggregate — all
-DataFrame ops, shuffling on vertex id every round. Convergence takes
-O(graph diameter) rounds; dedup clusters are near-cliques (diameter
-≤ ~3), so the loop terminates in a handful of rounds even at corpus
-scale. Two things make the loop cluster-safe:
+DataFrame ops, shuffling on vertex id every round. Plain neighbor-min
+propagation converges in O(graph diameter) rounds, which is fine for
+near-clique dedup clusters but NOT for chain-shaped components
+(a~b~c~...~z): the sf0.1 embedding near-dup graph produced a chain
+longer than 25 hops and the loop hit max_iter. So each round also
+performs one **pointer-jumping** step — label(v) ← min(label(v),
+label(label(v))) via a self-join of the labels table on label — which
+collapses chains geometrically and bounds the loop at O(log diameter)
+rounds (Shiloach–Vishkin shortcutting; same round-compression idea as
+the large-star/small-star MapReduce algorithm of Kiveris et al.).
+Correctness invariant: label(v) is always the id of SOME vertex in
+v's component (neighbor labels are reachable; label-of-label is
+reachable transitively), labels only decrease, and the component min
+is a fixed point — so the loop converges exactly to min-reachable-id.
+Two things make the loop cluster-safe:
 
 - `localCheckpoint` each round truncates lineage — without it the plan
   doubles per iteration and the driver OOMs on plan size around round
@@ -65,11 +76,26 @@ def connected_components(
             both.join(labels, both.b == labels.v)
             .select(F.col("a").alias("v"), F.col("label"))
         )
-        new_labels = (
+        propagated = (
             labels.select("v", "label")
             .union(cand)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label(v) ← min(label(v), label(label(v))).
+        # Collapses label chains geometrically so chain-shaped
+        # components converge in O(log diameter) rounds, not O(diameter).
+        jump = propagated.select(
+            F.col("v").alias("jv"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            propagated.join(jump, propagated.label == jump.jv, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -63,14 +63,24 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
         with_deg = ranks.join(out_deg, "id", "left")
         # dangling vertices (no out-edges) leak their mass; collect it
-        # as a scalar and hand it back uniformly
-        dangling = (
-            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
+        # as a scalar and hand it back uniformly. Undirected graphs
+        # can't have dangling vertices (mirroring makes every vertex a
+        # src), so the per-round driver collect — one extra Spark job
+        # per iteration, half the wall time on small graphs — is
+        # skipped there; dangling = 0.0 makes `base` arithmetically
+        # identical to the collected form.
+        if undirected:
+            dangling = 0.0
+        else:
+            dangling = (
+                with_deg.filter(F.col("deg").isNull())
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
             .join(e, with_deg["id"] == e["src"])
@@ -79,16 +89,19 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
-            verts.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # lineage truncation every 3rd round (and on the last) instead
+        # of every round: the plan stays bounded while 2/3 of the
+        # materialization jobs disappear. The directed path needs the
+        # per-round dangling collect anyway, so it checkpoints every
+        # round to keep that collect cheap.
+        if (not undirected) or it % 3 == 2 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     # localCheckpoint materialized the final ranks; the loop inputs can
     # release their storage (long-lived sessions run this repeatedly)
     e.unpersist()

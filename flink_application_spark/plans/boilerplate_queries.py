@@ -61,9 +61,13 @@ WHERE rank <= {_TOP} AND n_docs >= 2
     tags=("documents", "audit", "sources"),
 )
 def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.catalog import fan_out
+
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    # the 5-gram transform is an interpreted HOF over every token
+    # position — spread the single-row-group scan first
     grams = (
-        docs.filter(F.col("text").isNotNull())
+        fan_out(docs.filter(F.col("text").isNotNull()))
         .select(
             "source",
             "doc_id",

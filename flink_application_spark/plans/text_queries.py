@@ -681,12 +681,16 @@ GROUP BY c.doc_id
     tags=("text", "decontamination", "documents"),
 )
 def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.catalog import fan_out
     from flink_application_spark.functions.text import word_ngrams
 
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
+    # the 5-gram HOF is the whole cost: spread the one-row-group scan,
+    # and persist — BOTH the eval side and the corpus side read `grams`
+    # (unpersisted, the interpreted transform ran twice)
+    grams = fan_out(docs).select(
         "doc_id", F.array_distinct(word_ngrams(F.col("text"), 5)).alias("g")
-    )
+    ).persist()
     eval_g = (
         grams.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode("g").alias("gram"))
