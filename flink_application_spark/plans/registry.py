@@ -142,6 +142,8 @@ def _load_all() -> None:
     from flink_application_spark.plans import estimator_queries  # noqa: F401  (late)
     from flink_application_spark.plans import quantize_extra  # noqa: F401  (late)
     from flink_application_spark.plans import fusion_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import bloom_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import doremi_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
@@ -191,8 +193,6 @@ SAMPLE_WINDOW = [
     "percentile_quantity_by_flag",
     "nation_revenue_share",
     "full_outer_customer_orders",
-    "semi_anti_join",
-    "set_ops_customers",
     "snapshot_diff_orders",
     "json_props_stats",
     "customer_rfm_segmentation",
@@ -227,6 +227,10 @@ SAMPLE_WINDOW = [
     "emb_radius_search",
     "emb_ivf_recall_curve",
     "corpus_token_budget_planner",
+    # round-4 session-B additions (displacing semi_anti_join /
+    # set_ops_customers to the round-5 rotation)
+    "doc_bloom_dedup_audit",
+    "corpus_doremi_reweight",
 ]
 
 

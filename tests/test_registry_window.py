@@ -37,11 +37,14 @@ MUST_BE_IN_WINDOW = {
     "emb_binary_hamming_topk",
     # family representatives of the round-4 rotation
     "collection_function_library",
-    "set_ops_customers",
+    "snapshot_diff_orders",
     "events_retention_cohorts",
     "doc_bigram_pmi",
     "doc_split_leakage_audit",
     "doc_systematic_sample",
+    # round-4 session-B additions, sampled the round they were written
+    "doc_bloom_dedup_audit",
+    "corpus_doremi_reweight",
 }
 
 
