@@ -48,6 +48,43 @@ _M = 1 << 16
 _K = 4
 
 
+def bloom_positions(
+    docs: DataFrame,
+    m: int = _M,
+    k: int = _K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, pos) — the k distinct md5-derived Bloom bit positions
+    of each non-NULL-text document's canonical (lower+trim) form.
+    Shared by the batch audit below and the streaming filter
+    (`streaming/bloom_dedup.py`), so stream == batch is an identity of
+    set algebra, not of two hash implementations."""
+    canon = F.lower(F.trim(F.col(text_col)))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"bf{i}:"), canon)), 1, 12
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % m
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
 def bloom_dedup_frame(docs: DataFrame, m: int = _M, k: int = _K) -> DataFrame:
     """Per-doc Bloom-vs-exact dedup verdicts (the parametrizable core,
     same pattern as `lsh_recall_audit_frame`): columns doc_id,
@@ -59,24 +96,7 @@ def bloom_dedup_frame(docs: DataFrame, m: int = _M, k: int = _K) -> DataFrame:
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.lower(F.trim(F.col("text"))).alias("canon")
     )
-    pos = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"bf{i}:"), F.col("canon"))), 1, 12
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint")
-                    % m
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos"),
-    ).distinct()
+    pos = bloom_positions(docs, m=m, k=k)
     first_setter = pos.groupBy("pos").agg(F.min("doc_id").alias("first_id"))
     cover = (
         pos.join(first_setter, "pos")

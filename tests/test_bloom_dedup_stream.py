@@ -1,0 +1,111 @@
+"""Streaming Bloom dedup: verdicts must equal the batch audit's when
+micro-batches arrive in doc_id order (the store's earlier-batch rule +
+the within-batch min-id rule compose to exactly the audit's global
+first-writer-wins), and replayed batches must be no-ops.
+
+Arrival-order caveat, by design: with out-of-order ids the stream
+flags against what actually ARRIVED earlier — still valid dedup
+semantics, but only id-ordered waves reproduce the id-ordered batch
+audit bit-for-bit, so that is what the equivalence tests use.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.plans.bloom_queries import bloom_dedup_frame
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.bloom_dedup import BloomDedupStream
+
+
+def _corpus(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "pack my box with five dozen jugs"),
+        (2, "the quick brown fox"),  # dup of 0, same wave
+        (3, "sphinx of black quartz judge my vow"),
+        # wave 2
+        (4, "PACK MY BOX WITH FIVE DOZEN JUGS"),  # dup of 1 across waves
+        (5, "how vexingly quick daft zebras jump"),
+        # wave 3
+        (6, "the quick brown fox  "),  # dup of 0, two waves later
+        (7, "jackdaws love my big sphinx of quartz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def _flags(df):
+    return {r["doc_id"]: r["bloom_dup"] for r in df.collect()}
+
+
+def test_stream_equals_batch_on_ordered_waves(spark, tmp_path):
+    docs = _corpus(spark)
+    st = BloomDedupStream(str(tmp_path / "bloom"))
+    st.process_batch(docs.filter(F.col("doc_id") < 4), 0)
+    st.process_batch(docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 6)), 1)
+    st.process_batch(docs.filter(F.col("doc_id") >= 6), 2)
+
+    got = _flags(st.flags(spark))
+    want = _flags(bloom_dedup_frame(docs).select("doc_id", "bloom_dup"))
+    assert got == want
+    # the planted duplicates, wherever their earlier copy arrived
+    assert got[2] == 1 and got[4] == 1 and got[6] == 1
+    assert got[0] == 0 and got[1] == 0
+    # one verdict per doc — no fan-out through the stores
+    assert st.flags(spark).count() == len(want)
+
+
+def test_replay_is_noop_and_never_self_flags(spark, tmp_path):
+    docs = _corpus(spark)
+    st = BloomDedupStream(str(tmp_path / "bloom"))
+    st.process_batch(docs.filter(F.col("doc_id") < 4), 0)
+    st.process_batch(docs.filter(F.col("doc_id") >= 4), 1)
+    before = _flags(st.flags(spark))
+    n = st.flags(spark).count()
+    # crash-before-checkpoint replay: batch 1's bits are ALREADY in the
+    # store; the _batch < current read guard must keep batch-1 docs
+    # from meeting their own bits and all flagging as seen
+    st.process_batch(docs.filter(F.col("doc_id") >= 4), 1)
+    assert _flags(st.flags(spark)) == before
+    assert st.flags(spark).count() == n
+    assert before[5] == 0 and before[7] == 0  # uniques stayed unique
+
+
+def test_attached_file_stream_matches_batch_audit(spark, sf_dir, tmp_path):
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "in"
+    # id-ordered waves; modTime separates micro-batch order (file_stream
+    # orders by modTime — name order is NOT batch order)
+    for lo, hi in [(0, 170), (170, 340), (340, 1_000_000)]:
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+        time.sleep(1.2)
+    st = BloomDedupStream(str(tmp_path / "bloom"))
+    q = st.attach(
+        file_stream(spark, str(src), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = _flags(st.flags(spark))
+    want = _flags(bloom_dedup_frame(docs).select("doc_id", "bloom_dup"))
+    assert got == want and len(got) == docs.filter("text IS NOT NULL").count()
+
+
+def test_bit_store_partitioned_by_pcell(spark, tmp_path):
+    import glob
+    import os
+
+    st = BloomDedupStream(str(tmp_path / "bloom"))
+    st.process_batch(_corpus(spark), 0)
+    cells = glob.glob(os.path.join(str(tmp_path / "bloom"), "bits", "_batch=0", "pcell=*"))
+    assert cells, "expected pcell= partition dirs in the bit store"
