@@ -48,6 +48,40 @@ _M = 1 << 16
 _K = 4
 
 
+def bloom_fpr(n: int, m: int, k: int) -> float:
+    """Expected false-positive probability of an (m, k) Bloom filter
+    holding n distinct keys: (1 − e^{−kn/m})^k (Bloom 1970). The audit
+    measures the realized rate; this is the curve you size against."""
+    import math
+
+    if n <= 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def size_bloom_for_fpr(
+    n_docs: int, target_fpr: float, max_log2_m: int = 40
+) -> tuple[int, int]:
+    """Smallest power-of-two m (and its optimal k = round(ln2 · m/n))
+    whose expected FPR at n_docs distinct keys meets target_fpr — the
+    sizing every memory-bounded dedup must do BEFORE trusting a Bloom
+    filter at corpus scale (the Bloom counterpart of
+    minhash.size_lsh_for_recall). Validated against the audit's
+    MEASURED false-positive rate in tests/test_bloom_dedup.py."""
+    import math
+
+    if not 0.0 < target_fpr < 1.0:
+        raise ValueError(f"target_fpr must be in (0, 1): {target_fpr}")
+    for log2_m in range(3, max_log2_m + 1):
+        m = 1 << log2_m
+        k = max(1, round(math.log(2.0) * m / max(n_docs, 1)))
+        if bloom_fpr(n_docs, m, k) <= target_fpr:
+            return m, k
+    raise ValueError(
+        f"no power-of-two m ≤ 2^{max_log2_m} meets fpr {target_fpr} at n={n_docs}"
+    )
+
+
 def bloom_positions(
     docs: DataFrame,
     m: int = _M,

@@ -729,6 +729,45 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_variant_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_k_odd,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Spark 4 VARIANT path over semi-structured props: parse_json "
+    "ONCE into a VariantType column (binary-encoded, no re-parse per "
+    "field access), then typed variant_get extraction feeding an "
+    "aggregate — the modern engine surface for schema-flexible "
+    "columns. At 100 TB parse-once-extract-many beats per-field "
+    "get_json_object re-parsing (json_props_stats is the classic "
+    "form); the oracle extracts the same typed values with DuckDB's "
+    "JSON functions.",
+    tags=("sql", "json", "variant", "events"),
+)
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        ev.select("event_type", v.alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0)).alias("n_k_odd"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
     "percentile_quantity_by_flag",
     """
 SELECT l_returnflag,

@@ -49,6 +49,40 @@ def test_first_occurrence_never_exact_dup_and_large_filter_is_exact(spark):
         assert r["false_positive"] == 0
 
 
+def test_sizing_meets_measured_fpr_on_driver_corpus(spark):
+    """size_bloom_for_fpr's (m, k) must achieve, on the REAL corpus,
+    a measured false-positive rate no worse than ~2× the target (the
+    expected-value curve has variance at finite n; 2× is the standard
+    acceptance band for a single draw)."""
+    from flink_application_spark.plans.bloom_queries import (
+        bloom_fpr,
+        size_bloom_for_fpr,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs.filter("text IS NOT NULL").count()
+    m, k = size_bloom_for_fpr(n, target_fpr=0.01)
+    assert bloom_fpr(n, m, k) <= 0.01
+    rows = bloom_dedup_frame(docs, m=m, k=k).collect()
+    new_docs = [r for r in rows if r["exact_dup"] == 0]
+    fps = sum(r["false_positive"] for r in new_docs)
+    assert fps / max(len(new_docs), 1) <= 0.02
+
+
+def test_sizing_monotone_and_bounds():
+    from flink_application_spark.plans.bloom_queries import (
+        bloom_fpr,
+        size_bloom_for_fpr,
+    )
+
+    m1, k1 = size_bloom_for_fpr(10_000, 0.01)
+    m2, k2 = size_bloom_for_fpr(10_000, 0.001)
+    assert m2 >= m1 and (m2 & (m2 - 1)) == 0  # tighter target → bigger power-of-2
+    assert k1 >= 1 and k2 >= 1
+    # the curve itself: more keys at fixed (m, k) can only hurt
+    assert bloom_fpr(20_000, m1, k1) >= bloom_fpr(10_000, m1, k1)
+
+
 def test_registered_params_on_driver_corpus(spark):
     docs = load_table(spark, SF, "documents")
     rows = bloom_dedup_frame(docs).collect()
