@@ -38,10 +38,14 @@ class BottomKSample:
     # -- store access -------------------------------------------------
 
     def _batches(self) -> list[int]:
+        # _SUCCESS (Spark's commit marker), not just *.parquet: a crash
+        # mid-write leaves a partial directory whose files would read
+        # as a silently-short sample; replays overwrite it, but a
+        # sample() call BETWEEN crash and restart must not see it
         return sorted(
             int(os.path.basename(p).split("=", 1)[1])
             for p in glob.glob(os.path.join(self._dir, "_batch=*"))
-            if glob.glob(os.path.join(p, "*.parquet"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
         )
 
     def _latest_before(self, spark, batch_id: int) -> DataFrame | None:

@@ -57,6 +57,27 @@ def test_replay_is_noop(spark, sf_dir, tmp_path):
     assert rs.sample(spark).count() == _K
 
 
+def test_partial_batch_dir_is_invisible(spark, sf_dir, tmp_path):
+    """A crash mid-write leaves _batch=N without _SUCCESS; sample()
+    must fall back to the last COMMITTED batch, and the replay must
+    rebuild from that same predecessor."""
+    import os
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    rs = BottomKSample(str(tmp_path / "rs"), k=_K)
+    rs.process_batch(docs.filter(F.col("doc_id") < 200), 0)
+    committed = _ids(rs.sample(spark))
+    rs.process_batch(docs.filter(F.col("doc_id") >= 200), 1)
+    # simulate the crash: batch 1's commit marker never landed
+    os.remove(str(tmp_path / "rs" / "sample" / "_batch=1" / "_SUCCESS"))
+    assert _ids(rs.sample(spark)) == committed  # partial dir invisible
+    rs.process_batch(docs.filter(F.col("doc_id") >= 200), 1)  # replay
+    want = _ids(BottomKSample(str(tmp_path / "ref"), k=_K).bottom_k(docs))
+    assert _ids(rs.sample(spark)) == want
+    shutil.rmtree(str(tmp_path / "rs"), ignore_errors=True)
+
+
 def test_attached_file_stream(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     src = tmp_path / "in"
