@@ -144,6 +144,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import fusion_queries  # noqa: F401  (late)
     from flink_application_spark.plans import bloom_queries  # noqa: F401  (late)
     from flink_application_spark.plans import doremi_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import opq_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
