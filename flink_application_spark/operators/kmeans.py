@@ -196,6 +196,34 @@ def kmeans_fit(
     return cents, iters
 
 
+def uniform_sample_rows(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+    sample_rows: int,
+) -> list:
+    """Deterministic UNIFORM bounded sample: bottom-`sample_rows` by
+    md5(id) rank (ties broken by id), returned sorted by id. md5 is
+    uncorrelated with ingest order, so unlike an id-prefix
+    (orderBy(id).limit(n)) this matches FAISS's uniform training-sample
+    discipline — ids typically correlate with source/time, and a prefix
+    would train codebooks on a biased head of the corpus. Spark plans
+    the orderBy+limit as a distributed TakeOrdered (no global sort),
+    and when sample_rows ≥ corpus rows the sample IS the corpus, so
+    small-scale results are bit-identical to the unsampled path. The
+    id-sorted return keeps k-smallest-id centroid seeding deterministic
+    (same discipline as streaming/reservoir.py's bottom-k-by-md5)."""
+    rank = F.md5(F.col(id_col).cast("string"))
+    rows = (
+        df.select(id_col, *cols)
+        .orderBy(rank, F.col(id_col))
+        .limit(sample_rows)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
 def kmeans_fit_local(
     df: DataFrame,
     k: int,
@@ -209,11 +237,14 @@ def kmeans_fit_local(
     training shape production ANN systems use (FAISS trains coarse and
     product quantizers on a bounded training sample, not the corpus;
     k·d centroids never justify corpus-wide iteration passes). The
-    sample is the `sample_rows` smallest ids (Spark plans orderBy+limit
-    as a distributed TakeOrdered — no global sort), one collect, then
-    numpy Lloyd's with the SAME semantics as the distributed trainer:
-    k-smallest-id init, first-minimum argmin (lowest cluster on ties),
-    empty cluster → zero vector, the same squared-shift stop rule.
+    sample is UNIFORM — bottom-`sample_rows` by md5(id) rank via
+    `uniform_sample_rows` (one distributed TakeOrdered, one collect;
+    an id-prefix would train on a biased head since ids correlate with
+    ingest order) — then numpy Lloyd's with the SAME semantics as the
+    distributed trainer: k-smallest-id-in-sample init, first-minimum
+    argmin (lowest cluster on ties), empty cluster → zero vector, the
+    same squared-shift stop rule. Below `sample_rows` corpus rows the
+    sample is the whole corpus and results match `kmeans_fit` exactly.
 
     Use `kmeans_fit` when the model must train on every row (it scales
     as bounded partial-agg passes); use this when a bounded sample is
@@ -222,16 +253,12 @@ def kmeans_fit_local(
     18 s → ~1 s at sf0.1)."""
     import numpy as np
 
-    rows = (
-        df.filter(F.col(col).isNotNull())
-        .orderBy(id_col)
-        .limit(sample_rows)
-        .select(col)
-        .collect()
+    rows = uniform_sample_rows(
+        df.filter(F.col(col).isNotNull()), id_col, [col], sample_rows
     )
     if len(rows) < k:
         raise ValueError(f"kmeans_fit_local: need {k} rows, found {len(rows)}")
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
     cents = x[:k].copy()  # k smallest ids — init_centroids' seeds
     iters = 0
     for _ in range(max_iters):

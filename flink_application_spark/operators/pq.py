@@ -111,8 +111,10 @@ def trained_codebooks(
     seeded form stands in for (Jégou et al. TPAMI'11 §III trains
     exactly this: an independent k-means per subquantizer).
 
-    ``method="local"`` (default): ONE TakeOrdered collect of the
-    `sample_rows` smallest-id vectors, then numpy Lloyd's per subspace
+    ``method="local"`` (default): ONE TakeOrdered collect of a UNIFORM
+    bottom-`sample_rows`-by-md5(id) sample (see
+    `kmeans.uniform_sample_rows` — an id-prefix would bias training
+    toward the ingest-order head), then numpy Lloyd's per subspace
     — the bounded-training-sample shape production quantizers use
     (FAISS trains its PQ on a sample; m·k·sub_dim centroids never
     justify m·max_iters corpus passes). 18 s → ~1 s for the sf0.1
@@ -137,16 +139,17 @@ def trained_codebooks(
     if method == "local":
         import numpy as np
 
-        rows = (
-            emb.filter(F.col("embedding").isNotNull())
-            .orderBy(id_col)
-            .limit(sample_rows)
-            .select("embedding")
-            .collect()
+        from flink_application_spark.operators.kmeans import uniform_sample_rows
+
+        rows = uniform_sample_rows(
+            emb.filter(F.col("embedding").isNotNull()),
+            id_col,
+            ["embedding"],
+            sample_rows,
         )
         if len(rows) < k:
             raise ValueError(f"trained_codebooks: need {k} rows, found {len(rows)}")
-        x = np.array([r[0] for r in rows], dtype=np.float64)
+        x = np.array([r[1] for r in rows], dtype=np.float64)
         books = []
         for s in range(m):
             xs = x[:, s * sub_dim : (s + 1) * sub_dim]

@@ -149,3 +149,65 @@ def test_assign_null_embedding_is_null_both_impls(spark):
         }
         assert rows[2] == (None, None), (impl, rows[2])
         assert rows[1] == (1, 0.0), (impl, rows[1])
+
+
+def test_uniform_sample_is_md5_bottom_k_not_id_prefix(spark):
+    """uniform_sample_rows must take the bottom-k by md5(id) — a
+    UNIFORM deterministic sample — not the k smallest ids (round-4
+    ADVICE: ids correlate with ingest order, so an id-prefix trains
+    codebooks on a biased head of the corpus; FAISS samples uniformly)."""
+    import hashlib
+
+    from flink_application_spark.operators.kmeans import uniform_sample_rows
+
+    n, k = 200, 40
+    df = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = [r[0] for r in uniform_sample_rows(df, "vec_id", ["embedding"], k)]
+    expect = sorted(
+        sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    )
+    assert got == expect
+    # and it is NOT the id-prefix the old implementation took
+    assert got != list(range(k))
+    # returned id-sorted so k-smallest-id-in-sample seeding stays deterministic
+    assert got == sorted(got)
+
+
+def test_fit_local_full_coverage_matches_distributed(emb):
+    """When sample_rows ≥ corpus rows the sample IS the corpus, so the
+    local trainer must still match kmeans_fit bit-for-bit after the
+    uniform-sampling change (the md5 ordering is undone by the id sort)."""
+    from flink_application_spark.operators.kmeans import kmeans_fit, kmeans_fit_local
+
+    dist, _ = kmeans_fit(emb, K, "vec_id", max_iters=4, tol=0.0)
+    local, _ = kmeans_fit_local(
+        emb, K, "vec_id", max_iters=4, tol=0.0, sample_rows=1 << 20
+    )
+    np.testing.assert_allclose(np.array(local), np.array(dist), rtol=0, atol=1e-9)
+
+
+def test_fit_local_subsample_uses_uniform_rows(spark):
+    """Under a strict subsample the trainer must see md5-sampled rows:
+    with ids 0..99 and a 1-D embedding equal to the id, the mean of the
+    trained single centroid equals the mean of the md5-bottom-50 ids —
+    which differs visibly from the mean of ids 0..49 (the old prefix)."""
+    import hashlib
+
+    from flink_application_spark.operators.kmeans import kmeans_fit_local
+
+    n, s = 100, 50
+    df = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, _ = kmeans_fit_local(
+        df, 1, "vec_id", max_iters=3, tol=0.0, sample_rows=s
+    )
+    picked = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:s]
+    assert abs(cents[0][0] - float(np.mean(picked))) < 1e-9
+    assert abs(cents[0][0] - float(np.mean(range(s)))) > 1.0
