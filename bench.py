@@ -326,7 +326,15 @@ def main() -> None:
         if f.endswith(".json")
         and (f.startswith("BENCH_r") or f.startswith("BENCH_LOCAL_r"))
     )
-    for fname in sorted(prior, key=lambda f: f.removesuffix(".json").split("_r")[-1], reverse=True):
+    def _round_key(f: str) -> tuple[int, int]:
+        # numeric round sort ('100' < '99' under the old string key) +
+        # explicit driver-artifact preference over the BENCH_LOCAL
+        # fallback at the same round (round-4 ADVICE)
+        suffix = f.removesuffix(".json").split("_r")[-1]
+        rnd = int(suffix) if suffix.isdigit() else -1
+        return (rnd, 1 if f.startswith("BENCH_r") else 0)
+
+    for fname in sorted(prior, key=_round_key, reverse=True):
         try:
             with open(os.path.join(here, fname)) as f:
                 doc = json.load(f)
@@ -336,6 +344,10 @@ def main() -> None:
 
                 parsed = ast.literal_eval(parsed)
             if not isinstance(parsed, dict) or not parsed.get("queries"):
+                continue
+            if parsed.get("sf") != sf:
+                # a local smoke at another scale factor must not become
+                # the delta baseline — sf0.001 vs sf0.1 deltas are noise
                 continue
             prev = parsed["queries"]
             deltas = {
@@ -404,8 +416,27 @@ def main() -> None:
         pass
     sys.stdout.flush()
     sys.stderr.flush()
-    # the one machine-readable line, LAST
-    print(json.dumps(result), flush=True)
+    # The one machine-readable line, LAST — and it must fit the
+    # driver's 2000-char tail capture or "parsed" comes back null
+    # (r03 AND r04 both lost the headline that way: the full dict with
+    # per-query deltas is ~2.7k chars, so the front of the line was cut
+    # off). Per-query deltas live in BENCH_LOCAL_r{N}.json; the stdout
+    # line carries everything else. Belt-and-braces: if future headline
+    # growth pushes past the window, shed the largest optional key.
+    line_doc = {
+        k: v
+        for k, v in result.items()
+        if k not in ("deltas_vs_prev_round", "deltas_prev_aggregation")
+    }
+    line = json.dumps(line_doc)
+    if len(line) > 1900:  # leave margin for the trailing newline etc.
+        for shed in ("queries",):
+            line_doc.pop(shed, None)
+            line_doc["shed_keys_see_bench_local"] = shed
+            line = json.dumps(line_doc)
+            if len(line) <= 1900:
+                break
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -50,7 +50,11 @@ _GRAM_SCHEMA = StructType(
 def gram_long(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFrame:
     """Upper-triangle Gram partials in long form plus per-batch row
     counts (carried on the (0, 0) entry's ``n``; other entries carry 0
-    so the global ``sum(n)`` is the row count)."""
+    so the global ``sum(n)`` is the row count). NULL embeddings are
+    excluded up front: np.asarray over a batch containing None rows is
+    ragged and would crash (or worse, object-coerce) — the same
+    NULL-corpus hardening rotate_embeddings/pq_encode already have."""
+    df = df.filter(F.col(col).isNotNull())
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu = np.triu_indices(dim)

@@ -37,7 +37,16 @@ def opq_compare_frame(emb: DataFrame, m: int = _M, k: int = _K, dim: int = _DIM)
     training protocol on both sides (same seeds-by-smallest-id, same
     Lloyd's, same sample bound), so the rotation is the ONLY
     difference being measured."""
-    rot = rotate_embeddings(emb, pca_rotation_balanced(emb, dim, m)).persist()
+    # localCheckpoint(eager): the rotated frame feeds TWO consumers —
+    # the codebook-training collect NOW and the returned lazy union at
+    # action time. A persist()+unpersist()-before-return pair (the
+    # first form) only cached the training read and recomputed the
+    # whole rotation mapInPandas when the caller materialized; the
+    # eager checkpoint computes the rotation exactly once and the
+    # blocks serve both reads (freed when the frame is GC'd).
+    rot = rotate_embeddings(emb, pca_rotation_balanced(emb, dim, m)).localCheckpoint(
+        eager=True
+    )
     rows = []
     for variant, frame in (("raw", emb), ("opq", rot)):
         books = trained_codebooks(frame, m, k, dim)
@@ -48,9 +57,7 @@ def opq_compare_frame(emb: DataFrame, m: int = _M, k: int = _K, dim: int = _DIM)
                 F.round(F.avg("recon_d2"), 6).alias("mse"),
             )
         )
-    out = rows[0].unionByName(rows[1])
-    rot.unpersist()
-    return out
+    return rows[0].unionByName(rows[1])
 
 
 @register(

@@ -68,16 +68,30 @@ class BloomDedupStream:
 
     # -- store access -------------------------------------------------
 
-    def _has(self, path: str) -> bool:
+    def _committed(self, root: str) -> list[str]:
+        """_batch=N subdirs bearing Spark's _SUCCESS commit marker —
+        same discipline as reservoir.BottomKSample._batches: a crash
+        mid-write leaves a partial _batch dir whose parquet files would
+        read as a silently-short batch; the replay overwrites it, but a
+        read BETWEEN crash and restart must not see it."""
         import glob
 
-        return bool(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        return sorted(
+            p
+            for p in glob.glob(os.path.join(root, "_batch=*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        )
 
     def flags(self, spark) -> DataFrame:
         """All per-doc verdicts so far: (doc_id, bloom_dup 0/1)."""
-        if not self._has(self._flags_dir):
+        done = self._committed(self._flags_dir)
+        if not done:
             return spark.createDataFrame([], f"{self.id_col} bigint, bloom_dup bigint")
-        return spark.read.parquet(self._flags_dir).select(self.id_col, "bloom_dup")
+        return (
+            spark.read.option("basePath", self._flags_dir)
+            .parquet(*done)
+            .select(self.id_col, "bloom_dup")
+        )
 
     # -- per-batch maintenance ----------------------------------------
 
@@ -95,9 +109,11 @@ class BloomDedupStream:
 
         # covered-by-earlier-batch: semi-join against the bit store,
         # restricted to batches strictly before this one (replay safety)
-        if self._has(self._bits_dir):
+        committed_bits = self._committed(self._bits_dir)
+        if committed_bits:
             old = (
-                spark.read.parquet(self._bits_dir)
+                spark.read.option("basePath", self._bits_dir)
+                .parquet(*committed_bits)
                 .filter(F.col("_batch") < batch_id)
                 .select("pcell", "pos")
             )

@@ -109,3 +109,41 @@ def test_bit_store_partitioned_by_pcell(spark, tmp_path):
     st.process_batch(_corpus(spark), 0)
     cells = glob.glob(os.path.join(str(tmp_path / "bloom"), "bits", "_batch=0", "pcell=*"))
     assert cells, "expected pcell= partition dirs in the bit store"
+
+
+def test_uncommitted_batch_dir_is_invisible(spark, tmp_path):
+    """A crash mid-write leaves a _batch dir with parquet files but no
+    _SUCCESS marker. flags() must not see its rows and the next
+    process_batch must not trust its bits (round-4 ADVICE: the same
+    crash-window gap BottomKSample._batches already closes)."""
+    import os
+    import shutil
+
+    docs = _corpus(spark)
+    st = BloomDedupStream(str(tmp_path / "bloom"))
+    st.process_batch(docs.filter(F.col("doc_id") < 4), 0)
+    n_committed = st.flags(spark).count()
+
+    # simulate the crash: a full batch-1 write with the marker removed
+    st.process_batch(docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 6)), 1)
+    for root in (st._flags_dir, st._bits_dir):
+        os.remove(os.path.join(root, "_batch=1", "_SUCCESS"))
+
+    # the partial batch is invisible to readers
+    assert st.flags(spark).count() == n_committed
+    assert _flags(st.flags(spark)) == _flags(
+        bloom_dedup_frame(docs.filter(F.col("doc_id") < 4)).select(
+            "doc_id", "bloom_dup"
+        )
+    )
+
+    # ...and the replay overwrites it and converges to the batch audit
+    st.process_batch(docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 6)), 1)
+    st.process_batch(docs.filter(F.col("doc_id") >= 6), 2)
+    assert _flags(st.flags(spark)) == _flags(
+        bloom_dedup_frame(docs).select("doc_id", "bloom_dup")
+    )
+
+    # a fully-deleted store still reads as empty
+    shutil.rmtree(str(tmp_path / "bloom"))
+    assert st.flags(spark).count() == 0

@@ -169,3 +169,21 @@ def test_topk_projection_matches_numpy(spark):
     for i in range(60):
         assert abs(got[i][0] - round(float(centered[i] @ refs[0]), 4)) <= 2e-4
         assert abs(got[i][1] - round(float(centered[i] @ refs[1]), 4)) <= 2e-4
+
+
+def test_gram_skips_null_embeddings(spark):
+    """A corpus with NULL embedding rows must not crash (np.asarray
+    over ragged None rows) or skew the Gram: NULLs are filtered before
+    the Arrow stage, matching rotate_embeddings/pq_encode (round-4
+    latent-hardening note)."""
+    import numpy as np
+
+    from flink_application_spark.operators.pca import collect_gram
+
+    d = 4
+    rows = [(0, [1.0, 0.0, 2.0, 0.0]), (1, None), (2, [0.0, 3.0, 0.0, 1.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g, n = collect_gram(df, dim=d)
+    x = np.array([rows[0][1], rows[2][1]])
+    assert n == 2
+    np.testing.assert_allclose(g, x.T @ x, atol=1e-12)
