@@ -222,3 +222,71 @@ def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@register(
+    "doc_signal_correlations",
+    """
+WITH sig AS (
+  SELECT n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / len(toks) AS mean_tok_len
+  FROM (
+    SELECT n_chars,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       w -> w <> '') AS toks
+    FROM documents
+  )
+  WHERE len(toks) >= 1
+)
+SELECT round(corr(n_chars, n_tok), 6) AS r_chars_tok,
+       round(corr(n_chars, ttr), 6) AS r_chars_ttr,
+       round(corr(n_chars, mean_tok_len), 6) AS r_chars_mtl,
+       round(corr(n_tok, ttr), 6) AS r_tok_ttr,
+       round(corr(n_tok, mean_tok_len), 6) AS r_tok_mtl,
+       round(corr(ttr, mean_tok_len), 6) AS r_ttr_mtl,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM sig
+""",
+    doc="Quality-signal correlation panel: pairwise Pearson r across "
+    "the cheap per-doc signals (chars, tokens, type-token ratio, mean "
+    "token length). The redundancy check you run BEFORE putting "
+    "signals in a quality classifier or stratifier — a |r| ≈ 1 pair "
+    "is one feature, not two. One scan computes all signals, one "
+    "partial-agg pass computes every corr (Spark's corr is a single "
+    "combinable moment aggregate — no per-pair passes).",
+    tags=("documents", "quality", "stats"),
+)
+def q_doc_signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    sig = (
+        docs.select(
+            "n_chars",
+            F.filter(tokens(F.col("text")), lambda t: t != "").alias("toks"),
+        )
+        .filter(F.size("toks") >= 1)
+        .select(
+            "n_chars",
+            F.size("toks").cast("bigint").alias("n_tok"),
+            (
+                F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+            ).alias("ttr"),
+            (
+                F.aggregate(
+                    "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+                ).cast("double")
+                / F.size("toks")
+            ).alias("mean_tok_len"),
+        )
+    )
+    return sig.agg(
+        F.round(F.corr("n_chars", "n_tok"), 6).alias("r_chars_tok"),
+        F.round(F.corr("n_chars", "ttr"), 6).alias("r_chars_ttr"),
+        F.round(F.corr("n_chars", "mean_tok_len"), 6).alias("r_chars_mtl"),
+        F.round(F.corr("n_tok", "ttr"), 6).alias("r_tok_ttr"),
+        F.round(F.corr("n_tok", "mean_tok_len"), 6).alias("r_tok_mtl"),
+        F.round(F.corr("ttr", "mean_tok_len"), 6).alias("r_ttr_mtl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

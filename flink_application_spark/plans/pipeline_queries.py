@@ -575,3 +575,69 @@ def q_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(F.col("qv"), F.abs)).cast("bigint").alias("q_max"),
         (F.round(F.col("raw_err"), 6) + F.lit(0.0)).alias("max_abs_err"),
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         epoch_us(min(e.ts)) - epoch_us(v.t_view) AS delta_us
+  FROM events e JOIN views v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(CAST(quantile_cont(delta_us, 0.25) AS DOUBLE), 4) AS p25_us,
+       round(CAST(quantile_cont(delta_us, 0.50) AS DOUBLE), 4) AS p50_us,
+       round(CAST(quantile_cont(delta_us, 0.75) AS DOUBLE), 4) AS p75_us,
+       round(CAST(quantile_cont(delta_us, 0.90) AS DOUBLE), 4) AS p90_us,
+       CAST(min(delta_us) AS BIGINT) AS min_us,
+       CAST(max(delta_us) AS BIGINT) AS max_us
+FROM conv
+""",
+    doc="Funnel latency profile: per user, first 'view' then the first "
+    "'purchase' strictly after it; report exact interpolated "
+    "percentiles of the conversion delay (µs-integer deltas — exact "
+    "on both engines, no float time math). Shape: two user_id-keyed "
+    "hash aggs + one equi-join, then a single global percentile agg "
+    "over one small delta per converted user. The scale path swaps "
+    "percentile → approx_percentile (same API shape) once per-user "
+    "rows no longer fit a single sort.",
+    tags=("events", "funnel", "latency", "percentile"),
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = register_views(spark, sf_dir, tables=("events",))["events"]
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            (
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("t_view").cast("timestamp"))
+            ).alias("delta_us")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        *[
+            F.round(F.expr(f"percentile(delta_us, {q})"), 4).alias(
+                f"p{int(q * 100)}_us"
+            )
+            for q in (0.25, 0.50, 0.75, 0.90)
+        ],
+        F.min("delta_us").alias("min_us"),
+        F.max("delta_us").alias("max_us"),
+    )

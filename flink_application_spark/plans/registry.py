@@ -154,84 +154,73 @@ def _load_all() -> None:
 # queries. This list IS that window, curated explicitly (import order
 # alone can't express it once queries live in many modules).
 #
-# Round-4 rotation: rounds 1-3 drove 128 distinct queries to green
-# (union of CORRECTNESS_r01/r02/r03 keys — r03 was 50/50, the first
-# perfect gate). Everything previously sampled keeps that evidence, so
-# this window spends its 50 rows on never-driver-sampled oracle-bearing
-# queries (65 remained; the 17 deferred to round 5 are eval twins and
-# corpus-reporting entries whose core operators already hold driver
-# evidence: emb_matryoshka_recall/lsh_ndcg/label_noise_knn,
-# emb_semdedup_cluster_stats, events_seasonal_baseline_anomaly,
-# doc_chunk_exact_dedup_groups, doc_chunk_sliding_window,
-# doc_winnowing_shared_pairs, market_basket_part_pairs,
-# source_boilerplate_ngrams, stats_price_discount_correlation,
-# vocab_gini_concentration, vocab_zipf_slope, corpus_gate_attrition,
-# corpus_mixture_materialized, corpus_shard_manifest,
-# corpus_source_contamination_matrix). Priority per the round-3
-# verdict: the round-3 additions with no driver row first, then the
-# sql_surface library. Target union after round 4: ≥178/213.
-# Everything not listed keeps its import-order position after these.
+# Round-5 rotation: rounds 1-4 drove 178 distinct queries to green
+# (union of CORRECTNESS_r01..r04 keys; r04 was 50/50 green). 44
+# registered queries have never been driver-sampled — this window
+# takes ALL of them (22 oracle-bearing first, then the 22 rows-only
+# entries, which get the driver's weaker rows-only record: CEP
+# automata, ANN twins, trained-codebook and PCA-projection paths whose
+# correctness is pinned by pytest instead of SQL), plus the four
+# round-5 additions and two re-confirmations of queries whose
+# implementation this round touched (gram NULL-hardening, codebook
+# sampling). After this round the sampled union is the ENTIRE
+# registry. Everything not listed keeps its import-order position.
 SAMPLE_WINDOW = [
-    # round-3 additions never driver-sampled (incl. the NULL-text
-    # audit fix this round must show green)
-    "doc_lsh_recall_audit",
-    "doc_pii_luhn_cards",
-    "source_quality_wilson",
-    "doc_stratified_sample_neyman",
-    "emb_sq8_codes",
-    "emb_sq8_adc_topk",
-    "emb_sq8_recon_error",
-    "emb_binary_hamming_topk",
-    # sql_surface library sweep
-    "agg_distinct_and_conditional",
-    "collection_function_library",
-    "date_function_library",
-    "cube_order_priority_stats",
-    "rollup_order_revenue",
-    "unpivot_lineitem_metrics",
-    "window_ntile_quartiles",
-    "window_range_frame_trailing_hour",
-    "percentile_quantity_by_flag",
-    "nation_revenue_share",
-    "full_outer_customer_orders",
-    "snapshot_diff_orders",
-    "json_props_stats",
-    "customer_rfm_segmentation",
-    "dq_checks_star_schema",
-    # events analytics family
-    "events_key_skew_profile",
-    "events_two_level_rollup",
-    "events_value_histogram",
-    "events_retention_cohorts",
-    "events_markov_transitions",
-    "events_top_trigram_paths",
-    "events_user_activity_entropy",
-    "events_anomaly_zscore",
-    "events_mad_by_type",
-    "events_ewma_daily_anomaly",
-    # docs / corpus family
-    "doc_bigram_collocations",
-    "doc_bigram_pmi",
-    "doc_curriculum_buckets",
-    "doc_langid_confusion",
-    "doc_length_percentile_filter",
-    "doc_semdedup_flags",
-    "doc_simgraph_triangles",
-    "doc_split_by_component",
-    "doc_split_leakage_audit",
-    "doc_subword_count",
-    "doc_systematic_sample",
-    # round-4 in-round additions, sampled the round they were written
-    # (displacing doc_chunk_sliding_window / source_boilerplate_ngrams /
-    # doc_rolling_hash / doc_top_vocab to the round-5 rotation)
-    "doc_quality_threshold_sweep",
-    "emb_radius_search",
-    "emb_ivf_recall_curve",
-    "corpus_token_budget_planner",
-    # round-4 session-B additions (displacing semi_anti_join /
-    # set_ops_customers to the round-5 rotation)
-    "doc_bloom_dedup_audit",
-    "corpus_doremi_reweight",
+    # never-driver-sampled, oracle-bearing (hash-checked rows)
+    "corpus_gate_attrition",
+    "corpus_mixture_materialized",
+    "corpus_shard_manifest",
+    "corpus_source_contamination_matrix",
+    "doc_chunk_exact_dedup_groups",
+    "doc_chunk_sliding_window",
+    "doc_rolling_hash",
+    "doc_top_vocab",
+    "doc_winnowing_shared_pairs",
+    "emb_label_noise_knn",
+    "emb_lsh_ndcg",
+    "emb_matryoshka_recall",
+    "emb_semdedup_cluster_stats",
+    "events_props_variant_stats",
+    "events_seasonal_baseline_anomaly",
+    "market_basket_part_pairs",
+    "semi_anti_join",
+    "set_ops_customers",
+    "source_boilerplate_ngrams",
+    "stats_price_discount_correlation",
+    "vocab_gini_concentration",
+    "vocab_zipf_slope",
+    # round-5 additions, sampled the round they were written
+    "doc_segment_dedup_scrub",
+    "doc_signal_correlations",
+    "events_funnel_time_to_convert",
+    "pipe_syntax_returnflag_stats",
+    # never-driver-sampled, rows-only (driver records row counts;
+    # value correctness pinned by pytest, see each entry's doc)
+    "agg_approx_sketches",
+    "doc_bpe_token_counts",
+    "doc_compression_ratio",
+    "doc_simgraph_pagerank",
+    "doc_text_search_topk_ann",
+    "emb_contrastive_triplets_ann",
+    "emb_cosine_topk_ann",
+    "emb_ivfadc_trained_topk",
+    "emb_kmeans_fit_profile",
+    "emb_knn_classify_ann",
+    "emb_label_noise_knn_ann",
+    "emb_mmr_diversified_topk_ann",
+    "emb_opq_pq_compare",
+    "emb_pca_top2_projection",
+    "emb_pca_top_component",
+    "emb_pq_trained_adc_topk",
+    "emb_radius_search_ann",
+    "events_cep_clean_checkout",
+    "events_cep_error_burst_recovery",
+    "events_cep_funnel_matches",
+    "events_hll_user_rollup",
+    "vocab_bpe_learned_merges",
+    # re-confirmations: code paths touched this round
+    "emb_pca_gram",
+    "emb_ivfadc_topk",
 ]
 
 

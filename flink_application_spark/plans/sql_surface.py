@@ -1753,3 +1753,38 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "pipe_syntax_returnflag_stats",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="SQL pipe syntax (Spark 4's |> operator chain — the readable "
+    "linear form of nested SELECTs): FROM |> WHERE |> AGGREGATE ... "
+    "GROUP BY |> ORDER BY. Parses to the IDENTICAL logical plan as "
+    "the ANSI form (the oracle is that form), so Catalyst pushdown / "
+    "partial-agg behavior is unchanged — this pins the surface, not "
+    "new semantics.",
+    tags=("sql", "pipe-syntax", "surface"),
+)
+def q_pipe_syntax_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(avg(l_quantity), 4) AS avg_qty
+   GROUP BY l_returnflag
+|> ORDER BY l_returnflag
+"""
+    )

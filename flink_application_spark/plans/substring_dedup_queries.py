@@ -145,3 +145,64 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+_SEG = 16  # non-overlapping segment width (tokens)
+
+
+@register(
+    "doc_segment_dedup_scrub",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_SEG})) AS s
+  FROM toks WHERE len(toks) >= 1
+),
+segs AS (
+  SELECT doc_id,
+         CAST(s // {_SEG} AS INTEGER) AS seg_idx,
+         array_to_string(list_slice(toks, s + 1, least(s + {_SEG}, len(toks))), ' ') AS seg_text
+  FROM starts
+),
+keyed AS (SELECT *, md5(seg_text) AS h FROM segs),
+firsts AS (
+  SELECT h, min(struct_pack(d := doc_id, s := seg_idx)) AS fk
+  FROM keyed GROUP BY h
+),
+flagged AS (
+  SELECT k.doc_id, k.seg_idx, k.seg_text,
+         CASE WHEN k.doc_id = f.fk.d AND k.seg_idx = f.fk.s THEN 1 ELSE 0 END AS kept
+  FROM keyed k JOIN firsts f USING (h)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(1 - kept) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                  FILTER (WHERE kept = 1), '') AS scrubbed_text
+FROM flagged
+GROUP BY doc_id
+""",
+    doc=f"MATERIALIZING keep-first segment dedup (the arXiv:2107.06499 "
+    "transform as an actual corpus rewrite, not just a report): split "
+    f"each doc into non-overlapping {_SEG}-token segments, drop every "
+    "segment whose md5 fingerprint was already seen at a smaller "
+    "(doc_id, seg_idx), and reassemble the surviving text in order. "
+    "Scale shape: scan-local segmentation, ONE shuffle keyed on the "
+    "16-byte fingerprint (uniform by construction), struct-min first-"
+    "occurrence (no arithmetic composite that could collide), then a "
+    "doc_id-keyed reassembly agg; segments move as md5+text pairs and "
+    "nothing is pairwise. This is the transform whose dry-run report "
+    "is doc_substring_dedup_report.",
+    tags=("documents", "dedup", "scrub", "materialize"),
+)
+def q_segment_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.dedup import segment_dedup_scrub
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return segment_dedup_scrub(docs, seg=_SEG)

@@ -21,30 +21,31 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-4 window contract: the round-3 additions that never got a
-# driver row (incl. the NULL-text recall-audit fix that must sample
-# green), plus representatives of each never-sampled family (the full
-# window is pinned exactly by
-# test_first_50_is_exactly_the_curated_window; this set documents the
-# non-negotiables).
+# Round-5 window contract: after this rotation the driver-sampled
+# union covers the ENTIRE registry — the non-negotiables are the
+# round-5 additions plus representatives of the never-before-sampled
+# oracle and rows-only families (the full window is pinned exactly by
+# test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # round-3 additions with no driver row yet
-    "doc_lsh_recall_audit",
-    "doc_pii_luhn_cards",
-    "source_quality_wilson",
-    "doc_stratified_sample_neyman",
-    "emb_sq8_adc_topk",
-    "emb_binary_hamming_topk",
-    # family representatives of the round-4 rotation
-    "collection_function_library",
-    "snapshot_diff_orders",
-    "events_retention_cohorts",
-    "doc_bigram_pmi",
-    "doc_split_leakage_audit",
-    "doc_systematic_sample",
-    # round-4 session-B additions, sampled the round they were written
-    "doc_bloom_dedup_audit",
-    "corpus_doremi_reweight",
+    # round-5 additions, sampled the round they were written
+    "doc_segment_dedup_scrub",
+    "doc_signal_correlations",
+    "events_funnel_time_to_convert",
+    "pipe_syntax_returnflag_stats",
+    # never-sampled oracle-bearing representatives
+    "corpus_source_contamination_matrix",
+    "doc_winnowing_shared_pairs",
+    "emb_matryoshka_recall",
+    "events_props_variant_stats",
+    "vocab_zipf_slope",
+    "semi_anti_join",
+    # never-sampled rows-only representatives (CEP, ANN twins,
+    # trained codebooks — driver gets at least a rows record)
+    "events_cep_funnel_matches",
+    "emb_ivfadc_trained_topk",
+    "emb_opq_pq_compare",
+    # re-confirmation of this round's touched code paths
+    "emb_pca_gram",
 }
 
 
