@@ -194,6 +194,7 @@ SAMPLE_WINDOW = [
     "doc_signal_correlations",
     "events_funnel_time_to_convert",
     "pipe_syntax_returnflag_stats",
+    "source_segment_dup_profile",
     # never-driver-sampled, rows-only (driver records row counts;
     # value correctness pinned by pytest, see each entry's doc)
     "agg_approx_sketches",
@@ -218,9 +219,8 @@ SAMPLE_WINDOW = [
     "events_cep_funnel_matches",
     "events_hll_user_rollup",
     "vocab_bpe_learned_merges",
-    # re-confirmations: code paths touched this round
+    # re-confirmation: code path touched this round (gram hardening)
     "emb_pca_gram",
-    "emb_ivfadc_topk",
 ]
 
 

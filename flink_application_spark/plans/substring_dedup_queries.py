@@ -206,3 +206,64 @@ def q_segment_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
     return segment_dedup_scrub(docs, seg=_SEG)
+
+
+@register(
+    "source_segment_dup_profile",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(0, len(toks) - 1, {_SEG})) AS s
+  FROM toks WHERE len(toks) >= 1
+),
+segs AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(toks, s + 1, least(s + {_SEG}, len(toks))), ' ')) AS h
+  FROM starts
+),
+freq AS (SELECT h, count(*) AS n_occ FROM segs GROUP BY h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+FROM segs JOIN freq f USING (h)
+GROUP BY source
+""",
+    doc="Per-source segment-duplication health: the share of each "
+    "source's 16-token segments that occur more than once corpus-wide "
+    "— the number that tells a curation run WHERE the scrub "
+    "(doc_segment_dedup_scrub) will bite before running it, and the "
+    "per-source readout for boilerplate-heavy feeds. Two fingerprint-"
+    "keyed hash aggs + one equi-join on 16-byte keys; segment text "
+    "never moves (only hashes shuffle). Integer-ppm keeps both "
+    "engines bit-identical.",
+    tags=("documents", "dedup", "sources", "profile"),
+)
+def q_source_segment_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.dedup import segment_rows
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    segs = segment_rows(docs, seg=_SEG).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    freq = segs.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    return (
+        segs.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            dup.cast("bigint").alias("n_dup_segs"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 1000000 "
+                "div count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -32,6 +32,7 @@ MUST_BE_IN_WINDOW = {
     "doc_signal_correlations",
     "events_funnel_time_to_convert",
     "pipe_syntax_returnflag_stats",
+    "source_segment_dup_profile",
     # never-sampled oracle-bearing representatives
     "corpus_source_contamination_matrix",
     "doc_winnowing_shared_pairs",
