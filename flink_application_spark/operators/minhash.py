@@ -153,17 +153,27 @@ def minhash_expr(i: int) -> F.Column:
 
 
 def with_minhash_signature(df: DataFrame, k: int = DEFAULT_K) -> DataFrame:
-    for i in range(k):
-        df = df.withColumn(f"mh{i}", minhash_expr(i))
-    return df
+    # ONE select, not k withColumn calls: each withColumn copies the
+    # whole plan through py4j, and the loop was ~40% of this stack's
+    # driver-side build time on the bench queries (plan is identical)
+    return df.select(
+        "*", *[minhash_expr(i).alias(f"mh{i}") for i in range(k)]
+    )
 
 
 def with_band_keys(df: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS) -> DataFrame:
     rows = k // bands
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        df = df.withColumn(f"band{b}", F.md5(F.concat_ws("|", *parts)))
-    return df
+    return df.select(
+        "*",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
 
 
 def band_keys_long(
