@@ -144,3 +144,125 @@ def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+_CDC_D = 8  # boundary divisor: E[chunk] = D tokens
+
+
+@register(
+    "doc_cdc_chunk_dedup_report",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+),
+tok_rows AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM toks WHERE len(toks) >= 1)
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                   % {_CDC_D} = 0
+              THEN 1 ELSE 0 END AS cut_after
+  FROM tok_rows
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(coalesce(sum(cut_after) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS chunk_idx
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+  FROM chunked GROUP BY doc_id, chunk_idx
+),
+freq AS (SELECT h, count(*) AS n_occ FROM chunks GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm
+FROM chunks JOIN freq f USING (h)
+GROUP BY doc_id
+""",
+    doc=f"Content-defined chunking dedup report (the storage-dedup CDC "
+    "idea at token granularity): a chunk boundary falls after any "
+    f"token whose md5-derived 32-bit value ≡ 0 mod {_CDC_D}, so "
+    "boundaries are functions of CONTENT, not position — insert one "
+    "token into a copied document and the chunk stream re-synchronizes "
+    "at the next boundary, where the fixed-width segment scrub "
+    "(doc_segment_dedup_scrub) loses every downstream segment to the "
+    "offset shift (pinned in tests/test_chunking.py). Shape: one "
+    "doc_id-partitioned window prefix-sum (per-doc sort, doc-bounded), "
+    "one (doc, chunk) agg, one fingerprint-keyed frequency join — "
+    "hashes shuffle, chunk text stays doc-local.",
+    tags=("documents", "dedup", "chunking", "cdc"),
+)
+def q_cdc_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return cdc_chunk_report_frame(docs)
+
+
+def cdc_chunk_report_frame(docs: DataFrame, d: int = _CDC_D) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_ppm) under content-defined
+    boundaries — factored out so tests can feed synthetic corpora (the
+    insertion-robustness pin lives in tests/test_chunking.py)."""
+    from pyspark.sql import Window
+
+    from flink_application_spark.functions.text import tokens as _tokens
+
+    tok_rows = (
+        docs.select(
+            "doc_id",
+            F.filter(_tokens(F.col("text")), lambda t: t != "").alias("toks"),
+        )
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    cut = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % d == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok_rows.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(cut).over(w), F.lit(0)).cast("bigint").alias("chunk_idx"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("h")
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 1000000 "
+                "div count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

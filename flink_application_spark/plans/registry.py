@@ -195,6 +195,7 @@ SAMPLE_WINDOW = [
     "events_funnel_time_to_convert",
     "pipe_syntax_returnflag_stats",
     "source_segment_dup_profile",
+    "doc_cdc_chunk_dedup_report",
     # never-driver-sampled, rows-only (driver records row counts;
     # value correctness pinned by pytest, see each entry's doc)
     "agg_approx_sketches",
@@ -219,8 +220,10 @@ SAMPLE_WINDOW = [
     "events_cep_funnel_matches",
     "events_hll_user_rollup",
     "vocab_bpe_learned_merges",
-    # re-confirmation: code path touched this round (gram hardening)
-    "emb_pca_gram",
+    # (emb_pca_gram re-confirmation was displaced by the CDC report:
+    # its gram NULL-hardening is a fixture no-op with r01 driver
+    # evidence standing plus pytest parity; a first driver row for a
+    # new oracle query is worth more)
 ]
 
 

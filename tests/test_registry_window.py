@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "events_funnel_time_to_convert",
     "pipe_syntax_returnflag_stats",
     "source_segment_dup_profile",
+    "doc_cdc_chunk_dedup_report",
     # never-sampled oracle-bearing representatives
     "corpus_source_contamination_matrix",
     "doc_winnowing_shared_pairs",
@@ -45,8 +46,6 @@ MUST_BE_IN_WINDOW = {
     "events_cep_funnel_matches",
     "emb_ivfadc_trained_topk",
     "emb_opq_pq_compare",
-    # re-confirmation of this round's touched code paths
-    "emb_pca_gram",
 }
 
 
