@@ -60,6 +60,10 @@ HEADLINE = [
     # round-4: the probe-sweep eval must stay ~one-retrieval cheap —
     # that's its whole design claim (one scoring pass for all levels)
     "emb_ivf_recall_curve",
+    # round-5: the materializing keep-first scrub (the actual corpus
+    # rewrite, heaviest new op) and the funnel latency percentiles
+    "doc_segment_dedup_scrub",
+    "events_funnel_time_to_convert",
 ]
 
 
@@ -258,6 +262,29 @@ def roll_ceiling_proof(spark) -> tuple[float, float, int, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def format_stdout_line(result: dict, limit: int = 1900) -> str:
+    """The one machine-readable stdout line, guaranteed to fit the
+    driver's 2000-char tail capture (rounds 3 AND 4 lost their parsed
+    headline to it). Per-query deltas are shed first (they live in
+    BENCH_LOCAL_r{N}.json); if future headline growth still overflows,
+    the queries dict is shed last and flagged. Unit-tested in
+    tests/test_bench_line.py."""
+    line_doc = {
+        k: v
+        for k, v in result.items()
+        if k not in ("deltas_vs_prev_round", "deltas_prev_aggregation")
+    }
+    line = json.dumps(line_doc)
+    if len(line) > limit:
+        for shed in ("queries",):
+            line_doc.pop(shed, None)
+            line_doc["shed_keys_see_bench_local"] = shed
+            line = json.dumps(line_doc)
+            if len(line) <= limit:
+                break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -416,27 +443,7 @@ def main() -> None:
         pass
     sys.stdout.flush()
     sys.stderr.flush()
-    # The one machine-readable line, LAST — and it must fit the
-    # driver's 2000-char tail capture or "parsed" comes back null
-    # (r03 AND r04 both lost the headline that way: the full dict with
-    # per-query deltas is ~2.7k chars, so the front of the line was cut
-    # off). Per-query deltas live in BENCH_LOCAL_r{N}.json; the stdout
-    # line carries everything else. Belt-and-braces: if future headline
-    # growth pushes past the window, shed the largest optional key.
-    line_doc = {
-        k: v
-        for k, v in result.items()
-        if k not in ("deltas_vs_prev_round", "deltas_prev_aggregation")
-    }
-    line = json.dumps(line_doc)
-    if len(line) > 1900:  # leave margin for the trailing newline etc.
-        for shed in ("queries",):
-            line_doc.pop(shed, None)
-            line_doc["shed_keys_see_bench_local"] = shed
-            line = json.dumps(line_doc)
-            if len(line) <= 1900:
-                break
-    print(line, flush=True)
+    print(format_stdout_line(result), flush=True)
 
 
 if __name__ == "__main__":
