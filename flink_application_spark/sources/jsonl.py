@@ -92,10 +92,21 @@ def read_jsonl(
     path: str,
     schema_ddl: str = DOCS_JSONL_SCHEMA_DDL,
     drop_malformed: bool = True,
+    normalize_text: str | None = None,
 ) -> DataFrame:
-    """Batch-read a JSONL file/directory with tolerant decode."""
+    """Batch-read a JSONL file/directory with tolerant decode.
+
+    ``normalize_text``: optionally Unicode-normalize the `text` column
+    at ingest ("NFKC" is the curation default) — the ONE place to do
+    it, before any fingerprint/tokenize stage sees mixed composed/
+    decomposed forms (functions.text.unicode_normalize)."""
     raw = spark.read.text(path)
-    return decode_jsonl_value(raw, schema_ddl, drop_malformed=drop_malformed)
+    out = decode_jsonl_value(raw, schema_ddl, drop_malformed=drop_malformed)
+    if normalize_text is not None and "text" in out.columns:
+        from flink_application_spark.functions.text import unicode_normalize
+
+        out = out.withColumn("text", unicode_normalize(F.col("text"), normalize_text))
+    return out
 
 
 def encode_jsonl_value(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -153,3 +153,28 @@ def test_quarantine_split_covers_every_line(spark):
     # conservation + agreement with the drop-malformed decode
     assert good.count() + quarantine.count() == len(lines)
     assert good.count() == decode_jsonl_value(df).count()
+
+
+def test_read_jsonl_normalize_text_at_ingest(spark, tmp_path):
+    """normalize_text='NFKC' folds decomposed accents and full-width
+    forms at the ingest boundary, so identical content gets identical
+    dedup fingerprints downstream."""
+    import unicodedata
+
+    p = tmp_path / "docs.jsonl"
+    composed = "café"                  # é composed
+    decomposed = "café"               # e + combining acute
+    p.write_text(
+        '{"doc_id": 1, "text": "%s"}\n{"doc_id": 2, "text": "%s"}\n'
+        % (composed, decomposed),
+        encoding="utf-8",
+    )
+    from flink_application_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(
+        spark, str(p), schema_ddl="doc_id bigint, text string",
+        normalize_text="NFKC",
+    )
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    want = unicodedata.normalize("NFKC", composed)
+    assert texts[1] == want and texts[2] == want
