@@ -135,3 +135,23 @@ def test_pq_encode_arrow_bit_equals_fold(spark, sf_dir):
     fold = {r["vec_id"]: tuple(r)[1:] for r in pq_encode(emb, books, _DIM, impl="fold").collect()}
     arrow = {r["vec_id"]: tuple(r)[1:] for r in pq_encode(emb, books, _DIM, impl="arrow").collect()}
     assert fold == arrow
+
+
+def test_trained_codebooks_local_equals_distributed_at_full_coverage(spark):
+    """method='local' (default, uniform md5 bottom-k sample) must equal
+    method='distributed' bit-for-bit when the sample covers the corpus
+    — the guarantee that makes 'local' a pure speed choice at fixture
+    scales (and an unbiased sample above them, see
+    kmeans.uniform_sample_rows)."""
+    import numpy as np
+
+    from flink_application_spark.operators.pq import trained_codebooks
+
+    emb = register_views(spark, "/root/testdata/sf0.001", tables=("embeddings",))[
+        "embeddings"
+    ]
+    loc = trained_codebooks(emb, m=4, k=8, dim=_DIM, max_iters=4, method="local")
+    dist = trained_codebooks(
+        emb, m=4, k=8, dim=_DIM, max_iters=4, method="distributed"
+    )
+    np.testing.assert_allclose(np.array(loc), np.array(dist), rtol=0, atol=1e-9)
