@@ -749,3 +749,91 @@ def mmr_rerank(
         )
 
     return with_emb.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def multiprobe_buckets(emb: Column, n_bits: int, probes: int) -> Column:
+    """Query-directed multi-probe LSH (Lv et al., VLDB'07): the query's
+    own sign-bit bucket plus the buckets reached by flipping the
+    ``probes`` LEAST-CONFIDENT bits — the coordinates with the smallest
+    |value|, i.e. the hyperplanes the query sits closest to, which is
+    exactly where a true neighbor most plausibly landed on the other
+    side. Returns an array of 1 + probes bucket strings. All-Catalyst
+    (abs / array_sort on (abs, pos) structs / string surgery) and
+    deterministic, so the whole probe set is oracle-able; ties on |coord|
+    break by position."""
+    from flink_application_spark.functions.vectors import sign_bits
+
+    base = sign_bits(emb, n_bits)
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_bits)),
+                lambda i: F.struct(
+                    F.abs(F.element_at(emb, i)).alias("a"), i.alias("i")
+                ),
+            )
+        ),
+        1,
+        probes,
+    )
+    flips = F.transform(
+        ranked,
+        lambda s: F.concat(
+            F.substring(base, 1, s["i"] - 1),
+            F.when(F.substring(base, s["i"], 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            base.substr(s["i"] + 1, F.lit(n_bits)),
+        ),
+    )
+    return F.concat(F.array(base), flips)
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    probes: int = 2,
+) -> DataFrame:
+    """Approximate top-k with multi-probe recall boost: candidates come
+    from 1 + probes buckets per query instead of one, recovering the
+    neighbors a single sign flip hides WITHOUT adding hash tables (the
+    multi-probe trade: probes× candidate cost, zero index growth; the
+    candidate set is a superset of lsh_ann_topk's, so recall can only
+    improve). Shape: queries explode to (1+probes) bucket rows,
+    equi-join on bucket, ids-only distinct, then one gather join per
+    side for scoring — embeddings never ride the candidate shuffle."""
+    from flink_application_spark.functions.vectors import dot, norm, sign_bits
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(multiprobe_buckets(F.col("embedding"), n_bits, probes)).alias(
+            "bucket"
+        ),
+    )
+    c = corpus.select("vec_id", sign_bits(F.col("embedding"), n_bits).alias("bucket"))
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("_qn"),
+    )
+    cv = corpus.select("vec_id", "embedding", norm(F.col("embedding")).alias("_cn"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("embedding")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -164,7 +164,10 @@ def _load_all() -> None:
 # round-5 additions and two re-confirmations of queries whose
 # implementation this round touched (gram NULL-hardening, codebook
 # sampling). After this round the sampled union is the ENTIRE
-# registry. Everything not listed keeps its import-order position.
+# registry except emb_lsh_multiprobe_topk (added after the window
+# filled; two-scale local oracle evidence + recall-superset test —
+# put it FIRST in the round-6 window). Everything not listed keeps
+# its import-order position.
 SAMPLE_WINDOW = [
     # never-driver-sampled, oracle-bearing (hash-checked rows)
     "corpus_gate_attrition",

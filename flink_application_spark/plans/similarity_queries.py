@@ -535,3 +535,75 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+_MP_BITS, _MP_PROBES = 8, 2
+
+
+def _mp_flip_sql(b: str, p: str) -> str:
+    return (
+        f"substr({b}, 1, {p} - 1) || "
+        f"(CASE WHEN substr({b}, {p}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr({b}, {p} + 1)"
+    )
+
+
+@register(
+    "emb_lsh_multiprobe_topk",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', _MP_BITS)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, bucket,
+         list_transform(
+           list_slice(
+             list_sort(list_transform(generate_series(1, {_MP_BITS}),
+                         i -> struct_pack(a := abs(embedding[i]), i := i))),
+             1, {_MP_PROBES}),
+           s -> s.i) AS flips
+  FROM b WHERE vec_id < 20
+),
+probes AS (
+  SELECT vec_id,
+         unnest(list_prepend(bucket,
+                list_transform(flips, p -> {_mp_flip_sql('bucket', 'p')}))) AS bucket
+  FROM q
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS vec_id
+  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT cand.query_id, cand.vec_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cosine,
+         row_number() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    cand.vec_id ASC
+         ) AS rank
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+)
+WHERE rank <= 5
+""",
+    doc=f"Query-directed multi-probe LSH (Lv et al. VLDB'07): each "
+    f"query searches its own sign-bit bucket PLUS the {_MP_PROBES} "
+    "buckets reached by flipping its least-confident bits (smallest "
+    "|coordinate| — the hyperplanes the query sits closest to). "
+    "Recall improves over emb_lsh_ann_topk by construction (superset "
+    "candidates, pinned in tests) at probes× candidate cost and ZERO "
+    "index growth — the knob you turn when re-hashing the corpus is "
+    "expensive and the query side is cheap. Ids-only candidate "
+    "distinct; embeddings join in only for final scoring.",
+    tags=("similarity", "embeddings", "lsh", "multiprobe"),
+)
+def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return lsh_multiprobe_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_bits=_MP_BITS, probes=_MP_PROBES
+    )
