@@ -361,7 +361,22 @@ def main() -> None:
         rnd = int(suffix) if suffix.isdigit() else -1
         return (rnd, 1 if f.startswith("BENCH_r") else 0)
 
+    # the CURRENT round's slot is max(driver BENCH_r rounds)+1 — a
+    # BENCH_LOCAL file already sitting there is a leftover of an
+    # in-session run of this same round (contended, same code) and
+    # must not become its own delta baseline; compare across rounds
+    this_round = 1 + max(
+        (
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in prior
+            if f.startswith("BENCH_r")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ),
+        default=0,
+    )
     for fname in sorted(prior, key=_round_key, reverse=True):
+        if _round_key(fname)[0] >= this_round:
+            continue
         try:
             with open(os.path.join(here, fname)) as f:
                 doc = json.load(f)
