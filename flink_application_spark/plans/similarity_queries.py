@@ -607,3 +607,175 @@ def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_bits=_MP_BITS, probes=_MP_PROBES
     )
+
+
+# --- multi-probe sweep recall curve -----------------------------------------
+
+_MPC_MAXP = 4  # sweep probes 0..4 (0 = own bucket only)
+_MPC_NQ = 20
+_MPC_K = 5
+
+
+@register(
+    "emb_multiprobe_recall_curve",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', _MP_BITS)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding, bucket,
+         list_transform(
+           list_slice(
+             list_sort(list_transform(generate_series(1, {_MP_BITS}),
+                         i -> struct_pack(a := abs(embedding[i]), i := i))),
+             1, {_MPC_MAXP}),
+           s -> s.i) AS flips
+  FROM b WHERE vec_id < {_MPC_NQ}
+),
+probes AS (
+  SELECT query_id, j,
+         CASE WHEN j = 0 THEN bucket
+              ELSE {_mp_flip_sql('bucket', 'flips[j]')} END AS pbucket
+  FROM q, (SELECT unnest(generate_series(0, {_MPC_MAXP})) AS j)
+),
+cand AS (
+  SELECT p.query_id, c.vec_id, CAST(min(p.j) AS BIGINT) AS first_probe
+  FROM probes p JOIN b c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+  GROUP BY p.query_id, c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, cand.first_probe,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+),
+levels AS (
+  SELECT query_id, vec_id, cosine,
+         unnest(generate_series(first_probe, {_MPC_MAXP})) AS n_probes
+  FROM scored
+),
+ann AS (
+  SELECT n_probes, query_id, vec_id FROM (
+    SELECT n_probes, query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY n_probes, query_id
+             ORDER BY cosine DESC, vec_id
+           ) AS rk
+    FROM levels
+  ) WHERE rk <= {_MPC_K}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                      c.vec_id
+           ) AS rk
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_MPC_NQ}
+  ) WHERE rk <= {_MPC_K}
+)
+SELECT a.n_probes,
+       CAST(count(*) AS BIGINT) AS n_retrieved,
+       CAST(sum(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) * 1000000
+            // {_MPC_NQ * _MPC_K} AS BIGINT) AS recall_ppm
+FROM ann a
+LEFT JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+GROUP BY a.n_probes
+""",
+    doc=f"Multi-probe sweep recall curve, oracle-EXACT: recall@{_MPC_K} "
+    f"of sign-LSH retrieval at every probe count 0..{_MPC_MAXP} (0 = "
+    "own bucket only = emb_lsh_ann_topk's operating point) against "
+    "the exact ranking — the operating-point eval that SIZES the "
+    "probe knob before trusting it at scale, symmetric with "
+    "emb_ivf_recall_curve and doc_lsh_recall_audit. One candidate "
+    "scoring pass serves the whole sweep: a pair first reached at "
+    "probe j expands to every level ≥ j via explode(sequence(...)); "
+    "probe order is query-directed (least-|coord| bits first). The "
+    "exact side is the eval's definition (INTENTIONALLY_QUADRATIC "
+    "class b).",
+    tags=("similarity", "embeddings", "lsh", "multiprobe", "eval"),
+)
+def q_multiprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.vectors import dot, norm, sign_bits
+    from flink_application_spark.operators.similarity import (
+        brute_force_topk,
+        multiprobe_buckets,
+    )
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < _MPC_NQ)
+    qp = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            multiprobe_buckets(F.col("embedding"), _MP_BITS, _MPC_MAXP)
+        ).alias("j", "bucket"),
+    )
+    c = emb.select("vec_id", sign_bits(F.col("embedding"), _MP_BITS).alias("bucket"))
+    cand = (
+        c.join(F.broadcast(qp), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.min("j").cast("bigint").alias("first_probe"))
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("_qn"),
+    )
+    cv = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("_cn"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "first_probe",
+            F.round(
+                dot(F.col("qv"), F.col("embedding")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    levels = scored.select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        F.explode(
+            F.sequence(F.col("first_probe"), F.lit(_MPC_MAXP).cast("bigint"))
+        ).alias("n_probes"),
+    )
+    w = Window.partitionBy("n_probes", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        levels.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MPC_K)
+        .select("n_probes", "query_id", "vec_id")
+    )
+    exact = brute_force_topk(queries, emb, k=_MPC_K).select(
+        "query_id", F.col("vec_id").alias("x_vec_id")
+    )
+    return (
+        ann.join(
+            exact,
+            (ann["query_id"] == exact["query_id"])
+            & (ann["vec_id"] == exact["x_vec_id"]),
+            "left",
+        )
+        .groupBy("n_probes")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(
+                F.when(F.col("x_vec_id").isNull(), 0).otherwise(1)
+            ).cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST(sum(CASE WHEN x_vec_id IS NULL THEN 0 ELSE 1 END) "
+                f"* 1000000 div {_MPC_NQ * _MPC_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -36,3 +36,22 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     assert recall_multi >= recall_single, (recall_multi, recall_single)
     # the probe set genuinely widens retrieval on this corpus
     assert len(multi) >= len(single)
+
+
+def test_multiprobe_recall_curve_is_monotone(spark, sf_dir):
+    """More probes ⇒ superset candidates ⇒ recall@5 non-decreasing in
+    n_probes, and n_retrieved non-decreasing; level 0 equals the plain
+    single-bucket operating point."""
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    rows = {
+        r["n_probes"]: (r["n_retrieved"], r["n_hits"])
+        for r in REGISTRY_GET("emb_multiprobe_recall_curve")
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    levels = sorted(rows)
+    assert levels == [0, 1, 2, 3, 4]
+    for a, b in zip(levels, levels[1:]):
+        assert rows[b][0] >= rows[a][0], (a, b, rows)
+        assert rows[b][1] >= rows[a][1], (a, b, rows)
