@@ -164,9 +164,10 @@ def _load_all() -> None:
 # round-5 additions and two re-confirmations of queries whose
 # implementation this round touched (gram NULL-hardening, codebook
 # sampling). After this round the sampled union is the ENTIRE
-# registry except emb_lsh_multiprobe_topk (added after the window
-# filled; two-scale local oracle evidence + recall-superset test —
-# put it FIRST in the round-6 window). Everything not listed keeps
+# registry except emb_lsh_multiprobe_topk and
+# emb_multiprobe_recall_curve (added after the window filled;
+# two-scale local oracle evidence + recall-superset/monotonicity
+# tests — put them FIRST in the round-6 window). Everything not listed keeps
 # its import-order position.
 SAMPLE_WINDOW = [
     # never-driver-sampled, oracle-bearing (hash-checked rows)
