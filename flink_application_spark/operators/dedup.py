@@ -53,21 +53,27 @@ def exact_dedup(df: DataFrame, on_cols: list[str], keep_min: str) -> DataFrame:
     )
 
 
-def segment_rows(docs: DataFrame, seg: int = 16) -> DataFrame:
+def segment_rows(
+    docs: DataFrame, seg: int = 16, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, seg_idx, seg_text, h): non-overlapping `seg`-token
     segments of each doc with an md5 fingerprint — the unit of the
     keep-first segment dedup scrub (arXiv:2107.06499 operates on
     spans; fixed segments are the shuffle-friendly discretization:
     scan-local sequence+transform explode, zero Python, and only
-    (16-byte hash + segment text) ever moves)."""
+    (16-byte hash + segment text) ever moves). ``passthrough`` names
+    extra doc columns to carry through the explode — cheaper than a
+    doc_id-keyed re-join downstream (the scan already has the row)."""
     from flink_application_spark.functions.text import tokens
 
     toks = docs.select(
         "doc_id",
+        *passthrough,
         F.filter(tokens(F.col("text")), lambda t: t != "").alias("toks"),
     ).filter(F.size("toks") >= 1)
     return toks.select(
         "doc_id",
+        *passthrough,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - 1, F.lit(seg)),
@@ -81,6 +87,7 @@ def segment_rows(docs: DataFrame, seg: int = 16) -> DataFrame:
         ).alias("g"),
     ).select(
         "doc_id",
+        *passthrough,
         "g.seg_idx",
         "g.seg_text",
         F.md5("g.seg_text").alias("h"),

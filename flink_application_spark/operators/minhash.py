@@ -185,8 +185,13 @@ def band_keys_long(
     """(id, band_key) long form of the LSH fingerprint — `bands` small
     rows per document. This is both the self-join input below and the
     append-only store layout of the incremental index
-    (streaming/dedup_index.py)."""
-    sig = with_band_keys(with_minhash_signature(df, k), k, bands)
+    (streaming/dedup_index.py). A frame that already carries the mh0..
+    mh{k-1} signature columns is used as-is — callers that need the
+    signatures AGAIN downstream (the estimate-vs-exact audit joins them
+    to every candidate pair) sign once, persist, and pass the signed
+    frame, instead of paying the k-hash interpreted fold per consumer."""
+    signed = df if f"mh{k - 1}" in df.columns else with_minhash_signature(df, k)
+    sig = with_band_keys(signed, k, bands)
     return sig.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),

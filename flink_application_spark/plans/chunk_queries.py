@@ -216,12 +216,11 @@ def cdc_chunk_report_frame(docs: DataFrame, d: int = _CDC_D) -> DataFrame:
     insertion-robustness pin lives in tests/test_chunking.py)."""
     from pyspark.sql import Window
 
-    from flink_application_spark.functions.text import tokens as _tokens
 
     tok_rows = (
         docs.select(
             "doc_id",
-            F.filter(_tokens(F.col("text")), lambda t: t != "").alias("toks"),
+            F.filter(tokens(F.col("text")), lambda t: t != "").alias("toks"),
         )
         .filter(F.size("toks") >= 1)
         .select("doc_id", F.posexplode("toks").alias("pos0", "tok"))

@@ -683,9 +683,12 @@ def q_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.operators.minhash import jaccard_column, lsh_candidate_pairs
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    sh = with_shingles(docs).persist()
-    sig = with_minhash_signature(sh)
-    pairs = lsh_candidate_pairs(sh)
+    # sign ONCE and persist: the signature fold (k interpreted md5-min
+    # HOFs) previously ran three times — inside candidate generation and
+    # once per pair side — because each consumer re-derived it from the
+    # persisted shingles (round-5 perf pass: 1.12 s → the fold runs once)
+    sig = with_minhash_signature(with_shingles(docs)).persist()
+    pairs = lsh_candidate_pairs(sig)
     mh_a = sig.select(
         F.col("doc_id").alias("id_a"),
         F.col("shingles").alias("sh_a"),

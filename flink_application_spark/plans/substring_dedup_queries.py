@@ -250,9 +250,9 @@ def q_source_segment_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.operators.dedup import segment_rows
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    segs = segment_rows(docs, seg=_SEG).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    # source rides the segmentation scan (passthrough) — a doc_id-keyed
+    # re-join here was this round's only SMJ in PLAN_AUDIT (exch 6→4)
+    segs = segment_rows(docs, seg=_SEG, passthrough=("source",))
     freq = segs.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
     return (

@@ -69,18 +69,11 @@ class BloomDedupStream:
     # -- store access -------------------------------------------------
 
     def _committed(self, root: str) -> list[str]:
-        """_batch=N subdirs bearing Spark's _SUCCESS commit marker —
-        same discipline as reservoir.BottomKSample._batches: a crash
-        mid-write leaves a partial _batch dir whose parquet files would
-        read as a silently-short batch; the replay overwrites it, but a
-        read BETWEEN crash and restart must not see it."""
-        import glob
+        """_SUCCESS-gated batch listing — the shared crash-window
+        discipline lives in sinks.committed_batch_dirs."""
+        from flink_application_spark.streaming.sinks import committed_batch_dirs
 
-        return sorted(
-            p
-            for p in glob.glob(os.path.join(root, "_batch=*"))
-            if os.path.exists(os.path.join(p, "_SUCCESS"))
-        )
+        return committed_batch_dirs(root)
 
     def flags(self, spark) -> DataFrame:
         """All per-doc verdicts so far: (doc_id, bloom_dup 0/1)."""

@@ -23,7 +23,6 @@ predecessor state and overwrites its own directory (idempotent).
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame, functions as F
@@ -38,14 +37,13 @@ class BottomKSample:
     # -- store access -------------------------------------------------
 
     def _batches(self) -> list[int]:
-        # _SUCCESS (Spark's commit marker), not just *.parquet: a crash
-        # mid-write leaves a partial directory whose files would read
-        # as a silently-short sample; replays overwrite it, but a
-        # sample() call BETWEEN crash and restart must not see it
+        # _SUCCESS-gated listing shared with every per-batch store
+        # (sinks.committed_batch_dirs holds the crash-window rationale)
+        from flink_application_spark.streaming.sinks import committed_batch_dirs
+
         return sorted(
             int(os.path.basename(p).split("=", 1)[1])
-            for p in glob.glob(os.path.join(self._dir, "_batch=*"))
-            if os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in committed_batch_dirs(self._dir)
         )
 
     def _latest_before(self, spark, batch_id: int) -> DataFrame | None:

@@ -47,13 +47,9 @@ class SegmentScrubStream:
     # -- store access -------------------------------------------------
 
     def _committed(self, root: str) -> list[str]:
-        import glob
+        from flink_application_spark.streaming.sinks import committed_batch_dirs
 
-        return sorted(
-            p
-            for p in glob.glob(os.path.join(root, "_batch=*"))
-            if os.path.exists(os.path.join(p, "_SUCCESS"))
-        )
+        return committed_batch_dirs(root)
 
     def scrubbed(self, spark) -> DataFrame:
         """(doc_id, n_segs, n_dropped, scrubbed_text) so far."""
@@ -81,6 +77,7 @@ class SegmentScrubStream:
         # seen-in-earlier-batch: md5-key semi-join against the store,
         # restricted to committed batches strictly before this one
         committed = self._committed(self._fp_dir)
+        old = None
         if committed:
             old = (
                 spark.read.option("basePath", self._fp_dir)
@@ -126,8 +123,19 @@ class SegmentScrubStream:
         idempotent_batch_write(
             segment_scrub_assemble(flagged), self._docs_dir, batch_id
         )
+        # Store only fingerprints the earlier batches do NOT already
+        # hold: without the anti-join a boilerplate hash recurring in
+        # every micro-batch is stored once per batch and the store (and
+        # the membership semi-join's input) grows with stream length —
+        # the anti-join restores the documented bound of one row per
+        # DISTINCT segment. Replay-safe: reads are already restricted
+        # to batches strictly before the reader, and a replayed batch
+        # recomputes the same anti-join against the same earlier set.
+        fresh = segs.select("pcell", "h").distinct()
+        if old is not None:
+            fresh = fresh.join(old, ["pcell", "h"], "left_anti")
         idempotent_batch_write(
-            segs.select("pcell", "h").distinct(),
+            fresh,
             self._fp_dir,
             batch_id,
             partition_by=("pcell",),

@@ -91,6 +91,26 @@ def idempotent_batch_write(
     return sub
 
 
+def committed_batch_dirs(root: str) -> list[str]:
+    """``_batch=<id>`` subdirectories bearing Spark's ``_SUCCESS``
+    commit marker — the read-side half of ``idempotent_batch_write``'s
+    crash-safety contract, shared by every additive per-batch store
+    (Bloom dedup, segment scrub, reservoir sample). A crash mid-write
+    leaves a partial ``_batch`` dir whose parquet files would read as a
+    silently-short batch; the replay overwrites it, but a read BETWEEN
+    crash and restart must not see it. Keeping the discipline in ONE
+    place means a future commit-scheme change cannot silently reopen
+    the crash window in one store but not another."""
+    import glob
+    import os
+
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(root, "_batch=*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    )
+
+
 def compact_batches(
     spark,
     root: str,

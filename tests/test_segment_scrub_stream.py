@@ -85,6 +85,30 @@ def test_uncommitted_batch_dir_is_invisible(spark, tmp_path):
     assert _by_id(st.scrubbed(spark)) == _by_id(segment_dedup_scrub(docs, seg=_SEG))
 
 
+def test_fingerprint_store_bounded_by_distinct_segments(spark, tmp_path):
+    """The fingerprint store must hold one row per DISTINCT segment,
+    not per (batch, segment): a boilerplate hash recurring in every
+    micro-batch is anti-joined away at write time, or store size and
+    the membership probe grow with stream length (round-5 review)."""
+    docs = _corpus(spark)
+    st = SegmentScrubStream(str(tmp_path / "scrub"), seg=_SEG)
+    st.process_batch(docs.filter(F.col("doc_id") < 2), 0)
+    st.process_batch(docs.filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 4)), 1)
+    st.process_batch(docs.filter(F.col("doc_id") >= 4), 2)
+
+    from flink_application_spark.operators.dedup import segment_rows
+
+    n_distinct = segment_rows(docs, _SEG).select("h").distinct().count()
+    stored = spark.read.option("basePath", st._fp_dir).parquet(
+        *st._committed(st._fp_dir)
+    )
+    assert stored.count() == n_distinct
+    assert stored.select("h").distinct().count() == n_distinct
+    # no hash is stored by more than one batch (the anti-join at work);
+    # doc 4 (batch 2) re-sends only seen segments and stores none of them
+    assert stored.groupBy("h").count().filter(F.col("count") > 1).count() == 0
+
+
 def test_attached_file_stream_matches_batch(spark, tmp_path):
     import time
 
