@@ -145,6 +145,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import bloom_queries  # noqa: F401  (late)
     from flink_application_spark.plans import doremi_queries  # noqa: F401  (late)
     from flink_application_spark.plans import opq_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import lr_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
@@ -156,14 +157,18 @@ def _load_all() -> None:
 #
 # Round-5 rotation: rounds 1-4 drove 178 distinct queries to green
 # (union of CORRECTNESS_r01..r04 keys; r04 was 50/50 green). 44
-# registered queries have never been driver-sampled — this window
-# takes ALL of them (22 oracle-bearing first, then the 22 rows-only
-# entries, which get the driver's weaker rows-only record: CEP
-# automata, ANN twins, trained-codebook and PCA-projection paths whose
-# correctness is pinned by pytest instead of SQL), plus the four
-# round-5 additions and two re-confirmations of queries whose
-# implementation this round touched (gram NULL-hardening, codebook
-# sampling). After this round the sampled union is the ENTIRE
+# registered queries had never been driver-sampled at window-fill time
+# — this window takes ALL of them (22 oracle-bearing first, then the
+# 22 rows-only entries, which get the driver's weaker rows-only
+# record: CEP automata, ANN twins, trained-codebook and PCA-projection
+# paths whose correctness is pinned by pytest instead of SQL), plus
+# the six round-5 additions registered before the window filled
+# (segment scrub + per-source profile, unicode-normalized ingest
+# parity pair, CDC chunking, pipe syntax). No re-confirmation slots
+# remain — the planned emb_pca_gram / codebook-path re-confirmations
+# were displaced by the additions; their touched implementations are
+# pinned by pytest (test_pca.py NULL-hardening, test_kmeans.py uniform
+# sampling) instead. After this round the sampled union is the ENTIRE
 # registry except emb_lsh_multiprobe_topk and
 # emb_multiprobe_recall_curve (added after the window filled;
 # two-scale local oracle evidence + recall-superset/monotonicity
