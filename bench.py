@@ -64,6 +64,12 @@ HEADLINE = [
     # rewrite, heaviest new op) and the funnel latency percentiles
     "doc_segment_dedup_scrub",
     "events_funnel_time_to_convert",
+    # NOT added: emb_lsh_multiprobe_topk — the headline is within 5
+    # entries of the stdout-line shed point (test_headline_growth_
+    # headroom trips on the 34th query); its bounded-candidate-cost
+    # claim is pinned by tests/test_similarity.py and the
+    # emb_multiprobe_recall_curve query instead. Growing the headline
+    # means first shortening names or trimming an entry — deliberately.
 ]
 
 

@@ -152,10 +152,15 @@ def lr_predictions(
     vec_col: str = "embedding",
     label_col: str = "label",
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, label, pred): scan-local argmax scoring under trained
-    weights — one Arrow pass, embeddings never shuffle. Downstream
-    aggregations (confusion matrix, accuracy) group kilobyte rows."""
+    """(id, label, pred, *passthrough): scan-local argmax scoring under
+    trained weights — one Arrow pass, embeddings never shuffle.
+    Downstream aggregations (confusion matrix, per-split accuracy)
+    group kilobyte rows. ``passthrough`` names string columns to carry
+    through the pass — cheaper than an id-keyed re-join downstream
+    (the scan already has the row; same discipline as
+    dedup.segment_rows)."""
     w_c = np.ascontiguousarray(w, dtype=np.float64)
     b_c = np.ascontiguousarray(b, dtype=np.float64)
 
@@ -168,15 +173,17 @@ def lr_predictions(
                 dtype=np.float64,
             )
             z = x @ w_c.T + b_c
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    label_col: pdf[label_col].to_numpy(dtype=np.int64),
-                    "pred": z.argmax(axis=1).astype(np.int64),
-                }
-            )
+            out_cols = {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                label_col: pdf[label_col].to_numpy(dtype=np.int64),
+                "pred": z.argmax(axis=1).astype(np.int64),
+            }
+            for c in passthrough:
+                out_cols[c] = pdf[c]
+            yield pd.DataFrame(out_cols)
 
-    out = df.filter(df[vec_col].isNotNull() & df[label_col].isNotNull())
-    return out.mapInPandas(
-        part, schema=f"{id_col} bigint, {label_col} bigint, pred bigint"
+    schema = f"{id_col} bigint, {label_col} bigint, pred bigint" + "".join(
+        f", {c} string" for c in passthrough
     )
+    out = df.filter(df[vec_col].isNotNull() & df[label_col].isNotNull())
+    return out.mapInPandas(part, schema=schema)

@@ -76,6 +76,46 @@ def q_lr_train_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_lr_holdout_eval",
+    None,  # trained weights are data-dependent (see emb_lr_train_profile)
+    doc="Train/holdout accuracy of the softmax classifier under an "
+    "md5-keyed 80/20 split (retry-safe, source-unbiased — doc_id "
+    "parity slices are biased on this generator): train on the 80% "
+    "side, score BOTH sides with one scan-local argmax pass, report "
+    "(split, n, accuracy). The train-vs-holdout gap is the "
+    "overfitting check a pipeline runs before trusting a trained "
+    "quality filter corpus-wide — on this fixture's near-random "
+    "labels the gap IS the finding (train accuracy is memorization; "
+    "holdout sits at chance).",
+    tags=("embeddings", "classifier", "training", "eval"),
+)
+def q_lr_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.lr import lr_predictions, softmax_lr_fit
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    cell = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 5
+    emb = emb.withColumn("split", F.when(cell == 0, F.lit("holdout")).otherwise(F.lit("train")))
+    w, b, _ = softmax_lr_fit(
+        emb.filter(F.col("split") == "train"),
+        n_classes=_CLASSES,
+        dim=_DIM,
+        iters=_ITERS,
+        step=_STEP,
+        l2=_L2,
+    )
+    # split rides the scoring pass (passthrough) — no id-keyed re-join
+    scored = lr_predictions(emb, w, b, passthrough=("split",))
+    return scored.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg((F.col("pred") == F.col("label")).cast("double")), 6).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register(
     "emb_lr_confusion",
     None,  # trained weights are data-dependent (see emb_lr_train_profile)
     doc="Confusion matrix of the trained softmax classifier on its "

@@ -89,6 +89,24 @@ def test_l2_shrinks_weights(spark):
     assert np.linalg.norm(w_hi) < np.linalg.norm(w_lo)
 
 
+def test_holdout_eval_exposes_memorization(spark):
+    """The fixture's labels are ~independent of the embeddings, so the
+    registered holdout query must show the classic overfit signature:
+    train accuracy well above chance (640 params memorizing ~400
+    rows), holdout at chance. Deterministic: md5 split, zero init,
+    fixed iterations — no RNG anywhere."""
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    rows = {
+        r["split"]: r
+        for r in REGISTRY_GET("emb_lr_holdout_eval").spark(spark, _SF).collect()
+    }
+    assert set(rows) == {"train", "holdout"}
+    assert rows["train"]["n"] + rows["holdout"]["n"] == 500
+    assert rows["train"]["accuracy"] > rows["holdout"]["accuracy"] + 0.1
+    assert rows["holdout"]["accuracy"] < 0.2  # chance-level on random labels
+
+
 def test_predictions_match_reference_argmax(spark):
     emb, x, y = _xy(spark)
     w, b, _ = softmax_lr_fit(emb, n_classes=_C, dim=_D, iters=5, step=16.0, l2=1e-3)
