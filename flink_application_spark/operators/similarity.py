@@ -341,24 +341,29 @@ def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
     n_iter: int = 10,
-    sample_cap: int = 50_000,
+    sample_cap: int = 8192,
     seed: int = 42,
 ):
-    """Lloyd's k-means on a bounded, deterministic sample.
+    """Lloyd's k-means on a bounded, deterministic UNIFORM sample.
 
-    Scale contract: only `sample_cap` vectors ever reach the driver
-    (ordered sample by vec_id → stable across runs and partitionings);
-    the clustering itself is O(sample × k × iter) numpy — the corpus
-    is never collected. Returns a (k, dim) float64 ndarray.
+    Scale contract: only `sample_cap` vectors ever reach the driver —
+    sampled bottom-k by md5(vec_id) (`kmeans.uniform_sample_rows`, the
+    repo's one sanctioned bounded-sample primitive), NOT an id-prefix:
+    ids correlate with source/ingest order, so an orderBy(id).limit
+    head trains the quantizer on a biased slice of the corpus (the
+    round-4 ADVICE defect, fixed here too). The clustering itself is
+    O(sample × k × iter) numpy — the corpus is never collected. The
+    default cap is 512 samples per centroid at k=16 (FAISS guidance is
+    ~39-256 per centroid, so 8192 is conservative); below the cap the
+    sample IS the id-sorted corpus, bit-identical to the previous
+    full-collect behavior on the test fixtures. Returns a (k, dim)
+    float64 ndarray.
     """
     import numpy as np
 
-    sample = (
-        corpus.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_cap)
-        .collect()
-    )
+    from flink_application_spark.operators.kmeans import uniform_sample_rows
+
+    sample = uniform_sample_rows(corpus, "vec_id", ["embedding"], sample_cap)
     x = np.array([r.embedding for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
