@@ -518,6 +518,104 @@ def q_dedup_canonical_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_best_quality_sql() -> str:
+    # text_queries only imports the registry decorator, so this import
+    # cannot cycle; composing at registration keeps the oracle a plain
+    # string like every other entry
+    from flink_application_spark.plans.text_queries import _QUALITY_SQL
+
+    return (
+        "WITH RECURSIVE "
+        + SHINGLES_CTE.lstrip().lstrip("WITH").lstrip()
+        + ","
+        + _sigs_cte()
+        + ","
+        + _pairs_cte()
+        + f""",
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM dup
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.v
+),
+comp AS (
+  SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v
+),
+scored AS (
+  SELECT c.component, d.doc_id, {_QUALITY_SQL} AS quality
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component, doc_id AS kept_doc_id, quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM (
+  SELECT component, doc_id, quality,
+         count(*) OVER (PARTITION BY component) AS cluster_size,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY quality DESC NULLS LAST, doc_id ASC
+         ) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+    )
+
+
+@register(
+    "doc_dedup_keep_best_quality",
+    _keep_best_quality_sql(),
+    doc="Quality-aware canonical selection: near-dup components keep "
+    "their HIGHEST-quality member (length/stopword/punctuation "
+    "composite, the oracle-checked doc_quality_scores formula; ties "
+    "break to the smaller doc_id) instead of the arbitrary min-id — "
+    "what a real curation pass does, since duplicate families usually "
+    "contain one clean copy and several mangled ones. Shape: the same "
+    "pair→component closure as doc_dedup_canonical_near plus one "
+    "component-keyed window; quality is scan-local, only (doc_id, "
+    "component, quality) rows reach the window shuffle.",
+    tags=("dedup", "graph", "canonical", "quality"),
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.functions.text import quality_score
+    from flink_application_spark.operators.components import connected_components
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    comp = connected_components(
+        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
+    )
+    scored = comp.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality")),
+        comp.v == F.col("doc_id"),
+    ).select("component", "doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 @register(
     "doc_near_dup_edit_distance",
     "WITH "

@@ -172,11 +172,12 @@ def _load_all() -> None:
 # registry except emb_lsh_multiprobe_topk and
 # emb_multiprobe_recall_curve (added after the window filled;
 # two-scale local oracle evidence + recall-superset/monotonicity
-# tests — put them FIRST in the round-6 window) and the three
-# rows-only LR-training entries emb_lr_train_profile /
-# emb_lr_holdout_eval / emb_lr_confusion (numpy bit-parity pinned in
-# tests/test_lr.py — rotate them in behind the multi-probe pair).
-# Everything not listed keeps its import-order position.
+# tests — put them FIRST in the round-6 window), the three rows-only
+# LR-training entries emb_lr_train_profile / emb_lr_holdout_eval /
+# emb_lr_confusion (numpy bit-parity pinned in tests/test_lr.py), and
+# the oracle-bearing doc_dedup_keep_best_quality (two-scale local
+# parity green) — rotate all six into the round-6 window, multi-probe
+# pair first. Everything not listed keeps its import-order position.
 SAMPLE_WINDOW = [
     # never-driver-sampled, oracle-bearing (hash-checked rows)
     "corpus_gate_attrition",
