@@ -82,6 +82,47 @@ def test_profile_descends_and_learns(spark):
     assert hist[-1][2] > hist[0][2]  # accuracy moved off the baseline
 
 
+def test_gradient_matches_finite_differences():
+    """The softmax-NLL gradient formula itself (p − onehot, the math
+    both the Spark pass and the reference implement) must agree with
+    central finite differences — this breaks the circularity of
+    pinning Spark against a reference that shares its formula.
+    Pure numpy, no Spark session."""
+    rng = np.random.default_rng(7)
+    n, c, d = 12, 3, 4
+    x = rng.normal(size=(n, d))
+    y = rng.integers(0, c, size=n)
+    w = rng.normal(scale=0.3, size=(c, d))
+    b = rng.normal(scale=0.3, size=c)
+
+    def loss(w_, b_):
+        z = x @ w_.T + b_
+        z = z - z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        return float(-np.log(p[np.arange(n), y]).sum())
+
+    z = x @ w.T + b
+    z -= z.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    p[np.arange(n), y] -= 1.0
+    g_w = p.T @ x
+    g_b = p.sum(axis=0)
+
+    eps = 1e-6
+    for idx in [(0, 0), (1, 2), (2, 3)]:
+        wp = w.copy(); wp[idx] += eps
+        wm = w.copy(); wm[idx] -= eps
+        fd = (loss(wp, b) - loss(wm, b)) / (2 * eps)
+        assert abs(fd - g_w[idx]) < 1e-5, (idx, fd, g_w[idx])
+    for j in range(c):
+        bp = b.copy(); bp[j] += eps
+        bm = b.copy(); bm[j] -= eps
+        fd = (loss(w, bp) - loss(w, bm)) / (2 * eps)
+        assert abs(fd - g_b[j]) < 1e-5, (j, fd, g_b[j])
+
+
 def test_l2_shrinks_weights(spark):
     emb, _, _ = _xy(spark)
     w_lo, _, _ = softmax_lr_fit(emb, n_classes=_C, dim=_D, iters=10, step=16.0, l2=1e-4)
