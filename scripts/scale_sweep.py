@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Measured scaling evidence: time flagship operators on 1x/2x/4x/8x
+replicas of the sf0.1 documents table at FIXED parallelism and print
+the wall-clock curve. A scale-safe plan (hash aggs, banded LSH, prefix
+joins — everything SCALE.md argues is linear) should grow ~linearly in
+rows once past fixed overhead; superlinear growth at 8x is exactly the
+defect that would melt a 1000-executor run at 100 TB.
+
+Replicas shift doc_id by a large stride (no id collisions) and prefix
+each replica's text with a replica token (shingle/fingerprint spaces
+stay disjoint across replicas, so the dedup workloads scale in
+corpus size WITHOUT degenerating into one giant duplicate family —
+the adversarial mega-bucket case is covered separately by the LSH
+bucket-cap guard rail, operators/minhash.bucket_self_pairs).
+
+Usage: python scripts/scale_sweep.py [sf_dir] [replicas...]
+Prints one line per (operator, replicas) and a JSON summary last.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+_STRIDE = 10_000_000
+
+
+def replicate(docs: DataFrame, r: int) -> DataFrame:
+    parts = []
+    for i in range(r):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _STRIDE))
+        if i:
+            # suffix EVERY token with the replica id: shingle and
+            # fingerprint spaces are fully disjoint across replicas, so
+            # the dedup workloads grow linearly in corpus size (a mere
+            # text prefix leaves replicas ~identical and explodes
+            # cross-replica near-dup pairs quadratically — measured
+            # 256 → 156k pairs at 8x before this fix)
+            p = p.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{i}")
+            )
+        parts.append(p)
+    return reduce(DataFrame.unionByName, parts)
+
+
+def op_exact_dedup(docs: DataFrame) -> int:
+    from flink_application_spark.functions.text import fingerprint
+
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+
+
+def op_lsh_near_dup(docs: DataFrame) -> int:
+    from flink_application_spark.operators.minhash import verified_near_dup_pairs
+
+    return verified_near_dup_pairs(docs, threshold=0.5).count()
+
+
+def op_segment_scrub(docs: DataFrame) -> int:
+    from flink_application_spark.operators.dedup import segment_dedup_scrub
+
+    return segment_dedup_scrub(docs, seg=16).count()
+
+
+def op_quality_gate(docs: DataFrame) -> int:
+    from flink_application_spark.functions.text import quality_score
+
+    return (
+        docs.select(quality_score(F.col("text")).alias("q"))
+        .filter(F.col("q") > 0.5)
+        .count()
+    )
+
+
+OPS = {
+    "exact_dedup_hash_agg": op_exact_dedup,
+    "lsh_near_dup_pipeline": op_lsh_near_dup,
+    "segment_dedup_scrub": op_segment_scrub,
+    "quality_score_scan": op_quality_gate,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
+
+    from flink_application_spark.catalog import register_views
+    from flink_application_spark.session import get_spark
+
+    spark = get_spark(
+        "scale-sweep", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+
+    results: dict[str, dict[int, float]] = {}
+    for name, op in OPS.items():
+        op(replicate(docs, 1))  # warm codegen/JIT on the same plan shape
+        results[name] = {}
+        for r in replicas:
+            frame = replicate(docs, r)
+            t0 = time.time()
+            n = op(frame)
+            dt = round(time.time() - t0, 3)
+            results[name][r] = dt
+            print(f"{name:26s} x{r}: {dt:7.3f} s  (result rows {n})", flush=True)
+    summary = {
+        name: {
+            "walls": walls,
+            # slope proxy: wall(max)/wall(1) vs max replica count — ~1.0
+            # means perfectly linear scaling, >1 superlinear
+            "growth_vs_linear": round(
+                (walls[max(replicas)] / walls[replicas[0]]) / (max(replicas) / replicas[0]),
+                3,
+            ),
+        }
+        for name, walls in results.items()
+    }
+    print(json.dumps({"sf_dir": sf_dir, "replicas": replicas, "ops": summary}))
+
+
+if __name__ == "__main__":
+    main()
