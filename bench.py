@@ -268,6 +268,54 @@ def roll_ceiling_proof(spark) -> tuple[float, float, int, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def calibration_probe(spark, sf_dir: str) -> dict:
+    """Fixed reference workload at the TOP of every bench run, so
+    round-over-round deltas can be split into machine speed vs code
+    change (round-5 verdict: a broad ~1.25× wall regression plus a 20×
+    roll-proof anomaly could not be adjudicated because nothing in the
+    run measured the box itself). Two probes, deliberately untouched
+    code paths:
+
+    - CPU/codegen: median-of-3 tpch_q1 (pure Catalyst aggregate,
+      unchanged since round 1) → `calib_tpch_q1_sec`;
+    - IO: one fixed ~100 MB incompressible parquet write (same
+      concat-unhex-md5 payload family as the roll proof)
+      → `calib_write_sec`.
+
+    A later round divides its own probe numbers by these to get
+    machine-speed ratios; per-query deltas are then reported both raw
+    and normalized by the CPU ratio (BENCH_LOCAL only — the stdout
+    line carries just the scalars)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    spec = REGISTRY_GET("tpch_q1_pricing_summary")
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        runs.append(time.perf_counter() - t0)
+    q1 = sorted(runs)[1]
+
+    root = tempfile.mkdtemp(prefix="bench_calib_")
+    try:
+        payload = F.concat(
+            *[F.unhex(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|c{i}"))))
+              for i in range(64)]
+        )
+        df = spark.range(100_000).select("id", payload.alias("blob"))
+        t0 = time.perf_counter()
+        df.coalesce(8).write.mode("overwrite").parquet(f"{root}/out")
+        w = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {"calib_tpch_q1_sec": round(q1, 3), "calib_write_sec": round(w, 3)}
+
+
 def format_stdout_line(result: dict, limit: int = 1900) -> str:
     """The one machine-readable stdout line, guaranteed to fit the
     driver's 2000-char tail capture (rounds 3 AND 4 lost their parsed
@@ -275,11 +323,22 @@ def format_stdout_line(result: dict, limit: int = 1900) -> str:
     BENCH_LOCAL_r{N}.json); if future headline growth still overflows,
     the queries dict is shed last and flagged. Unit-tested in
     tests/test_bench_line.py."""
-    line_doc = {
-        k: v
-        for k, v in result.items()
-        if k not in ("deltas_vs_prev_round", "deltas_prev_aggregation")
-    }
+    # never on the line: per-query deltas (bulky) and the static
+    # methodology descriptors (identical every round — "median",
+    # "size_rolled_partitioned_parquet", sample counts; ~180 chars of
+    # zero round-over-round information). All of it lives in
+    # BENCH_LOCAL_r{N}.json, which is committed in-repo.
+    off_line = (
+        "deltas_vs_prev_round",
+        "deltas_prev_aggregation",
+        "deltas_vs_prev_round_normalized",
+        "samples_per_query",
+        "aggregation",
+        "streaming_samples",
+        "streaming_aggregation",
+        "stream_sink",
+    )
+    line_doc = {k: v for k, v in result.items() if k not in off_line}
     line = json.dumps(line_doc)
     if len(line) > limit:
         for shed in ("queries",):
@@ -315,6 +374,10 @@ def main() -> None:
         for name in HEADLINE:
             REGISTRY_GET(name).spark(spark, warm_dir).count()
 
+    # machine-speed probe FIRST (post-warm-up), so every number below
+    # can be read against what the box was doing this run
+    calib = calibration_probe(spark, sf_dir)
+
     # median of 3 runs per query: single samples made q1/q3/q5 look
     # regressed in round 2 (run-order noise on a contended box — the
     # round-2 verdict falsified the "regression" by re-measurement);
@@ -342,8 +405,12 @@ def main() -> None:
     ingest_runs = [ingest_throughput(spark, sf_dir) for _ in range(3)]
     ingest_wall = sorted(r[0] for r in ingest_runs)[1]
     ingest_docs = ingest_runs[0][1]
-    # once (not ×3): ~500 MB of synthetic IO proves the real ceiling
+    # TWICE per session (round-5 verdict: r05 recorded a 20× roll-proof
+    # wall on byte-identical output — one sample can't distinguish a
+    # contention spike from a regression; two in-session samples plus
+    # the calibration probe can)
     roll_max_mb, roll_total_mb, roll_files, roll_wall = roll_ceiling_proof(spark)
+    _, _, _, roll_wall_rerun = roll_ceiling_proof(spark)
 
     # per-query deltas vs the most recent USABLE bench artifact —
     # positive = slower than last round, negative = faster. Walk
@@ -352,6 +419,8 @@ def main() -> None:
     # capture cut the line — r03 was null and crashed the first form
     # of this loader) and our own BENCH_LOCAL_r{N}.json fallbacks.
     deltas: dict[str, float] = {}
+    deltas_norm: dict[str, float] = {}
+    cpu_ratio = io_ratio = None
     prev_agg = None
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
@@ -403,6 +472,23 @@ def main() -> None:
                 for n in timings
                 if n in prev
             }
+            # machine-speed ratios vs that round's calibration (keys
+            # exist from round 6 on): >1 = this box is SLOWER now, so
+            # raw positive deltas that vanish after normalization are
+            # contention, not regression
+            if parsed.get("calib_tpch_q1_sec"):
+                cpu_ratio = round(
+                    calib["calib_tpch_q1_sec"] / parsed["calib_tpch_q1_sec"], 3
+                )
+                deltas_norm = {
+                    n: round(timings[n] / cpu_ratio - prev[n], 3)
+                    for n in timings
+                    if n in prev
+                }
+            if parsed.get("calib_write_sec"):
+                io_ratio = round(
+                    calib["calib_write_sec"] / parsed["calib_write_sec"], 3
+                )
             # surface methodology skew: r01/r02 recorded min-of-2, so
             # a median-vs-min delta reads high by construction
             prev_agg = parsed.get("aggregation", "min_of_2")
@@ -422,7 +508,14 @@ def main() -> None:
         "streaming_samples": 3,
         "streaming_aggregation": "median",
         "deltas_vs_prev_round": deltas,
+        "deltas_vs_prev_round_normalized": deltas_norm,
         "deltas_prev_aggregation": prev_agg if deltas else None,
+        # machine-speed probes (fixed reference workload, see
+        # calibration_probe) + ratios vs the previous round's probes
+        # (None until the previous artifact carries calib keys)
+        **calib,
+        "machine_cpu_ratio_vs_prev": cpu_ratio,
+        "machine_io_ratio_vs_prev": io_ratio,
         # memory-sink saturation: same sink shape r01/r02
         # recorded, so this key stays round-over-round
         # comparable; the production-sink number is separate
@@ -445,6 +538,7 @@ def main() -> None:
         "roll_proof_total_mb": roll_total_mb,
         "roll_proof_files": roll_files,
         "roll_proof_wall_sec": roll_wall,
+        "roll_proof_wall_sec_rerun": roll_wall_rerun,
     }
     # In-repo fallback artifact: BENCH_r03.json survived only as a
     # truncated tail capture ("parsed": null), so the dict is also

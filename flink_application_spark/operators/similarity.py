@@ -453,6 +453,140 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
+def ivf_candidates_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Deterministic IVF candidate generation + cosine scoring — the
+    ORACLE-REPLAYABLE index: centroids are SEEDED (embeddings of the
+    k smallest corpus vec_ids, `kmeans.init_centroids` — no RNG, no
+    float-iterated means), assignment is the argmin-d2 left-to-right
+    double fold (`kmeans.assign_clusters`, bit-equal to DuckDB's
+    list fold — proven hash-green by emb_ivf_recall_curve), probes
+    are the query's `n_probe` nearest centroids by the same d2 ranked
+    as one array_sort over literal-fold structs (the emb_ivfadc_topk
+    probe shape). Returns distinct (query_id, vec_id, cosine) with
+    cosine rounded to 6 — self-matches excluded.
+
+    Same scale shape as the trained `ivf_topk`: the corpus-side
+    inverted list never shuffles vectors, probes broadcast, the join
+    is equi on the list id. Trading the k-means trainer for a
+    deterministic seed costs recall (centroids aren't fitted), not
+    structure — the trained path stays `ivf_topk`/`train_centroids`
+    with its pytest recall contracts; THIS is the form the driver
+    gate can hash, the way emb_ivf_recall_curve already does."""
+    from flink_application_spark.operators.kmeans import (
+        assign_clusters,
+        init_centroids,
+    )
+    from flink_application_spark.operators.pq import d2_lit_sql
+
+    cents = init_centroids(corpus, n_centroids, "vec_id")
+    assigned = assign_clusters(corpus, cents).select(
+        "vec_id", "embedding", "cluster"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('d2', {d2_lit_sql('qv', c)}, 'cluster', {i})"
+            for i, c in enumerate(cents)
+        )
+        + ")"
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(F.slice(F.array_sort(cand_arr), 1, n_probe)).alias("p"),
+    ).select("query_id", "qv", F.col("p.cluster").alias("cluster"))
+    return (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+        .distinct()  # probe lists are distinct clusters, but keep the
+        # trained-path invariant explicit: one row per (query, vec)
+    )
+
+
+def ivf_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over the seeded deterministic IVF index (see
+    `ivf_candidates_seeded`) — same (query_id, vec_id, cosine, rank)
+    contract as `ivf_topk`/`brute_force_topk`, hash-reproducible in
+    DuckDB."""
+    return _topk_per_query(
+        ivf_candidates_seeded(
+            queries, corpus, n_centroids=n_centroids, n_probe=n_probe
+        ),
+        k,
+    )
+
+
+def knn_vote(topk: DataFrame, labels: DataFrame) -> DataFrame:
+    """Majority-vote aggregate over ANY (query_id, vec_id) retrieval
+    (ties → smallest label) — shared by the exact, trained-IVF, and
+    seeded-IVF classifier forms so swapping the retriever never
+    touches the vote logic."""
+    votes = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+def label_agreement(topk: DataFrame, labels: DataFrame) -> DataFrame:
+    """k-NN label-agreement audit aggregate over ANY (query_id,
+    vec_id) retrieval — retriever-agnostic twin core of
+    `label_noise_audit`."""
+    joined = topk.select("query_id", "vec_id").join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            )
+        ),
+        "query_id",
+    ).join(
+        F.broadcast(labels.select("vec_id", F.col("label").alias("nlabel"))),
+        "vec_id",
+    )
+    agg = joined.groupBy(
+        F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label")
+    ).agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)).alias(
+            "n_same_label"
+        )
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        "n_same_label",
+        (F.col("n_same_label") <= 1).alias("noise_candidate"),
+    )
+
+
 def retrieve_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -564,19 +698,7 @@ def knn_classify(
     retrieval swaps to ANN; recall of the composed path is pinned in
     tests/test_ivf.py (>= 0.9 prediction agreement vs brute force)."""
     topk = retrieve_topk(queries, corpus, k, use_ann=use_ann, **ann_kwargs)
-    votes = (
-        topk.join(F.broadcast(labels), "vec_id")
-        .groupBy("query_id", "label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("label").asc()
-    )
-    return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
-    )
+    return knn_vote(topk, labels)
 
 
 def label_noise_audit(
@@ -593,33 +715,8 @@ def label_noise_audit(
     The aggregate is retriever-agnostic — `use_ann=True` swaps the
     O(n²) scoring join for the IVF probe join with no other change
     (agreement vs exact pinned in tests/test_ivf.py)."""
-    topk = retrieve_topk(corpus, corpus, k, use_ann=use_ann, **ann_kwargs).select(
-        "query_id", "vec_id"
-    )
-    joined = topk.join(
-        F.broadcast(
-            labels.select(
-                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
-            )
-        ),
-        "query_id",
-    ).join(
-        F.broadcast(labels.select("vec_id", F.col("label").alias("nlabel"))),
-        "vec_id",
-    )
-    agg = joined.groupBy(
-        F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label")
-    ).agg(
-        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)).alias(
-            "n_same_label"
-        )
-    )
-    return agg.select(
-        "vec_id",
-        "label",
-        "n_same_label",
-        (F.col("n_same_label") <= 1).alias("noise_candidate"),
-    )
+    topk = retrieve_topk(corpus, corpus, k, use_ann=use_ann, **ann_kwargs)
+    return label_agreement(topk, labels)
 
 
 def contrastive_triplets(

@@ -32,13 +32,81 @@ from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.similarity import (
     contrastive_triplets,
     ivf_topk,
-    knn_classify,
-    label_noise_audit,
     mmr_rerank,
 )
 from flink_application_spark.plans.registry import register
 
 _ANN = dict(n_centroids=16, n_probe=4)
+
+# --- seeded-IVF oracle template ---------------------------------------------
+# Round-5 verdict item 3: four of the _ann twins are DETERMINISTIC
+# given a deterministic index, so they can carry a real DuckDB oracle
+# instead of a rows-only record. The registered entries below run the
+# SEEDED IVF index (operators/similarity.ivf_candidates_seeded:
+# centroids = embeddings of the k smallest corpus vec_ids, argmin-d2
+# assignment, d2-ranked probes — the emb_ivf_recall_curve machinery,
+# hash-green since r04) with the identical downstream aggregates; the
+# TRAINED-centroid path keeps its pytest recall/agreement contracts
+# (tests/test_ivf.py, tests/test_ann_twins.py) and its rows-only
+# registry entry (emb_ivf_ann_topk).
+
+_D2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _seeded_cand_cte(
+    query_pred: str, corpus_pred: str, n_centroids: int, n_probe: int
+) -> str:
+    """WITH-clause body producing `cand(query_id, vec_id, cosine)` —
+    the DuckDB replay of `ivf_candidates_seeded` (same seeding, same
+    d2 assignment/probe ranking with cluster-ascending tie-break, same
+    rounded cosine, self-matches excluded, DISTINCT)."""
+    return f"""
+e AS (
+  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c AS (SELECT vec_id, label, emb FROM e WHERE {corpus_pred}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cv
+  FROM c ORDER BY vec_id LIMIT {n_centroids}
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c.vec_id, cent.cluster,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_D2.format(a='c.emb', b='cent.cv')}, cent.cluster
+           ) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE {query_pred}),
+probes AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.query_id, q.qv, cent.cluster,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_D2.format(a='q.qv', b='cent.cv')}, cent.cluster
+           ) AS pr
+    FROM q CROSS JOIN cent
+  ) WHERE pr <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+         {_COS.format(a='p.qv', b='c.emb')} AS cosine
+  FROM probes p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN c ON c.vec_id = a.vec_id
+  WHERE c.vec_id <> p.query_id
+)"""
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,40 +121,81 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_cosine_topk_ann",
-    None,  # approximate → rows-only; agreement contracts in tests/test_ivf.py
+    f"""
+WITH {_seeded_cand_cte('vec_id < 5', 'TRUE', 16, 4)}
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM cand
+) WHERE rank <= 10
+""",
     doc="ANN twin of emb_cosine_topk_bruteforce: cosine top-10 for 5 "
     "query vectors through the IVF index (probe 4/16 inverted lists — "
     "the scoring join is equi on the list id, candidate set ~4× "
-    "smaller than the corpus). Full probe ≡ exact is oracle-checked "
-    "as emb_ivf_full_probe_exact; partial-probe recall contracts in "
-    "tests/test_ivf.py.",
+    "smaller than the corpus). Oracle-EXACT since round 6: the gate "
+    "entry runs the SEEDED deterministic index (ivf_candidates_seeded) "
+    "DuckDB replays bit-for-bit; the trained-centroid path keeps its "
+    "pytest contracts (full probe ≡ exact as emb_ivf_full_probe_exact, "
+    "partial-probe recall in tests/test_ivf.py).",
     tags=("similarity", "embeddings", "ann", "scale-twin"),
 )
 def q_cosine_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import ivf_topk_seeded
+
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, **_ANN)
+    return ivf_topk_seeded(emb.filter(F.col("vec_id") < 5), emb, k=10, **_ANN)
 
 
 @register(
     "emb_knn_classify_ann",
-    None,
+    f"""
+WITH {_seeded_cand_cte('vec_id < 10', 'vec_id >= 10', 16, 4)},
+topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rank
+    FROM cand
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT t.query_id, lab.label, count(*) AS n_votes
+  FROM topk t JOIN e lab ON lab.vec_id = t.vec_id
+  GROUP BY t.query_id, lab.label
+)
+SELECT query_id, label AS predicted_label, n_votes FROM (
+  SELECT query_id, label, n_votes,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_votes DESC, label ASC
+         ) AS rn
+  FROM votes
+) WHERE rn = 1
+""",
     doc="ANN twin of emb_knn_classify: the identical majority-vote "
     "aggregate over the IVF retriever instead of the O(|Q|·|C|) "
-    "scoring join. ≥ 0.9 prediction agreement vs brute force on "
-    "clustered data pinned in tests/test_ivf.py "
+    "scoring join. Oracle-EXACT since round 6 via the seeded "
+    "deterministic index; trained-path ≥ 0.9 prediction agreement "
+    "stays pinned in tests/test_ivf.py "
     "(test_knn_classify_ann_agreement).",
     tags=("similarity", "embeddings", "knn", "ann", "scale-twin"),
 )
 def q_knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import (
+        ivf_topk_seeded,
+        knn_vote,
+    )
+
     emb = _emb(spark, sf_dir)
-    return knn_classify(
+    topk = ivf_topk_seeded(
         emb.filter(F.col("vec_id") < 10),
         emb.filter(F.col("vec_id") >= 10),
-        emb.select("vec_id", "label"),
         k=5,
-        use_ann=True,
         **_ANN,
     )
+    return knn_vote(topk, emb.select("vec_id", "label"))
 
 
 @register(
@@ -136,39 +245,70 @@ def q_contrastive_triplets_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_label_noise_knn_ann",
-    None,
+    f"""
+WITH {_seeded_cand_cte('TRUE', 'TRUE', 16, 4)},
+topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rank
+    FROM cand
+  ) WHERE rank <= 5
+)
+SELECT ql.vec_id AS vec_id, ql.label AS label,
+       CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) <= 1
+         AS noise_candidate
+FROM topk t
+JOIN e ql ON ql.vec_id = t.query_id
+JOIN e nl ON nl.vec_id = t.vec_id
+GROUP BY ql.vec_id, ql.label
+""",
     doc="ANN twin of emb_label_noise_knn: the label-agreement audit "
     "with the FULL corpus as the query set over the IVF retriever — "
     "the configuration where the exact form's O(n²) join hurts most "
-    "at scale. Audit-flag agreement vs exact pinned in "
+    "at scale. Oracle-EXACT since round 6 via the seeded deterministic "
+    "index; trained-path audit-flag agreement vs exact stays pinned in "
     "tests/test_ann_twins.py.",
     tags=("embeddings", "labels", "quality", "ann", "scale-twin"),
 )
 def q_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return label_noise_audit(
-        emb, emb.select("vec_id", "label"), k=5, use_ann=True, **_ANN
+    from flink_application_spark.operators.similarity import (
+        ivf_topk_seeded,
+        label_agreement,
     )
+
+    emb = _emb(spark, sf_dir)
+    topk = ivf_topk_seeded(emb, emb, k=5, **_ANN)
+    return label_agreement(topk, emb.select("vec_id", "label"))
 
 
 @register(
     "emb_radius_search_ann",
-    None,
+    f"""
+WITH {_seeded_cand_cte('vec_id < 5', 'TRUE', 16, 4)}
+SELECT query_id, vec_id, cosine FROM cand WHERE cosine >= 0.25
+""",
     doc="ANN twin of emb_radius_search: the same cosine ≥ 0.25 radius "
     "filter over IVF probe candidates (equi-join on list id) instead "
     "of the query×corpus product. Structurally a SUBSET of the exact "
-    "result (the radius filter applies to a candidate subset); "
-    "ann ⊆ exact and full-probe ≡ exact pinned in "
-    "tests/test_ann_twins.py.",
+    "result (the radius filter applies to a candidate subset) — "
+    "pinned on driver data in tests/test_ann_twins.py. Oracle-EXACT "
+    "since round 6 via the seeded deterministic index; the "
+    "trained-path ann ⊆ exact / full-probe ≡ exact contracts keep "
+    "their pytest pins.",
     tags=("similarity", "embeddings", "range-search", "ann", "scale-twin"),
 )
 def q_radius_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_application_spark.operators.similarity import radius_search
+    from flink_application_spark.operators.similarity import (
+        ivf_candidates_seeded,
+    )
 
     emb = _emb(spark, sf_dir)
-    return radius_search(
-        emb.filter(F.col("vec_id") < 5), emb, 0.25, use_ann=True, **_ANN
-    )
+    cand = ivf_candidates_seeded(emb.filter(F.col("vec_id") < 5), emb, **_ANN)
+    return cand.filter(F.col("cosine") >= 0.25)
 
 
 @register(

@@ -146,6 +146,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import doremi_queries  # noqa: F401  (late)
     from flink_application_spark.plans import opq_queries  # noqa: F401  (late)
     from flink_application_spark.plans import lr_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import nndescent_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
@@ -155,88 +156,82 @@ def _load_all() -> None:
 # queries. This list IS that window, curated explicitly (import order
 # alone can't express it once queries live in many modules).
 #
-# Round-5 rotation: rounds 1-4 drove 178 distinct queries to green
-# (union of CORRECTNESS_r01..r04 keys; r04 was 50/50 green). 44
-# registered queries had never been driver-sampled at window-fill time
-# — this window takes ALL of them (22 oracle-bearing first, then the
-# 22 rows-only entries, which get the driver's weaker rows-only
-# record: CEP automata, ANN twins, trained-codebook and PCA-projection
-# paths whose correctness is pinned by pytest instead of SQL), plus
-# the six round-5 additions registered before the window filled
-# (segment scrub + per-source profile, unicode-normalized ingest
-# parity pair, CDC chunking, pipe syntax). No re-confirmation slots
-# remain — the planned emb_pca_gram / codebook-path re-confirmations
-# were displaced by the additions; their touched implementations are
-# pinned by pytest (test_pca.py NULL-hardening, test_kmeans.py uniform
-# sampling) instead. After this round the sampled union is the ENTIRE
-# registry except emb_lsh_multiprobe_topk and
-# emb_multiprobe_recall_curve (added after the window filled;
-# two-scale local oracle evidence + recall-superset/monotonicity
-# tests — put them FIRST in the round-6 window), the three rows-only
-# LR-training entries emb_lr_train_profile / emb_lr_holdout_eval /
-# emb_lr_confusion (numpy bit-parity pinned in tests/test_lr.py), and
-# the oracle-bearing doc_dedup_keep_best_quality (two-scale local
-# parity green) — rotate all six into the round-6 window, multi-probe
-# pair first. Everything not listed keeps its import-order position.
+# Round-6 rotation (closing the loop on the round-5 verdict): after
+# r05 the driver-sampled union covered the whole registry except six
+# post-window-fill additions. This window front-loads those six
+# (multi-probe pair first, per the verdict), the three new NN-Descent
+# entries, the FIXED agg_approx_sketches (the one r05 red row —
+# array<double> price_quantiles crashed the driver canonicalizer; now
+# scalar p50/p95, plus a registry-wide complex-type schema gate in
+# tests/test_oracle_parity.py), and the four ANN twins CONVERTED from
+# rows-only to oracle-bearing (seeded deterministic IVF the oracle
+# replays — verdict item 3; the unverifiable surface shrinks 22→18).
+# The remaining 36 slots are re-confirmations, prioritized: the §2
+# CDR core (r01-only driver evidence, five rounds of refactors since),
+# the retrieval counterparts touched by this round's knn/label-noise
+# refactor, the MinHash/dedup flagship family (signature build was
+# collapsed late r05 without a driver re-run), and the composed
+# curation/audit flagships. Everything not listed keeps its
+# import-order position.
 SAMPLE_WINDOW = [
-    # never-driver-sampled, oracle-bearing (hash-checked rows)
-    "corpus_gate_attrition",
-    "corpus_mixture_materialized",
-    "corpus_shard_manifest",
-    "corpus_source_contamination_matrix",
-    "doc_chunk_exact_dedup_groups",
-    "doc_chunk_sliding_window",
-    "doc_rolling_hash",
-    "doc_top_vocab",
-    "doc_winnowing_shared_pairs",
-    "emb_label_noise_knn",
-    "emb_lsh_ndcg",
-    "emb_matryoshka_recall",
-    "emb_semdedup_cluster_stats",
-    "events_props_variant_stats",
-    "events_seasonal_baseline_anomaly",
-    "market_basket_part_pairs",
-    "semi_anti_join",
-    "set_ops_customers",
-    "source_boilerplate_ngrams",
-    "stats_price_discount_correlation",
-    "vocab_gini_concentration",
-    "vocab_zipf_slope",
-    # round-5 additions, sampled the round they were written
-    "doc_segment_dedup_scrub",
-    "doc_signal_correlations",
-    "events_funnel_time_to_convert",
-    "pipe_syntax_returnflag_stats",
-    "source_segment_dup_profile",
-    "doc_cdc_chunk_dedup_report",
-    # never-driver-sampled, rows-only (driver records row counts;
-    # value correctness pinned by pytest, see each entry's doc)
+    # never-driver-sampled (the six r05 post-window additions + the
+    # three NN-Descent entries)
+    "emb_lsh_multiprobe_topk",
+    "emb_multiprobe_recall_curve",
+    "doc_dedup_keep_best_quality",
+    "emb_lr_train_profile",
+    "emb_lr_holdout_eval",
+    "emb_lr_confusion",
+    "emb_knn_graph_nndescent",
+    "emb_knn_graph_recall",
+    "emb_nn_descent_convergence",
+    # the r05 red row, re-run after the scalar-projection fix
     "agg_approx_sketches",
-    "doc_bpe_token_counts",
-    "doc_compression_ratio",
-    "doc_simgraph_pagerank",
-    "doc_text_search_topk_ann",
-    "emb_contrastive_triplets_ann",
+    # rows-only → oracle-bearing conversions (seeded IVF oracles)
     "emb_cosine_topk_ann",
-    "emb_ivfadc_trained_topk",
-    "emb_kmeans_fit_profile",
     "emb_knn_classify_ann",
     "emb_label_noise_knn_ann",
-    "emb_mmr_diversified_topk_ann",
-    "emb_opq_pq_compare",
-    "emb_pca_top2_projection",
-    "emb_pca_top_component",
-    "emb_pq_trained_adc_topk",
     "emb_radius_search_ann",
-    "events_cep_clean_checkout",
-    "events_cep_error_burst_recovery",
-    "events_cep_funnel_matches",
-    "events_hll_user_rollup",
-    "vocab_bpe_learned_merges",
-    # (emb_pca_gram re-confirmation was displaced by the CDC report:
-    # its gram NULL-hardening is a fixture no-op with r01 driver
-    # evidence standing plus pytest parity; a first driver row for a
-    # new oracle query is worth more)
+    # re-confirmation: §2 CDR reference core (r01 evidence only)
+    "cdr_src_extended",
+    "cdr_exploded",
+    "cdr_exploded_udtf",
+    "cdr_dim_exploded",
+    "cdr_enrich_path_a",
+    "cdr_enrich_path_a_left",
+    "cdr_enrich_path_b",
+    "cdr_enrichment_full",
+    "cdr_generated_sample",
+    "cdr_dim_validity_intervals",
+    "cdr_enrich_path_b_asof",
+    # re-confirmation: retrieval counterparts of this round's refactor
+    "emb_knn_classify",
+    "emb_cosine_topk_bruteforce",
+    "emb_radius_search",
+    "emb_ivf_full_probe_exact",
+    "emb_ivf_recall_curve",
+    "emb_lsh_ann_topk",
+    # re-confirmation: MinHash/dedup flagship family
+    "doc_minhash_signatures",
+    "doc_near_dup_pairs_minhash_lsh",
+    "doc_lsh_recall_audit",
+    "doc_minhash_estimate_vs_exact",
+    "doc_jaccard_similarity_join",
+    "doc_dup_components",
+    "doc_dedup_canonical_near",
+    "doc_exact_dedup_groups",
+    "doc_dedup_keep_canonical",
+    "doc_dedup_pipeline_stats",
+    # re-confirmation: composed curation/audit flagships
+    "corpus_curation_funnel",
+    "doc_bigram_lm_score",
+    "doc_quality_scores",
+    "doc_hybrid_rrf_search",
+    "doc_containment_join",
+    "doc_bloom_dedup_audit",
+    "corpus_doremi_reweight",
+    "doc_stratified_sample_neyman",
+    "events_global_interval_join",
 ]
 
 

@@ -909,17 +909,30 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(approx_percentile) per return flag — one map-side-combinable "
     "shuffle regardless of key cardinality, constant memory per key "
     "vs O(distinct) for exact. The scale path for corpus statistics "
-    "where exact percentile_quantity_by_flag would spill.",
+    "where exact percentile_quantity_by_flag would spill. Quantiles "
+    "are projected to SCALAR p50/p95 columns — the driver's pandas "
+    "canonicalizer cannot hash array cells (r05 red row; the same "
+    "class as doc_hashing_trick_embedding in r02), and the registry "
+    "schema gate in tests/test_oracle_parity.py now bans complex "
+    "top-level output types for every registered query.",
     tags=("agg", "approx", "sketch"),
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_quantiles"),
+            q.alias("_q"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            "approx_parts",
+            F.element_at("_q", 1).alias("price_p50"),
+            F.element_at("_q", 2).alias("price_p95"),
         )
         .orderBy("l_returnflag")
     )

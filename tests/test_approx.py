@@ -30,9 +30,8 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         assert abs(row.approx_orders - e.orders) <= max(0.05 * e.orders, 2)
         assert abs(row.approx_parts - e.parts) <= max(0.05 * e.parts, 2)
         # quantiles ordered and within the observed value range
-        q50, q95 = row.price_quantiles
-        assert q50 <= q95
+        assert row.price_p50 <= row.price_p95
     lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
     for row in got.values():
-        assert lo <= row.price_quantiles[0] <= hi
-        assert lo <= row.price_quantiles[1] <= hi
+        assert lo <= row.price_p50 <= hi
+        assert lo <= row.price_p95 <= hi

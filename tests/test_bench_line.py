@@ -26,7 +26,12 @@ def _synthetic_result(names: list[str]) -> dict:
         "streaming_samples": 3,
         "streaming_aggregation": "median",
         "deltas_vs_prev_round": {n: -0.123 for n in names},
+        "deltas_vs_prev_round_normalized": {n: -0.123 for n in names},
         "deltas_prev_aggregation": "median",
+        "calib_tpch_q1_sec": 0.322,
+        "calib_write_sec": 1.234,
+        "machine_cpu_ratio_vs_prev": 1.253,
+        "machine_io_ratio_vs_prev": 1.107,
         "stream_events_per_sec": 27044.4,
         "stream_wall_sec": 3.698,
         "stream_events": 100000,
@@ -41,6 +46,7 @@ def _synthetic_result(names: list[str]) -> dict:
         "roll_proof_total_mb": 244.6,
         "roll_proof_files": 3,
         "roll_proof_wall_sec": 2.704,
+        "roll_proof_wall_sec_rerun": 2.698,
     }
 
 
@@ -48,10 +54,17 @@ def test_line_fits_tail_capture_at_current_headline_size():
     line = format_stdout_line(_synthetic_result(list(HEADLINE)))
     assert len(line) <= 1900, len(line)
     doc = json.loads(line)
-    # deltas are shed to BENCH_LOCAL; the required keys survive
+    # deltas + static methodology descriptors are shed to BENCH_LOCAL;
+    # the required keys survive
     assert "deltas_vs_prev_round" not in doc
+    assert "deltas_vs_prev_round_normalized" not in doc
+    assert "stream_sink" not in doc
     assert doc["metric"] == "headline_queries_total_wall"
     assert len(doc["queries"]) == len(HEADLINE)
+    # the calibration scalars must ride the stdout line (the whole
+    # point is that the driver's BENCH_r{N}.json records them)
+    assert doc["calib_tpch_q1_sec"] == 0.322
+    assert doc["machine_cpu_ratio_vs_prev"] == 1.253
 
 
 def test_headline_growth_headroom():

@@ -45,20 +45,20 @@ def test_no_hugeint_oracle_columns(con):
     assert not offenders, offenders
 
 
-def test_no_complex_typed_oracle_outputs(spark, sf_dir):
+def test_no_complex_typed_query_outputs(spark, sf_dir):
     """The DRIVER's canonicalization (pandas sort_values over all
-    columns) cannot hash array/map/struct cells — round 2's only
-    genuine red row (`doc_hashing_trick_embedding`, array<double>)
-    errored in the driver while the builder-side harness string-
-    normalized lists and stayed green. Oracle-bearing queries must
-    emit driver-hashable scalars only (serialize vectors to strings
-    or explode to rows)."""
+    columns) cannot hash array/map/struct cells — round 2's red row
+    (`doc_hashing_trick_embedding`, array<double>) AND round 5's
+    (`agg_approx_sketches`, array<double> price_quantiles) both died
+    on `TypeError: unhashable type: 'list'`. The driver canonicalizes
+    EVERY registered query's output — rows-only entries included — so
+    the ban covers the whole registry, not just oracle-bearing
+    queries (the r05 gap). Serialize vectors to strings, explode to
+    rows, or project array elements to scalar columns."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
     for name, spec in REGISTRY.items():
-        if spec.oracle is None:
-            continue
         df = spec.spark(spark, sf_dir)
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):

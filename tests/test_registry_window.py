@@ -21,31 +21,31 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-5 window contract: after this rotation the driver-sampled
-# union covers the ENTIRE registry — the non-negotiables are the
-# round-5 additions plus representatives of the never-before-sampled
-# oracle and rows-only families (the full window is pinned exactly by
+# Round-6 window contract: the non-negotiables are the six queries
+# that were still never-driver-sampled after round 5 (multi-probe
+# pair first per the verdict), the three NN-Descent additions, the
+# fixed agg_approx_sketches re-run, and the four rows-only → oracle
+# conversions (the full window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # round-5 additions, sampled the round they were written
-    "doc_segment_dedup_scrub",
-    "doc_signal_correlations",
-    "events_funnel_time_to_convert",
-    "pipe_syntax_returnflag_stats",
-    "source_segment_dup_profile",
-    "doc_cdc_chunk_dedup_report",
-    # never-sampled oracle-bearing representatives
-    "corpus_source_contamination_matrix",
-    "doc_winnowing_shared_pairs",
-    "emb_matryoshka_recall",
-    "events_props_variant_stats",
-    "vocab_zipf_slope",
-    "semi_anti_join",
-    # never-sampled rows-only representatives (CEP, ANN twins,
-    # trained codebooks — driver gets at least a rows record)
-    "events_cep_funnel_matches",
-    "emb_ivfadc_trained_topk",
-    "emb_opq_pq_compare",
+    # never-sampled after round 5 (verdict item 2)
+    "emb_lsh_multiprobe_topk",
+    "emb_multiprobe_recall_curve",
+    "doc_dedup_keep_best_quality",
+    "emb_lr_train_profile",
+    "emb_lr_holdout_eval",
+    "emb_lr_confusion",
+    # round-6 additions
+    "emb_knn_graph_nndescent",
+    "emb_knn_graph_recall",
+    "emb_nn_descent_convergence",
+    # the r05 red row, re-run after the scalar-projection fix
+    "agg_approx_sketches",
+    # rows-only → oracle-bearing conversions (verdict item 3)
+    "emb_cosine_topk_ann",
+    "emb_knn_classify_ann",
+    "emb_label_noise_knn_ann",
+    "emb_radius_search_ann",
 }
 
 
