@@ -11,11 +11,15 @@ queries probe `n_probe` lists, the scoring join is equi on the list id
 — no cross product anywhere. These twins are the entries a 100 TB
 deployment runs; the exact forms become explicit oracles/baselines.
 
-Verification split (the `emb_ivf_ann_topk` pattern the round-2 verdict
-endorsed): driver rows here are rows-only (approximate results have no
-SQL oracle), while the agreement contracts — full probe ≡ exact, and
-≥ 0.9 agreement at partial probe on clustered data — are pinned in
-tests/test_ivf.py and tests/test_ann_twins.py. On the driver's
+Verification split, tightened in round 6: four twins (cosine top-k,
+kNN classify, label-noise audit, radius search) now run a
+DETERMINISTIC seeded-centroid IVF index at the gate and carry exact
+DuckDB oracles (see `_seeded_cand_cte` below); the remaining twins
+(MMR, triplets, text-search — greedy/sequential downstream logic) stay
+rows-only. In BOTH cases the trained-centroid path's agreement
+contracts — full probe ≡ exact, and ≥ 0.9 agreement at partial probe
+on clustered data — are pinned in tests/test_ivf.py and
+tests/test_ann_twins.py. On the driver's
 embeddings table specifically, nearest neighbors do NOT concentrate
 (isotropic random vectors — measured within-label cosine ≈ cross-label
 ≈ 0), so partial-probe agreement there is bounded by the probe

@@ -32,6 +32,12 @@ from flink_application_spark.session import get_spark
 
 
 def audit_plan(plan: str) -> dict:
+    """String-based audit (legacy; kept for the `pushed` flag and as a
+    cross-check). CAVEAT the physical walk below exists to fix: plan
+    toString RE-PRINTS a persisted subtree at every InMemoryTableScan
+    referencing it, so a funnel that scans one cached frame 50 times
+    reads as 50× its true exchange count (round-5 verdict:
+    corpus_curation_funnel printed exch=306)."""
     return {
         "n_exchange": len(re.findall(r"\bExchange\b", plan))
         - len(re.findall(r"\bReusedExchange\b", plan)),
@@ -46,6 +52,80 @@ def audit_plan(plan: str) -> dict:
         and bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "reused": len(re.findall(r"\bReusedExchange\b", plan)),
     }
+
+
+def physical_counts(jplan) -> dict:
+    """Count operators by walking the PHYSICAL tree — each plan node
+    counts exactly once, however many times toString would print it.
+
+    - a persisted subtree (InMemoryRelation.cachedPlan) is visited
+      once per DISTINCT relation (structural equality — the same
+      semantics Spark's cache manager dedupes by), not once per scan;
+    - AQE wrappers are transparent: AdaptiveSparkPlanExec descends
+      into its final plan (initial plan when never executed),
+      QueryStageExec wrappers into their materialized subtree;
+    - ReusedExchange/ReusedSubquery are counted as `reused` and not
+      descended (their target was counted at its original site);
+    - scalar-subquery plans hang off node.subqueries(), visited once
+      per owning node.
+    """
+    counts = {
+        "n_exchange": 0,
+        "n_bhj": 0,
+        "n_smj": 0,
+        "n_nlj": 0,
+        "n_cartesian": 0,
+        "wsc": 0,
+        "reused": 0,
+    }
+    seen_cached: list = []  # JVM InMemoryRelation handles (equals() dedupe)
+
+    def visit(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            for meth in ("finalPhysicalPlan", "executedPlan", "initialPlan"):
+                try:
+                    visit(getattr(node, meth)())
+                    return
+                except Exception:  # noqa: BLE001  (not yet executed)
+                    continue
+            return
+        if cls.endswith("QueryStageExec"):
+            visit(node.plan())
+            return
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            counts["reused"] += 1
+            return
+        if cls == "ShuffleExchangeExec":
+            counts["n_exchange"] += 1
+        elif cls == "BroadcastHashJoinExec":
+            counts["n_bhj"] += 1
+        elif cls == "SortMergeJoinExec":
+            counts["n_smj"] += 1
+        elif cls == "BroadcastNestedLoopJoinExec":
+            counts["n_nlj"] += 1
+        elif cls == "CartesianProductExec":
+            counts["n_cartesian"] += 1
+        elif cls == "WholeStageCodegenExec":
+            counts["wsc"] += 1
+        elif cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            if not any(rel.equals(r) for r in seen_cached):
+                seen_cached.append(rel)
+                visit(rel.cachedPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            visit(ch.apply(i))
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                visit(sq.apply(i))
+        except Exception:  # noqa: BLE001
+            pass
+
+    visit(jplan)
+    return counts
 
 
 def main() -> int:
@@ -65,15 +145,18 @@ def main() -> int:
                 # collect() finalizes THIS df's AdaptiveSparkPlan (a
                 # .write would spawn a separate QueryExecution)
                 df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
+            m = physical_counts(jplan)
         except Exception as e:  # noqa: BLE001
             print(f"{name:45s} ERROR {e}")
             continue
-        m = audit_plan(plan)
+        m["pushed"] = audit_plan(plan)["pushed"]
         rows.append((name, m))
         print(
             f"{name:45s} exch={m['n_exchange']:2d} bhj={m['n_bhj']:2d} "
-            f"smj={m['n_smj']:2d} nlj={m['n_nlj']:2d} wsc={m['wsc']:2d} "
+            f"smj={m['n_smj']:2d} nlj={m['n_nlj']:2d} "
+            f"cart={m['n_cartesian']:2d} wsc={m['wsc']:2d} "
             f"reused={m['reused']:2d} pushed={'y' if m['pushed'] else '-'}"
         )
     tot = len(rows)

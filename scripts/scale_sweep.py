@@ -90,6 +90,57 @@ OPS = {
     "quality_score_scan": op_quality_gate,
 }
 
+# ANN flagship queries swept on replicated EMBEDDINGS (round-5 verdict
+# item 8). Replicas shift vec_id by the stride; vectors are left
+# identical across replicas — retrieval/index COST scales with corpus
+# row count regardless of vector values (assignment, probe join, ADC
+# table lookups are all per-row), and unlike the text dedup ops nothing
+# here pair-joins duplicates, so identical vectors cannot degenerate
+# the plan. The registered query runs VERBATIM against a temp sf_dir
+# holding the replicated table, so the sweep times exactly what the
+# driver gate runs (trained codebooks + probe equi-join + ADC top-k /
+# multi-probe bucket join).
+EMB_QUERIES = ["emb_ivfadc_trained_topk", "emb_lsh_multiprobe_topk"]
+
+
+def replicate_emb(emb: DataFrame, r: int) -> DataFrame:
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * _STRIDE))
+        for i in range(r)
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def sweep_emb_queries(spark, sf_dir: str, replicas: list[int]) -> dict:
+    import shutil
+    import tempfile
+
+    from flink_application_spark.catalog import register_views
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    results: dict[str, dict[int, float]] = {name: {} for name in EMB_QUERIES}
+    root = tempfile.mkdtemp(prefix="scale_sweep_emb_")
+    try:
+        for r in replicas:
+            rep_dir = f"{root}/x{r}"
+            replicate_emb(emb, r).write.parquet(f"{rep_dir}/embeddings.parquet")
+            for name in EMB_QUERIES:
+                spec = REGISTRY_GET(name)
+                if r == replicas[0]:
+                    spec.spark(spark, rep_dir).count()  # warm codegen
+                t0 = time.time()
+                n = spec.spark(spark, rep_dir).count()
+                dt = round(time.time() - t0, 3)
+                results[name][r] = dt
+                print(
+                    f"{name:26s} x{r}: {dt:7.3f} s  (result rows {n})",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return results
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -115,6 +166,7 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             results[name][r] = dt
             print(f"{name:26s} x{r}: {dt:7.3f} s  (result rows {n})", flush=True)
+    results.update(sweep_emb_queries(spark, sf_dir, replicas))
     summary = {
         name: {
             "walls": walls,

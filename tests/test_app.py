@@ -100,3 +100,121 @@ def test_streaming_size_rolled_sink_via_config(spark, app_dirs, tmp_path):
     assert max(os.path.getsize(f) for f in files) <= 64 * 1024 * 1.25
     assert glob.glob(str(tmp_path / "out" / "_batch=*" / "event_date=*"))
     assert spark.read.parquet(sink["path"]).count() > 0
+
+
+def test_hocon_parser_reads_reference_flink_conf_verbatim():
+    """The REFERENCE's actual config file (typesafe HOCON,
+    EnrichmentApp.java:38-43) parses without translation — every key
+    the reference reads is reachable at its HOCON path."""
+    from flink_application_spark.hocon import (
+        hocon_get,
+        parse_duration_ms,
+        parse_hocon_file,
+        parse_size,
+    )
+
+    conf = parse_hocon_file(
+        "/root/reference/src/main/resources/flink.conf"
+    )
+    assert hocon_get(conf, "checkpoint.interval") == 180000
+    assert hocon_get(conf, "job.parallelism") == 1
+    assert hocon_get(conf, "generator.rowsPerSecond") == 10
+    assert hocon_get(conf, "generator.imsiNotNullProbability") == 0.5
+    assert hocon_get(conf, "kafka.format") == "csv"
+    assert hocon_get(conf, "kafka.scan.startup.mode") == "latest-offset"
+    assert hocon_get(conf, "kafka.bootstrap.servers", "").startswith("kfk-")
+    assert hocon_get(conf, "imsi_msisdn.lookup.partial-cache.max-rows") == "100"
+    assert (
+        parse_duration_ms(
+            hocon_get(conf, "imsi_msisdn.lookup.partial-cache.expire-after-write")
+        )
+        == 60_000
+    )
+    assert hocon_get(conf, "ms_ip_exploded.lookup.partial-cache.max-rows") == "1000"
+    assert hocon_get(conf, "hdfs.partitionBy") == ["event_date", "probe"]
+    assert parse_size(hocon_get(conf, "hdfs.fileSize")) == 110 * 1024 * 1024
+    assert hocon_get(conf, "hdfs.checkpointLocation", "").startswith("hdfs://")
+
+
+def test_flink_conf_builds_and_runs_pipeline(spark, app_dirs, tmp_path):
+    """End-to-end flink.conf parity: the reference's config file,
+    loaded VERBATIM, translates to a runnable pipeline config — the
+    hermetic overrides swap only the env-blocked endpoints (live
+    Kafka/Postgres/HDFS) for local files; every other knob (partition
+    columns, 110 MB rolling size, cache TTLs, checkpoint interval)
+    comes from the reference's own file."""
+    from flink_application_spark.app import (
+        build_pipeline,
+        flink_conf_to_config,
+    )
+    from flink_application_spark.hocon import parse_hocon_file
+
+    conf = parse_hocon_file(
+        "/root/reference/src/main/resources/flink.conf"
+    )
+    cfg = flink_conf_to_config(
+        conf,
+        overrides={
+            "mode": "batch",
+            "source": {
+                "kafka": None,
+                "format": "parquet",
+                "path": str(app_dirs / "src"),
+            },
+            "dims": {
+                "imsi_msisdn": {"parquet_fallback": str(app_dirs / "imsi_msisdn")},
+                "ms_ip": {"parquet_fallback": str(app_dirs / "ms_ip")},
+            },
+            "dedup": {"gap": "36500 days", "watermark": "0 seconds"},
+        },
+    )
+    # translation carries the reference's own values
+    assert cfg["checkpoint_interval_ms"] == 180_000
+    assert cfg["parallelism"] == 1
+    assert cfg["sink"]["partition_by"] == ["event_date", "probe"]
+    assert cfg["sink"]["sink.rolling-policy.file-size"] == 110 * 1024 * 1024
+    assert cfg["dims"]["imsi_msisdn"]["cache_max_rows"] == 100
+    assert cfg["dims"]["imsi_msisdn"]["cache_ttl_ms"] == 60_000
+    assert cfg["dims"]["ms_ip_exploded"]["cache_max_rows"] == 1000
+    assert cfg["source"]["kafka"] is None  # override took
+    # and the pipeline built from it runs
+    out = build_pipeline(spark, cfg)
+    assert out.count() > 0
+    assert set(out.columns) >= {"imsi", "msisdn", "event_date", "probe"}
+
+
+def test_streaming_ttl_dims_via_config(spark, app_dirs, tmp_path):
+    """Dims with cache_ttl_ms (the flink.conf translation's output)
+    route streaming runs through the RefreshingDim foreachBatch path —
+    output matches the plain stream-static wiring on a static dim."""
+    cfg = {
+        "mode": "streaming",
+        "source": {"format": "parquet", "path": str(app_dirs / "src")},
+        "dims": {
+            "imsi_msisdn": {
+                "format": "jdbc",
+                "parquet_fallback": str(app_dirs / "imsi_msisdn"),
+                "cache_ttl_ms": 60_000,
+            },
+            "ms_ip": {
+                "format": "jdbc",
+                "parquet_fallback": str(app_dirs / "ms_ip"),
+            },
+        },
+        "dedup": {"gap": "36500 days"},
+        "sink": {
+            "format": "parquet",
+            "path": str(tmp_path / "out"),
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": None,  # availableNow
+            "name": "app_ttl_sink_test",
+        },
+    }
+    q = run(spark, cfg)
+    q.awaitTermination(300)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() > 0
+    assert set(back.columns) >= {"imsi", "msisdn", "event_date", "probe"}
+    # batch reference through the plain path
+    ref = run(spark, _cfg(app_dirs, "batch"))
+    assert back.count() == ref.count()

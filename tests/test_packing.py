@@ -1,0 +1,113 @@
+"""Invariants of the concat-then-chunk sequence packer
+(operators/packing.py) — the structural contracts the oracle hash
+can't see on its own."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_application_spark.operators.packing import packed_spans, packing_stats
+
+L = 64
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # lengths chosen to exercise: doc == bin, doc > 2 bins, tiny docs,
+    # a zero-token doc (must vanish), a NULL count (must vanish)
+    return _docs(
+        spark,
+        [
+            (1, 10),
+            (2, L),
+            (3, 3 * L + 7),
+            (4, 1),
+            (5, 0),
+            (6, None),
+            (7, 50),
+        ],
+    )
+
+
+def test_per_doc_spans_reassemble_document(spark, corpus):
+    spans = packed_spans(corpus, L)
+    per_doc = {
+        r.doc_id: sorted(
+            (s.doc_offset, s.span_len)
+            for s in spans.filter(F.col("doc_id") == r.doc_id).collect()
+        )
+        for r in corpus.filter(F.col("n_tokens") > 0).collect()
+    }
+    want = {r.doc_id: r.n_tokens for r in corpus.filter(F.col("n_tokens") > 0).collect()}
+    assert set(per_doc) == set(want)
+    for doc_id, pieces in per_doc.items():
+        # contiguous from 0, summing to the document's token count
+        pos = 0
+        for off, ln in pieces:
+            assert off == pos and ln > 0
+            pos += ln
+        assert pos == want[doc_id]
+
+
+def test_bins_tile_without_gap_or_overlap(spark, corpus):
+    spans = packed_spans(corpus, L).collect()
+    total = sum(s.span_len for s in spans)
+    by_bin: dict[int, list] = {}
+    for s in spans:
+        by_bin.setdefault(s.bin_id, []).append((s.bin_offset, s.span_len))
+    n_bins = max(by_bin) + 1
+    assert set(by_bin) == set(range(n_bins))  # no empty bin
+    for b, pieces in by_bin.items():
+        pos = 0
+        for off, ln in sorted(pieces):
+            assert off == pos, f"gap/overlap in bin {b}"
+            pos += ln
+        if b < n_bins - 1:
+            assert pos == L  # interior bins are exactly full
+        else:
+            assert 0 < pos <= L  # final bin holds the remainder
+    assert total == 10 + L + 3 * L + 7 + 1 + 50
+    # zero/NULL-token docs occupy nothing
+    assert {s.doc_id for s in spans} == {1, 2, 3, 4, 7}
+
+
+def test_two_phase_equals_single_phase_and_partitioning_invariant(spark, corpus):
+    a = sorted(tuple(r) for r in packed_spans(corpus, L, two_phase=True).collect())
+    b = sorted(tuple(r) for r in packed_spans(corpus, L, two_phase=False).collect())
+    assert a == b
+    c = sorted(
+        tuple(r)
+        for r in packed_spans(corpus.repartition(7), L, two_phase=True).collect()
+    )
+    assert a == c
+
+
+def test_stats_report(spark, corpus):
+    spans = packed_spans(corpus, L)
+    row = packing_stats(spans, L).collect()[0]
+    total = 10 + L + 3 * L + 7 + 1 + 50
+    import math
+
+    assert row.total_tokens == total
+    assert row.n_bins == math.ceil(total / L)
+    assert row.n_docs == 5
+    # doc 3 definitely crosses (3 bins); crossing count consistent
+    per_doc = spans.groupBy("doc_id").count().collect()
+    want_crossing = sum(1 for r in per_doc if r["count"] > 1)
+    assert row.docs_crossing == want_crossing
+    assert row.fill_ppm == (total * 1_000_000) // (row.n_bins * L)
+    assert row.crossing_ppm == (want_crossing * 1_000_000) // 5
+
+
+def test_seq_len_one_and_validation(spark):
+    docs = _docs(spark, [(1, 3)])
+    spans = packed_spans(docs, 1).collect()
+    assert len(spans) == 3
+    assert all(s.span_len == 1 for s in spans)
+    with pytest.raises(ValueError):
+        packed_spans(docs, 0)

@@ -76,24 +76,45 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_stratified_sample_neyman": 1,  # Neyman normalizer Σ(N_h·σ_h) 1-row append
     "doc_hybrid_rrf_search": 1,  # inherits doc_bm25_search's (N, avgdl) stats row
     "doc_lsh_recall_audit": 2,  # n_exact × n_verified × n_candidates 1-row combine
+    "emb_knn_graph_recall": 1,  # exact-graph totals × matched-edges 1-row combine
 }
+
+
+# Registry-wide ceiling on TRUE physical shuffle count per query
+# (scripts/plan_audit.physical_counts — one count per plan NODE, so a
+# funnel scanning one cached frame 50 times no longer reads as 50× its
+# real shuffles; round-5 verdict item 5). Round-6 measured state:
+# avg 2.2 exchanges, max 25 (doc_lsh_recall_audit — exact-vs-verified
+# recall audit legitimately combines two pair pipelines). A query
+# breaching 32 physical shuffles is a plan regression, not a new
+# feature.
+PHYSICAL_EXCHANGE_CEILING = 32
 
 
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
 def test_no_accidental_cartesian(spark, sf_dir, name):
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from scripts.plan_audit import physical_counts
+
     df = registry.REGISTRY_GET(name).spark(spark, sf_dir)
     plan = _physical(df)
+    counts = physical_counts(df._jdf.queryExecution().executedPlan())
+    assert counts["n_exchange"] <= PHYSICAL_EXCHANGE_CEILING, (
+        f"{name} plans {counts['n_exchange']} physical shuffles "
+        f"(ceiling {PHYSICAL_EXCHANGE_CEILING})"
+    )
     if name in INTENTIONALLY_QUADRATIC:
         return
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert counts["n_cartesian"] == 0, f"{name} plans a cartesian product"
     if name in SCALAR_SUBQUERY_BROADCAST:
         # NLJ allowed only as the 1-row scalar-subquery append; the build
         # side must be an aggregate, not a table scan.
-        assert plan.count("BroadcastNestedLoopJoin") <= SCALAR_SUBQUERY_BROADCAST[name], plan
+        assert counts["n_nlj"] <= SCALAR_SUBQUERY_BROADCAST[name], plan
         return
-    assert "BroadcastNestedLoopJoin" not in plan, (
-        f"{name} degraded to nested-loop join"
-    )
+    assert counts["n_nlj"] == 0, f"{name} degraded to nested-loop join"
 
 
 def test_pushdown_reaches_parquet_scan(spark, sf_dir):

@@ -46,6 +46,9 @@ MUST_BE_IN_WINDOW = {
     "emb_knn_classify_ann",
     "emb_label_noise_knn_ann",
     "emb_radius_search_ann",
+    # round-6 additions, sampled the round they were written
+    "corpus_pack_spans",
+    "corpus_pack_stats",
 }
 
 

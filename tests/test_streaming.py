@@ -458,3 +458,94 @@ def test_observed_metrics_per_microbatch(spark, cdr_parquet):
     assert progresses, "no progress carried observedMetrics"
     total = sum(p["observedMetrics"]["pipeline_metrics"]["n_rows"] for p in progresses)
     assert total == spark.table("observed_out").count()
+
+
+def test_dim_update_visible_within_ttl(spark, cdr_parquet, tmp_path):
+    """Flink lookup-cache TTL parity (flink.conf:37-38, round-5 verdict
+    item 7): with dims wired through RefreshingDim, a dimension UPDATE
+    becomes visible to a RUNNING query once the TTL expires — no
+    restart — while batches inside the TTL window keep serving the
+    cached generation (bounded dim load: ≤ one reload per TTL,
+    regardless of trigger cadence)."""
+    import time as _time
+
+    from flink_application_spark.streaming.pipeline import (
+        refreshing_enrichment_batch_fn,
+    )
+
+    dim_dir = tmp_path / "dim"
+    src_dir = tmp_path / "src"
+    new_imsi, new_msisdn = 111, 70000000001
+
+    # initial dim: does NOT know new_imsi
+    spark.createDataFrame(
+        [(222, 70000000002)], "imsi bigint, msisdn bigint"
+    ).write.parquet(str(dim_dir))
+    ms_ip = spark.read.parquet(str(cdr_parquet / "ms_ip"))
+
+    def _src_row(cdr_id):
+        return spark.sql(
+            f"""SELECT CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS start_time,
+                       'mo-probe' AS measuring_probe_name,
+                       CAST({new_imsi} AS BIGINT) AS imsi,
+                       CAST(NULL AS BIGINT) AS msisdn,
+                       ';10.0.0.1;' AS ms_ip_address,
+                       CAST({cdr_id} AS BIGINT) AS unique_cdr_id"""
+        )
+
+    _src_row(1).write.mode("append").parquet(str(src_dir))
+
+    now = [0.0]
+    collected: list[tuple[int, int | None]] = []  # (unique_cdr_id, msisdn)
+
+    def write_fn(df, batch_id):
+        collected.extend(
+            (r.unique_cdr_id, r.msisdn)
+            for r in df.select("unique_cdr_id", "msisdn").collect()
+        )
+
+    fn = refreshing_enrichment_batch_fn(
+        lambda: spark.read.parquet(str(dim_dir)),
+        lambda: ms_ip,
+        write_fn,
+        ttl_seconds=60.0,
+        path_a_how="left",  # unmatched imsi emits with NULL msisdn
+        clock_fn=lambda: now[0],
+    )
+    q = (
+        file_stream(spark, str(src_dir))
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def _wait_for(pred, timeout=120):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if pred():
+                    return
+                _time.sleep(0.5)
+            raise AssertionError(f"timed out; collected={collected}")
+
+        _wait_for(lambda: (1, None) in collected)
+
+        # dim UPDATE lands while the query runs; TTL not yet expired —
+        # the next batch must keep serving the cached generation
+        spark.createDataFrame(
+            [(new_imsi, new_msisdn)], "imsi bigint, msisdn bigint"
+        ).write.mode("append").parquet(str(dim_dir))
+        _src_row(2).write.mode("append").parquet(str(src_dir))
+        _wait_for(lambda: (2, None) in collected)
+        assert fn.imsi_dim.refresh_count == 1  # inside TTL: no reload
+
+        # clock passes the TTL → the update becomes visible to the
+        # SAME running query
+        now[0] = 61.0
+        _src_row(3).write.mode("append").parquet(str(src_dir))
+        _wait_for(lambda: (3, new_msisdn) in collected)
+        assert fn.imsi_dim.refresh_count == 2
+        assert (3, None) not in collected
+    finally:
+        q.stop()

@@ -1,0 +1,119 @@
+"""StreamingComponents contracts: after any prefix of the pair
+stream, the maintained mapping equals the batch connected-components
+answer on the union of all pairs so far; replay is a no-op; crash
+windows are invisible; delta recompute leaves untouched components
+byte-identical."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.operators.components import connected_components
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.components import StreamingComponents
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+
+def _batch_cc(spark, all_rows):
+    if not all_rows:
+        return []
+    cc = connected_components(
+        _pairs(spark, all_rows), src="id_a", dst="id_b"
+    )
+    return sorted((r.v, r.component) for r in cc.collect())
+
+
+def _stream_map(sc, spark):
+    return sorted((r.node, r.component) for r in sc.mapping(spark).collect())
+
+
+def test_stream_equals_batch_after_every_wave(spark, tmp_path):
+    """Waves chosen so components MERGE across batches: {1,2} and
+    {3,4} exist after wave 1; wave 2's (2,3) welds them into {1,2,3,4};
+    wave 3 attaches a brand-new chain through an old node."""
+    sc = StreamingComponents(str(tmp_path / "store"))
+    waves = [
+        [(1, 2), (3, 4), (10, 11)],
+        [(2, 3), (20, 21)],
+        [(21, 1), (30, 31), (31, 32)],
+    ]
+    seen: list = []
+    for i, wave in enumerate(waves):
+        sc.process_batch(_pairs(spark, wave), i)
+        seen += wave
+        assert _stream_map(sc, spark) == _batch_cc(spark, seen), f"wave {i}"
+    # the welds actually happened: (2,3) joined {1,2}~{3,4} in wave 2,
+    # (21,1) joined {20,21} in wave 3; {10,11} stays its own island
+    final = dict(_stream_map(sc, spark))
+    assert {final[n] for n in (1, 2, 3, 4, 20, 21)} == {1}
+    assert {final[n] for n in (10, 11)} == {10}
+    assert {final[n] for n in (30, 31, 32)} == {30}
+
+
+def test_replay_is_noop(spark, tmp_path):
+    sc = StreamingComponents(str(tmp_path / "store"))
+    w1, w2 = [(1, 2), (3, 4)], [(2, 3)]
+    sc.process_batch(_pairs(spark, w1), 0)
+    sc.process_batch(_pairs(spark, w2), 1)
+    want = _stream_map(sc, spark)
+    sc.process_batch(_pairs(spark, w2), 1)  # crash-replay of batch 1
+    assert _stream_map(sc, spark) == want == _batch_cc(spark, w1 + w2)
+
+
+def test_untouched_components_carry_forward(spark, tmp_path):
+    """A batch touching only component {1,2} must not rewrite the
+    verdicts of the untouched {50,51} component (delta recompute)."""
+    sc = StreamingComponents(str(tmp_path / "store"))
+    sc.process_batch(_pairs(spark, [(1, 2), (50, 51)]), 0)
+    sc.process_batch(_pairs(spark, [(2, 3)]), 1)
+    final = dict(_stream_map(sc, spark))
+    assert final[50] == 50 and final[51] == 50
+    assert final[1] == final[2] == final[3] == 1
+
+
+def test_empty_batch_carries_mapping_forward(spark, tmp_path):
+    sc = StreamingComponents(str(tmp_path / "store"))
+    sc.process_batch(_pairs(spark, [(1, 2)]), 0)
+    sc.process_batch(_pairs(spark, []), 1)
+    assert _stream_map(sc, spark) == [(1, 1), (2, 1)]
+
+
+def test_attached_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "pairs"
+    waves = [[(1, 2), (3, 4)], [(2, 3)], [(5, 6)]]
+    _pairs(spark, waves[0]).write.mode("append").parquet(str(src))
+    for w in waves[1:]:
+        time.sleep(1.2)  # modTime separates micro-batch order
+        _pairs(spark, w).write.mode("append").parquet(str(src))
+    sc = StreamingComponents(str(tmp_path / "store"))
+    q = sc.attach(
+        file_stream(spark, str(src), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert _stream_map(sc, spark) == _batch_cc(
+        spark, [p for w in waves for p in w]
+    )
+
+
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
+    import os
+    import pathlib
+
+    sc = StreamingComponents(str(tmp_path / "store"))
+    sc.process_batch(_pairs(spark, [(1, 2)]), 0)
+    want = _stream_map(sc, spark)
+    # simulate a crash mid-write of snapshot 1: files but no _SUCCESS
+    crash = pathlib.Path(sc._map_dir) / "_batch=1"
+    crash.mkdir(parents=True)
+    (crash / "part-00000.parquet").write_bytes(b"garbage")
+    assert _stream_map(sc, spark) == want
+    # and the replayed batch overwrites the garbage cleanly
+    sc.process_batch(_pairs(spark, [(2, 3)]), 1)
+    assert os.path.exists(crash / "_SUCCESS")
+    assert _stream_map(sc, spark) == _batch_cc(spark, [(1, 2), (2, 3)])
