@@ -148,6 +148,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import lr_queries  # noqa: F401  (late)
     from flink_application_spark.plans import nndescent_queries  # noqa: F401  (late)
     from flink_application_spark.plans import packing_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import bootstrap_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
@@ -230,13 +231,14 @@ SAMPLE_WINDOW = [
     "doc_hybrid_rrf_search",
     "doc_containment_join",
     "doc_bloom_dedup_audit",
-    "corpus_doremi_reweight",
-    # round-6 additions (sequence packing), sampled the round they
-    # were written — displacing the doc_stratified_sample_neyman /
-    # events_global_interval_join re-confirmations (both r04-green,
+    # round-6 additions (sequence packing + bootstrap CI), sampled the
+    # round they were written — displacing the
+    # doc_stratified_sample_neyman / events_global_interval_join /
+    # corpus_doremi_reweight re-confirmations (all r04-green,
     # untouched since)
     "corpus_pack_spans",
     "corpus_pack_stats",
+    "source_quality_bootstrap_ci",
 ]
 
 

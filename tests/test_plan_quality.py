@@ -77,6 +77,7 @@ SCALAR_SUBQUERY_BROADCAST = {
     "doc_hybrid_rrf_search": 1,  # inherits doc_bm25_search's (N, avgdl) stats row
     "doc_lsh_recall_audit": 2,  # n_exact × n_verified × n_candidates 1-row combine
     "emb_knn_graph_recall": 1,  # exact-graph totals × matched-edges 1-row combine
+    "corpus_pack_stats": 1,  # bin-totals × doc-crossing 1-row combine
 }
 
 

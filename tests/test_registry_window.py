@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = {
     # round-6 additions, sampled the round they were written
     "corpus_pack_spans",
     "corpus_pack_stats",
+    "source_quality_bootstrap_ci",
 }
 
 
