@@ -205,6 +205,29 @@ def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     return spark.read.format(fmt).load(src["path"])
 
 
+def generator_kwargs(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Map a config's `generator` block (the flink.conf translation
+    keeps the reference's own key names, flink.conf:4-11) onto
+    `sources.generator.synthesize_cdr` keyword arguments, so the
+    reference's generator job runs with ITS configured distributions:
+
+        kw = generator_kwargs(load_config("flink.conf"))
+        batch_cdr(spark, dim, n_rows=1000, **kw)              # bounded
+        stream_cdr(spark, dim, rows_per_second=rps, **kw)     # S7 shape
+    """
+    g = cfg.get("generator", {})
+    out: dict[str, Any] = {}
+    if "imsiNotNullProbability" in g:
+        out["imsi_not_null_p"] = float(g["imsiNotNullProbability"])
+    if "msisdnNotNullProbability" in g:
+        out["msisdn_not_null_p"] = float(g["msisdnNotNullProbability"])
+    if "startTime_min" in g:
+        out["start_min_ms"] = int(g["startTime_min"])
+    if "startTime_max" in g:
+        out["start_max_ms"] = int(g["startTime_max"])
+    return out
+
+
 def _load_dim(spark: SparkSession, spec: str | dict[str, Any]) -> DataFrame:
     """A dim is a parquet path (JSON-config shorthand) or a spec dict
     (the flink.conf translation): format jdbc → the S2/S3 builder,

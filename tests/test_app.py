@@ -218,3 +218,43 @@ def test_streaming_ttl_dims_via_config(spark, app_dirs, tmp_path):
     # batch reference through the plain path
     ref = run(spark, _cfg(app_dirs, "batch"))
     assert back.count() == ref.count()
+
+
+def test_generator_runs_with_reference_flink_conf_distributions(spark):
+    """The reference generator job's own config block (flink.conf:4-11)
+    drives our generator: probabilities and timestamp bounds flow
+    through generator_kwargs, and the synthesized corpus respects
+    them."""
+    from flink_application_spark.app import flink_conf_to_config, generator_kwargs
+    from flink_application_spark.hocon import parse_hocon_file
+    from flink_application_spark.sources.generator import batch_cdr
+
+    cfg = flink_conf_to_config(
+        parse_hocon_file("/root/reference/src/main/resources/flink.conf")
+    )
+    kw = generator_kwargs(cfg)
+    assert kw == {
+        "imsi_not_null_p": 0.5,
+        "msisdn_not_null_p": 0.1,
+        "start_min_ms": 1653475440000,
+        "start_max_ms": 1779705840000,
+    }
+    dim = spark.createDataFrame(
+        [(900000000000001 + i, 79000000000 + i, f"10.0.0.{i}") for i in range(20)],
+        "imsi bigint, msisdn bigint, ip string",
+    )
+    out = batch_cdr(spark, dim, n_rows=2000, **kw).cache()
+    n = out.count()
+    assert n == 2000
+    from pyspark.sql import functions as F
+
+    imsi_rate = out.filter(F.col("imsi").isNotNull()).count() / n
+    msisdn_rate = out.filter(F.col("msisdn").isNotNull()).count() / n
+    assert abs(imsi_rate - 0.5) < 0.08
+    assert abs(msisdn_rate - 0.1) < 0.05
+    lo, hi = out.agg(F.min("start_time"), F.max("start_time")).first()
+    import datetime
+
+    assert lo >= datetime.datetime.utcfromtimestamp(1653475440000 / 1000)
+    assert hi <= datetime.datetime.utcfromtimestamp(1779705840000 / 1000)
+    out.unpersist()

@@ -117,3 +117,35 @@ def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
     sc.process_batch(_pairs(spark, [(2, 3)]), 1)
     assert os.path.exists(crash / "_SUCCESS")
     assert _stream_map(sc, spark) == _batch_cc(spark, [(1, 2), (2, 3)])
+
+
+def test_composed_streaming_canonical_dedup(spark, sf_dir, tmp_path):
+    """End-to-end streaming corpus dedup: the incremental near-dup
+    index emits pairs per batch, StreamingComponents folds them into
+    cross-batch duplicate groups, and canonical = min doc_id per
+    group — after the last wave this must equal the whole batch
+    pipeline (LSH pairs → connected components → min-id canonical) on
+    the full corpus."""
+    from flink_application_spark.catalog import register_views
+    from flink_application_spark.operators.minhash import verified_near_dup_pairs
+    from flink_application_spark.streaming.dedup_index import NearDupIndex
+
+    docs = register_views(spark, sf_dir, tables=("documents",))[
+        "documents"
+    ].select("doc_id", "text")
+    waves = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    idx = NearDupIndex(str(tmp_path / "index"), threshold=0.5)
+    sc = StreamingComponents(str(tmp_path / "components"))
+    for i, wave in enumerate(waves):
+        idx.process_batch(wave, i)
+        sc.process_batch(idx.batch_pairs(spark, i), i)
+
+    stream_canonical = dict(_stream_map(sc, spark))
+
+    batch_pairs = verified_near_dup_pairs(docs, threshold=0.5)
+    batch_cc = connected_components(batch_pairs, src="id_a", dst="id_b")
+    batch_canonical = {r.v: r.component for r in batch_cc.collect()}
+    assert stream_canonical == batch_canonical
+    assert stream_canonical  # the corpus actually has near-dup groups
