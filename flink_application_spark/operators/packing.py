@@ -83,6 +83,7 @@ def packed_spans(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     two_phase: bool = True,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Plan the concat-then-chunk packing of `docs` (one row per doc
     with a token count) into fixed `seq_len` bins. Documents
@@ -100,9 +101,17 @@ def packed_spans(
     concatenate to the document; per-bin spans tile [0, seq_len)
     without gap or overlap (the last bin may be short); output is
     independent of input partitioning; ``two_phase`` True/False are
-    bit-identical."""
+    bit-identical.
+
+    ``base_offset`` starts the concatenation at a global token offset
+    > 0 — the continuation hook the STREAMING packer uses to carry the
+    cursor across micro-batches (packing waves [A; B] equals packing A
+    then packing B at base_offset = tokens(A); associativity pinned in
+    tests/test_packing.py)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if base_offset < 0:
+        raise ValueError(f"base_offset must be >= 0, got {base_offset}")
     docs = docs.select(id_col, tokens_col).filter(F.col(tokens_col) > 0)
     if two_phase:
         with_off = _with_offsets_two_phase(docs, id_col, tokens_col)
@@ -110,6 +119,10 @@ def packed_spans(
         w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
         with_off = docs.withColumn(
             "_off", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+        )
+    if base_offset:
+        with_off = with_off.withColumn(
+            "_off", F.col("_off") + F.lit(base_offset).cast("bigint")
         )
     L = F.lit(seq_len).cast("bigint")
     # integer div (not float floor): offsets are exact BIGINTs and must

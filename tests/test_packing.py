@@ -111,3 +111,21 @@ def test_seq_len_one_and_validation(spark):
     assert all(s.span_len == 1 for s in spans)
     with pytest.raises(ValueError):
         packed_spans(docs, 0)
+
+
+def test_base_offset_associativity(spark):
+    """packing([A; B]) == packing(A) ∪ packing(B at offset tokens(A))
+    — the property the streaming packer's one-number cursor state
+    relies on."""
+    a_rows = [(1, 10), (2, L), (3, 3 * L + 7)]
+    b_rows = [(4, 1), (6, 50), (7, 90)]
+    whole = sorted(
+        tuple(r) for r in packed_spans(_docs(spark, a_rows + b_rows), L).collect()
+    )
+    part_a = packed_spans(_docs(spark, a_rows), L)
+    tok_a = sum(n for _, n in a_rows)
+    part_b = packed_spans(_docs(spark, b_rows), L, base_offset=tok_a)
+    split = sorted(tuple(r) for r in part_a.collect()) + sorted(
+        tuple(r) for r in part_b.collect()
+    )
+    assert whole == sorted(split)

@@ -1,0 +1,101 @@
+"""PackingStream contracts: streaming concat-then-chunk over ordered
+waves equals the batch packer on the union; replay is a no-op; the
+cursor is the only cross-batch state; crash-partial commits are
+invisible."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.operators.packing import packed_spans
+from flink_application_spark.sources.streams import file_stream
+from flink_application_spark.streaming.packing import PackingStream
+
+L = 64
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+
+_WAVES = [
+    [(1, 10), (2, L), (3, 3 * L + 7)],
+    [(4, 1), (5, 0), (6, 50)],
+    [(7, 90), (8, 30)],
+]
+
+
+def _batch_rows(spark, waves):
+    all_rows = [r for w in waves for r in w]
+    return sorted(
+        tuple(r) for r in packed_spans(_docs(spark, all_rows), L).collect()
+    )
+
+
+def _stream_rows(ps, spark):
+    return sorted(tuple(r) for r in ps.spans(spark).collect())
+
+
+def test_stream_equals_batch_and_base_offset_associativity(spark, tmp_path):
+    ps = PackingStream(str(tmp_path / "store"), L)
+    for i, wave in enumerate(_WAVES):
+        ps.process_batch(_docs(spark, wave), i)
+    assert _stream_rows(ps, spark) == _batch_rows(spark, _WAVES)
+    total = sum(n for w in _WAVES for (_, n) in w if n)
+    assert ps.cursor(spark) == total
+
+
+def test_replay_is_noop(spark, tmp_path):
+    ps = PackingStream(str(tmp_path / "store"), L)
+    ps.process_batch(_docs(spark, _WAVES[0]), 0)
+    ps.process_batch(_docs(spark, _WAVES[1]), 1)
+    want = _stream_rows(ps, spark)
+    cur = ps.cursor(spark)
+    ps.process_batch(_docs(spark, _WAVES[1]), 1)  # crash replay
+    assert _stream_rows(ps, spark) == want
+    assert ps.cursor(spark) == cur
+
+
+def test_empty_batch_advances_nothing(spark, tmp_path):
+    ps = PackingStream(str(tmp_path / "store"), L)
+    ps.process_batch(_docs(spark, _WAVES[0]), 0)
+    cur = ps.cursor(spark)
+    ps.process_batch(_docs(spark, []), 1)
+    assert ps.cursor(spark) == cur
+    ps.process_batch(_docs(spark, _WAVES[1]), 2)
+    assert _stream_rows(ps, spark) == _batch_rows(spark, _WAVES[:2])
+
+
+def test_attached_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "docs"
+    # one FILE per wave (coalesce): maxFilesPerTrigger=1 makes each
+    # file a batch, and a multi-part wave would split into batches in
+    # file-listing order, scrambling the doc order within the wave
+    _docs(spark, _WAVES[0]).coalesce(1).write.mode("append").parquet(str(src))
+    for w in _WAVES[1:]:
+        time.sleep(1.2)
+        _docs(spark, w).coalesce(1).write.mode("append").parquet(str(src))
+    ps = PackingStream(str(tmp_path / "store"), L)
+    q = ps.attach(
+        file_stream(spark, str(src), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert _stream_rows(ps, spark) == _batch_rows(spark, _WAVES)
+
+
+def test_crash_partial_commit_invisible(spark, tmp_path):
+    import pathlib
+
+    ps = PackingStream(str(tmp_path / "store"), L)
+    ps.process_batch(_docs(spark, _WAVES[0]), 0)
+    cur = ps.cursor(spark)
+    for sub in ("cursor", "spans"):
+        crash = pathlib.Path(ps.store_dir) / sub / "_batch=1"
+        crash.mkdir(parents=True)
+        (crash / "part-00000.parquet").write_bytes(b"garbage")
+    assert ps.cursor(spark) == cur
+    ps.process_batch(_docs(spark, _WAVES[1]), 1)  # overwrites the garbage
+    assert _stream_rows(ps, spark) == _batch_rows(spark, _WAVES[:2])
