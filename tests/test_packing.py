@@ -129,3 +129,57 @@ def test_base_offset_associativity(spark):
         tuple(r) for r in part_b.collect()
     )
     assert whole == sorted(split)
+
+
+def test_packing_invariants_property(spark):
+    """Hypothesis sweep: for arbitrary token-count multisets and seq
+    lengths, a pure-Python reference packer agrees with packed_spans
+    row for row, and the split-anywhere associativity holds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(0, 200), min_size=0, max_size=12),
+        st.integers(1, 100),
+        st.integers(0, 11),
+    )
+    def run(lengths, seq_len, split_at):
+        rows = [(i + 1, n) for i, n in enumerate(lengths)]
+        # python reference: concat in id order, cut every seq_len
+        expect = []
+        off = 0
+        for doc_id, n in rows:
+            if n <= 0:
+                continue
+            pos = 0
+            while pos < n:
+                b = (off + pos) // seq_len
+                take = min(n - pos, (b + 1) * seq_len - (off + pos))
+                expect.append(
+                    (b, doc_id, pos, (off + pos) - b * seq_len, take)
+                )
+                pos += take
+            off += n
+        got = sorted(
+            tuple(r) for r in packed_spans(_docs(spark, rows), seq_len).collect()
+        )
+        assert got == sorted(expect), (lengths, seq_len)
+        # associativity at an arbitrary split point
+        a, b = rows[:split_at], rows[split_at:]
+        tok_a = sum(n for _, n in a if n > 0)
+        joined = sorted(
+            tuple(r) for r in packed_spans(_docs(spark, a), seq_len).collect()
+        ) + sorted(
+            tuple(r)
+            for r in packed_spans(
+                _docs(spark, b), seq_len, base_offset=tok_a
+            ).collect()
+        )
+        assert sorted(joined) == got
+
+    run()
