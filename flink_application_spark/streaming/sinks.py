@@ -175,6 +175,44 @@ def compact_batches(
     return len(olds)
 
 
+def vacuum_snapshots(root: str, *, min_live_batch: int, keep_last: int = 1) -> int:
+    """Maintenance for SNAPSHOT stores (StreamingComponents' mapping,
+    PackingStream's cursor): each ``_batch=<id>`` there is a FULL
+    snapshot superseding every earlier one, so compaction is simply
+    deletion — keep the newest ``keep_last`` committed snapshots below
+    ``min_live_batch`` and drop the rest. (`compact_batches` is the
+    ADDITIVE-store fold; folding snapshots would double-count.)
+
+    Safety contract mirrors compact_batches: only batches the
+    streaming checkpoint has durably committed may be vacuumed — a
+    replayed live batch reads the latest snapshot strictly BEFORE
+    itself, so `min_live_batch` must be the query's last committed
+    batch id. Uncommitted (crash-partial) directories below the
+    horizon are dropped too — nothing can ever read them. Returns the
+    number of directories removed."""
+    import glob as _glob
+    import os
+    import shutil
+
+    snaps = []
+    for p in sorted(_glob.glob(os.path.join(root, "_batch=*"))):
+        try:
+            bid = int(os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < min_live_batch:
+            committed = os.path.exists(os.path.join(p, "_SUCCESS"))
+            snaps.append((bid, p, committed))
+    snaps.sort()
+    keep = {p for _, p, c in [s for s in snaps if s[2]][-keep_last:]}
+    removed = 0
+    for _, p, _c in snaps:
+        if p not in keep:
+            shutil.rmtree(p)
+            removed += 1
+    return removed
+
+
 class SizeCalibratedRoller:
     """foreachBatch writer that approximates a byte-size rolling policy
     (flink.conf:54-55: sink.rolling-policy.file-size = 110 MB).

@@ -149,3 +149,26 @@ def test_composed_streaming_canonical_dedup(spark, sf_dir, tmp_path):
     batch_canonical = {r.v: r.component for r in batch_cc.collect()}
     assert stream_canonical == batch_canonical
     assert stream_canonical  # the corpus actually has near-dup groups
+
+
+def test_vacuum_snapshots_keeps_answers_identical(spark, tmp_path):
+    """Snapshot vacuum drops superseded mapping generations (and
+    crash-partial garbage) without changing any answer a live or
+    replayed batch would read."""
+    import pathlib
+
+    from flink_application_spark.streaming.sinks import vacuum_snapshots
+
+    sc = StreamingComponents(str(tmp_path / "store"))
+    sc.process_batch(_pairs(spark, [(1, 2)]), 0)
+    sc.process_batch(_pairs(spark, [(2, 3)]), 1)
+    sc.process_batch(_pairs(spark, [(4, 5)]), 2)
+    # crash-partial dir below the horizon: vacuumable garbage
+    crash = pathlib.Path(sc._map_dir) / "_batch=1.5"  # non-int: ignored
+    want = _stream_map(sc, spark)
+    removed = vacuum_snapshots(sc._map_dir, min_live_batch=2, keep_last=1)
+    assert removed == 1  # snapshot 0 dropped; snapshot 1 kept (latest < 2)
+    assert _stream_map(sc, spark) == want
+    # a replay of live batch 2 still reads snapshot 1 and is a no-op
+    sc.process_batch(_pairs(spark, [(4, 5)]), 2)
+    assert _stream_map(sc, spark) == want
