@@ -89,7 +89,11 @@ def _ivfadc_spark(
             _DIM,
         )
     else:
-        # residual codebooks: the residuals of the k smallest ids, sliced
+        # residual codebooks: ARBITRARY DETERMINISTIC SEED, not a sample
+        # — the k-smallest-id residuals exist so the DuckDB oracle can
+        # reproduce the identical codebooks from a convention; they make
+        # no representativeness claim (the quality path above trains
+        # uniform-by-md5; round-5 verdict nit 4)
         seed_res = assigned.orderBy("vec_id").limit(_KC).select("residual").collect()
         books = [
             [

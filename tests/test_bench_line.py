@@ -30,8 +30,8 @@ def _synthetic_result(names: list[str]) -> dict:
         "deltas_prev_aggregation": "median",
         "calib_tpch_q1_sec": 0.322,
         "calib_write_sec": 1.234,
-        "machine_cpu_ratio_vs_prev": 1.253,
-        "machine_io_ratio_vs_prev": 1.107,
+        "cpu_ratio_vs_prev": 1.253,
+        "io_ratio_vs_prev": 1.107,
         "stream_events_per_sec": 27044.4,
         "stream_wall_sec": 3.698,
         "stream_events": 100000,
@@ -46,7 +46,7 @@ def _synthetic_result(names: list[str]) -> dict:
         "roll_proof_total_mb": 244.6,
         "roll_proof_files": 3,
         "roll_proof_wall_sec": 2.704,
-        "roll_proof_wall_sec_rerun": 2.698,
+        "roll_proof_wall2_sec": 2.698,
     }
 
 
@@ -64,7 +64,7 @@ def test_line_fits_tail_capture_at_current_headline_size():
     # the calibration scalars must ride the stdout line (the whole
     # point is that the driver's BENCH_r{N}.json records them)
     assert doc["calib_tpch_q1_sec"] == 0.322
-    assert doc["machine_cpu_ratio_vs_prev"] == 1.253
+    assert doc["cpu_ratio_vs_prev"] == 1.253
 
 
 def test_headline_growth_headroom():
