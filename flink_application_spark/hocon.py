@@ -136,11 +136,25 @@ def parse_hocon(text: str) -> dict[str, Any]:
             if m:  # inline object one-liner: key = { a = 1, b = 2 }
                 inner = m.group(2)[1:-1]
                 obj: dict[str, Any] = {}
-                for piece in re.split(r",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", inner):
+                # quote- AND bracket-aware comma split (arrays nest)
+                pieces, buf, in_str, depth = [], [], False, 0
+                for c in inner:
+                    if c == '"':
+                        in_str = not in_str
+                    elif not in_str and c == "[":
+                        depth += 1
+                    elif not in_str and c == "]":
+                        depth -= 1
+                    if c == "," and not in_str and depth == 0:
+                        pieces.append("".join(buf))
+                        buf = []
+                    else:
+                        buf.append(c)
+                pieces.append("".join(buf))
+                for piece in pieces:
                     piece = piece.strip()
                     if not piece:
                         continue
-                    k, _, v = re.split(r"\s*[:=]\s*", piece, maxsplit=1)[0], None, None
                     kv = re.split(r"\s*[:=]\s*", piece, maxsplit=1)
                     if len(kv) != 2:
                         raise ValueError(f"cannot parse inline object piece: {piece!r}")

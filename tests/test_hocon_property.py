@@ -120,3 +120,14 @@ def test_parse_duration_units(n, unit):
         unit
     ]
     assert parse_duration_ms(f"{n}{unit}") == n * mult
+
+
+def test_inline_object_one_liner():
+    """`key = { a = 1, b = "x, y" }` — the inline form the generated
+    round-trip never emits; commas inside quotes must not split."""
+    parsed = parse_hocon('kafka = { topic = "t, v2", retries = 3, on = true }')
+    assert parsed == {
+        "kafka": {"topic": "t, v2", "retries": 3, "on": True}
+    }
+    nested = parse_hocon('a = { b.c = 1, d = [1, 2] }')
+    assert nested == {"a": {"b": {"c": 1}, "d": [1, 2]}}
