@@ -43,7 +43,16 @@ FROM lm
     tags=("documents", "curriculum", "lm"),
 )
 def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.ranks import global_ntile
+
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
     scores = bigram_lm_scores(docs).select("doc_id", "mean_nll")
-    w = Window.orderBy(F.col("mean_nll").asc(), F.col("doc_id").asc())
-    return scores.withColumn("difficulty", F.ntile(_N_BUCKETS).over(w))
+    # distributed ntile (two-phase rank + the standard SQL bucket
+    # split) — the single-task global window doesn't survive a
+    # corpus-sized ranking; bucket values are identical
+    return global_ntile(
+        scores,
+        [F.col("mean_nll").asc(), F.col("doc_id").asc()],
+        _N_BUCKETS,
+        "difficulty",
+    )

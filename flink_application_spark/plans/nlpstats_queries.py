@@ -203,8 +203,14 @@ def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").asc(), F.col("tok").asc())
-    ranked = counts.withColumn("i", F.row_number().over(w))
+    from flink_application_spark.operators.ranks import global_row_number
+
+    # Gini needs EVERY rank (Σ i·c_i) — two-phase distributed rank
+    # instead of a single-task global window (vocab is ~1e8 terms at
+    # 100 TB); i values are identical, so the oracle hash is unchanged
+    ranked = global_row_number(
+        counts, [F.col("c").asc(), F.col("tok").asc()], "i"
+    )
     tot = counts.agg(
         F.count(F.lit(1)).alias("v"), F.sum("c").cast("bigint").alias("n")
     )

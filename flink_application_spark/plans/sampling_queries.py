@@ -61,10 +61,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (h + F.lit(1)) / F.lit(float(1 << 48))
     # + 0.0 folds IEEE −0.0 to +0.0 so both engines hash identically
     key = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
-    w = Window.orderBy(F.desc("es_key"), "doc_id")
-    return (
+    # TakeOrdered top-K first (distributed partial top-k — the global
+    # window form single-tasked the whole corpus); the rank window
+    # then runs over K rows only
+    top = (
         docs.filter(F.col("n_chars") > 0)
         .select("doc_id", "n_chars", key.alias("es_key"))
-        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("sample_rank") <= _K)
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_K)
     )
+    w = Window.orderBy(F.desc("es_key"), "doc_id")
+    return top.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))

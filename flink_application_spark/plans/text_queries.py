@@ -289,10 +289,14 @@ def q_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    # TakeOrdered, not a global window: at 100 TB the vocab is ~1e8
+    # terms and row_number() OVER (ORDER BY ...) sorts them in ONE
+    # task; orderBy+limit is a distributed top-k (per-partition heaps,
+    # driver merge of 50-row candidates). Same rows — the orderBy
+    # carries the identical total order incl. tie-break.
     return (
-        stats.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
+        stats.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(50)
         .select("token", "n_docs", "n_occurrences")
     )
 
