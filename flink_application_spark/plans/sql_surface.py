@@ -1678,11 +1678,10 @@ FROM (
     "count, lifetime cents (integer), each quartile-scored with "
     "ntile(4) and a deterministic custkey tie-break, composed into "
     "the classic 3-digit RFM code. One shuffle aggregates orders by "
-    "customer; the three global ntile windows run over the aggregate "
-    "(|customers| rows, not |orders|). At 100 TB you'd swap the "
-    "global ntile for percentile_approx boundary lookups to avoid "
-    "the single-partition sort — noted divergence, same buckets up "
-    "to ties.",
+    "customer; each quartile scoring runs as the two-phase "
+    "DISTRIBUTED ntile (operators/ranks.global_ntile — range "
+    "partition + broadcast base offsets; bit-equal to the window "
+    "form), so no single-task sort of |customers| survives at scale.",
     tags=("sql", "segmentation", "orders"),
 )
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,15 +1704,21 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = rfm.select(
-        "*",
-        F.ntile(4).over(W.orderBy("recency_days", "custkey")).alias("r_score"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), "custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary_cents").desc(), "custkey"))
-        .alias("m_score"),
+    from flink_application_spark.operators.ranks import global_ntile
+
+    rfm = rfm.persist()  # three ntile passes + their count/subtotal
+    # jobs must not re-aggregate orders each time
+    scored = global_ntile(
+        rfm, [F.col("recency_days").asc(), F.col("custkey").asc()], 4, "r_score"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("custkey").asc()], 4, "f_score"
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("monetary_cents").desc(), F.col("custkey").asc()],
+        4,
+        "m_score",
     )
     return scored.withColumn(
         "rfm_code",
