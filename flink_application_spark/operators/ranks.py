@@ -19,7 +19,14 @@ Output is bit-identical to the single-task window whenever the order
 is TOTAL (callers must include a unique tie-break column — every
 registry orderBy does): global rank is partitioning-independent by
 definition. Pinned in tests/test_ranks.py, including equality with
-the window form and invariance under input partitioning."""
+the window form and invariance under input partitioning.
+
+Siblings, kept separate on purpose: `operators/export._epoch_shards`
+(same two-phase rank, but persists the ranged intermediate and hands
+the cache handle back because its caller re-reads it for the shard
+write) and `operators/packing._with_offsets_two_phase` (prefix SUM
+rather than rank). All three share the pattern; their state/caching
+contracts differ."""
 
 from __future__ import annotations
 
