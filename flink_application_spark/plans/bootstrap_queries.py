@@ -96,30 +96,29 @@ FROM obs o JOIN ci c ON c.source = o.source
 """
 
 
-@register(
-    "source_quality_bootstrap_ci",
-    _ORACLE,
-    doc=f"Per-source 95% bootstrap CI on mean quality (integer ppm): "
-    f"{_B} deterministic Poisson(1) replicas from md5 inverse-CDF "
-    "integer thresholds — ONE corpus scan fans out to all replicas "
-    "(explode), the only shuffle carries |sources|×B partial sums, "
-    "and every sum is exact integer arithmetic. The uncertainty layer "
-    "under source_quality_wilson/corpus mixture planning: two sources "
-    "whose CIs overlap are NOT distinguishable at this corpus size, "
-    "whatever their point means say. Truncated-at-4 Poisson weights "
-    "are part of the scheme's definition (P(w≥5) ≈ 0.37%), identical "
-    "on both engines.",
-    tags=("documents", "quality", "statistics", "bootstrap", "audit"),
-)
-def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    scored = docs.filter(F.col("text").isNotNull()).select(
+def scored_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, qppm): integer-ppm quality per document — the
+    shared input of the batch query and the streaming monitor."""
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         F.floor(quality_score(F.col("text")) * 1000000 + 0.5)
         .cast("bigint")
         .alias("qppm"),
     )
+
+
+def bootstrap_partials(scored: DataFrame) -> DataFrame:
+    """Per-(source, replica) ADDITIVE partials: swq = Σ w·qppm,
+    sw = Σ w over the rows of `scored`, with the deterministic
+    md5-derived truncated-Poisson(1) weights. Replica -1 carries the
+    OBSERVED stats (w ≡ 1): swq = Σ qppm, sw = n_docs — so one
+    partial frame holds everything the CI report needs.
+
+    Additivity is the scale/streaming contract: partials from any
+    row-disjoint split of the corpus SUM to the whole corpus's
+    partials (exact integers — no float order anywhere), which makes
+    the streaming monitor's store a plain additive sketch."""
     u = F.conv(
         F.substring(
             F.md5(
@@ -138,24 +137,34 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = scored.select(
         "source",
         "qppm",
-        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(-1), F.lit(_B - 1))).alias("b"),
         "doc_id",
     ).select(
         "source",
         "qppm",
         "b",
-        F.when(u < _T[0], 0)
+        F.when(F.col("b") == -1, 1)  # observed pseudo-replica
+        .when(u < _T[0], 0)
         .when(u < _T[1], 1)
         .when(u < _T[2], 2)
         .when(u < _T[3], 3)
         .otherwise(4)
         .alias("w"),
     )
-    rep = weighted.groupBy("source", "b").agg(
+    return weighted.groupBy("source", "b").agg(
         F.sum(F.col("w") * F.col("qppm")).cast("bigint").alias("swq"),
         F.sum("w").cast("bigint").alias("sw"),
     )
-    means = rep.filter(F.col("sw") > 0).select(
+
+
+def ci_report(partials: DataFrame) -> DataFrame:
+    """Merged partials → the per-source CI report (same columns as
+    the registered query): observed n_docs/mean from replica -1, CI
+    bounds from the ranked replica means."""
+    merged = partials.groupBy("source", "b").agg(
+        F.sum("swq").alias("swq"), F.sum("sw").alias("sw")
+    )
+    means = merged.filter((F.col("b") >= 0) & (F.col("sw") > 0)).select(
         "source", "b", F.expr("swq div sw").alias("mean_ppm")
     )
     wrk = Window.partitionBy("source").orderBy("mean_ppm", "b")
@@ -179,10 +188,31 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ci_hi_ppm"),
         F.max("n").cast("bigint").alias("n_replicas"),
     )
-    obs = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("CAST(sum(qppm) AS BIGINT) div count(*)").alias("mean_ppm"),
+    obs = merged.filter(F.col("b") == -1).select(
+        "source",
+        F.col("sw").alias("n_docs"),
+        F.expr("swq div sw").alias("mean_ppm"),
     )
     return obs.join(ci, "source").select(
         "source", "n_docs", "mean_ppm", "ci_lo_ppm", "ci_hi_ppm", "n_replicas"
     )
+
+
+@register(
+    "source_quality_bootstrap_ci",
+    _ORACLE,
+    doc=f"Per-source 95% bootstrap CI on mean quality (integer ppm): "
+    f"{_B} deterministic Poisson(1) replicas from md5 inverse-CDF "
+    "integer thresholds — ONE corpus scan fans out to all replicas "
+    "(explode), the only shuffle carries |sources|×B partial sums, "
+    "and every sum is exact integer arithmetic. The uncertainty layer "
+    "under source_quality_wilson/corpus mixture planning: two sources "
+    "whose CIs overlap are NOT distinguishable at this corpus size, "
+    "whatever their point means say. Truncated-at-4 Poisson weights "
+    "are part of the scheme's definition (P(w≥5) ≈ 0.37%), identical "
+    "on both engines.",
+    tags=("documents", "quality", "statistics", "bootstrap", "audit"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    return ci_report(bootstrap_partials(scored_docs(docs)))
