@@ -18,7 +18,7 @@ exactness).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
 from flink_application_spark.plans.lm_queries import LM_SCORE_SQL, bigram_lm_scores
