@@ -4,16 +4,13 @@
 
 Composes the oracle-pinned LM scorer (`plans/lm_queries.py`): the
 difficulty signal is the corpus-trained bigram perplexity, bucketing
-is an ntile window over (score, doc_id) — fully ordered, hence
-deterministic across engines and partitionings. At 100 TB the global
-ntile sort is the one genuinely global operation; it sorts the SCORE
-table (doc_id + 2 numbers), never documents, and range partitioning
-keeps it parallel (Spark plans a RangePartitioning exchange, not a
-single-partition window, when the orderBy feeds a global sort first —
-here the quartile label is all we need, so the window's total order is
-the accepted cost of an exact global quantile split; the approximate
-alternative is percentile_approx bounds, traded here for oracle
-exactness).
+is ntile over (score, doc_id) — fully ordered, hence deterministic
+across engines and partitionings. Since round 6 the bucketing runs as
+the two-phase DISTRIBUTED ntile (`operators/ranks.global_ntile`:
+range partition + broadcast base offsets + local window — bit-equal
+to the single-task global window, which would otherwise funnel the
+score table through one task at corpus scale). It still only ever
+sorts the SCORE table (doc_id + 2 numbers), never documents.
 """
 
 from __future__ import annotations
