@@ -319,6 +319,18 @@ def calibration_probe(spark, sf_dir: str) -> dict:
     return {"calib_tpch_q1_sec": round(q1, 3), "calib_write_sec": round(w, 3)}
 
 
+def prev_aggregation(parsed: dict, round_no: int) -> str:
+    """Aggregation methodology of a prior bench artifact. The stdout
+    line (and therefore the driver's BENCH_r tail capture) sheds the
+    static 'aggregation' key, so its absence means "whatever that round
+    ran": min-of-2 only for r01/r02, median from r03 on (round-6
+    ADVICE — the old blanket 'min_of_2' fallback misreported a
+    median-vs-min methodology skew against any r03+ line artifact)."""
+    return parsed.get("aggregation") or (
+        "min_of_2" if round_no <= 2 else "median"
+    )
+
+
 def format_stdout_line(result: dict, limit: int = 1900) -> str:
     """The one machine-readable stdout line, guaranteed to fit the
     driver's 2000-char tail capture (rounds 3 AND 4 lost their parsed
@@ -492,9 +504,8 @@ def main() -> None:
                 io_ratio = round(
                     calib["calib_write_sec"] / parsed["calib_write_sec"], 3
                 )
-            # surface methodology skew: r01/r02 recorded min-of-2, so
-            # a median-vs-min delta reads high by construction
-            prev_agg = parsed.get("aggregation", "min_of_2")
+            # surface methodology skew (see prev_aggregation)
+            prev_agg = prev_aggregation(parsed, _round_key(fname)[0])
             break
         except (OSError, ValueError, SyntaxError):
             continue

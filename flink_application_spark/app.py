@@ -115,24 +115,28 @@ def flink_conf_to_config(
             spec["cache_ttl_ms"] = parse_duration_ms(ttl)
         return spec
 
+    source_cfg: dict[str, Any] = {"format": "csv-lines"}
+    # only emit the kafka block when the conf actually names a broker:
+    # a dict of Nones is truthy, so build_source would route a
+    # file-source override to kafka_csv_stream with bootstrap=None
+    # (round-6 ADVICE)
+    if hocon_get(kafka, "bootstrap.servers") is not None:
+        source_cfg["kafka"] = {
+            "bootstrap": hocon_get(kafka, "bootstrap.servers"),
+            "topic": kafka.get("topic"),
+            "group_id": kafka.get("group_id"),
+            "scan.startup.mode": hocon_get(
+                kafka, "scan.startup.mode", "latest-offset"
+            ),
+            "failOnDataLoss": kafka.get("failOnDataLoss"),
+        }
     cfg: dict[str, Any] = {
         "mode": "streaming",
         "checkpoint_interval_ms": parse_duration_ms(
             hocon_get(conf, "checkpoint.interval", 180_000)
         ),
         "parallelism": int(hocon_get(conf, "job.parallelism", 1)),
-        "source": {
-            "format": "csv-lines",
-            "kafka": {
-                "bootstrap": hocon_get(kafka, "bootstrap.servers"),
-                "topic": kafka.get("topic"),
-                "group_id": kafka.get("group_id"),
-                "scan.startup.mode": hocon_get(
-                    kafka, "scan.startup.mode", "latest-offset"
-                ),
-                "failOnDataLoss": kafka.get("failOnDataLoss"),
-            },
-        },
+        "source": source_cfg,
         "dims": {
             "imsi_msisdn": _jdbc_dim_spec("imsi_msisdn"),
             "ms_ip": _jdbc_dim_spec("ms_ip"),
@@ -177,9 +181,11 @@ def build_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     src = cfg["source"]
     streaming = cfg.get("mode", "batch") == "streaming"
     fmt = src.get("format", "parquet")
-    if src.get("kafka"):  # truthiness: an override may null it out to
-        # swap the live broker for a local file while keeping the rest
-        # of a flink.conf translation intact
+    # route to kafka only when a broker is actually configured: an
+    # override may null the block (or just the bootstrap) out to swap
+    # the live broker for a local file while keeping the rest of a
+    # flink.conf translation intact
+    if (src.get("kafka") or {}).get("bootstrap") is not None:
         k = src["kafka"]
         return kafka_csv_stream(
             spark,
@@ -290,17 +296,27 @@ def run(spark: SparkSession, config: str | dict[str, Any]):
                 refreshing_enrichment_batch_fn,
             )
             from flink_application_spark.streaming.sinks import (
+                SizeCalibratedRoller,
                 idempotent_batch_write,
             )
 
             dd = cfg.get("dedup", {})
             part = tuple(sink.get("partition_by", ("event_date", "probe")))
+            # flink.conf parity on THIS path too (round-6 ADVICE): the
+            # rolling-policy file-size cap applies whether or not the
+            # dims carry a TTL — SizeCalibratedRoller commits through
+            # the same idempotent per-batch overwrite
+            roll_bytes = sink.get("sink.rolling-policy.file-size")
+            if roll_bytes is not None:
+                write_fn = SizeCalibratedRoller(sink["path"], part, int(roll_bytes))
+            else:
+                write_fn = lambda df, bid: idempotent_batch_write(  # noqa: E731
+                    df, sink["path"], bid, partition_by=part
+                )
             fn = refreshing_enrichment_batch_fn(
                 lambda: _load_dim(spark, dims["imsi_msisdn"]),
                 lambda: _load_dim(spark, dims["ms_ip"]),
-                lambda df, bid: idempotent_batch_write(
-                    df, sink["path"], bid, partition_by=part
-                ),
+                write_fn,
                 ttl_seconds=ttl_ms / 1000.0,
                 path_a_how=cfg.get("path_a_how", "inner"),
                 gap=dd.get("gap", "1 second"),

@@ -20,6 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from flink_application_spark.operators.twophase import (
+    partition_bases,
+    ranged_with_pid,
+    with_base_offsets,
+)
+
 
 def with_epoch_shards(
     df: DataFrame,
@@ -27,8 +33,8 @@ def with_epoch_shards(
     epoch: int,
     docs_per_shard: int,
 ) -> DataFrame:
-    """Public wrapper over `_epoch_shards` (drops the cache handle)."""
-    return _epoch_shards(df, id_col, epoch, docs_per_shard)[0]
+    """Public name for `_epoch_shards`."""
+    return _epoch_shards(df, id_col, epoch, docs_per_shard)
 
 
 def _epoch_shards(
@@ -36,49 +42,37 @@ def _epoch_shards(
     id_col: str,
     epoch: int,
     docs_per_shard: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Append (shard, offset_in_shard) from the md5 epoch permutation.
-    Returns (result, cached_intermediate) — callers that fully consume
-    the result should unpersist the intermediate.
 
     The global rank is computed the scale-safe way: an unpartitioned
     `row_number() OVER (ORDER BY ...)` window funnels the whole corpus
     through ONE task (Spark warns 'No Partition Defined for Window
-    operation'), so instead the rows are range-partitioned and sorted
-    on the key, ranked WITHIN each partition, and shifted by the
-    partition-prefix counts (a zipWithIndex on DataFrames — the
-    per-partition counts are the only driver-side state, one long per
-    partition). The resulting rank is the position in the total
-    (key, id) order, identical whatever the partition boundaries were,
-    so the permutation stays deterministic across runs and retries."""
+    operation'), so instead the rows are range-partitioned on the key
+    (PINNED — operators/twophase.ranged_with_pid), ranked WITHIN each
+    partition, and shifted by the partition-prefix counts (a
+    zipWithIndex on DataFrames — the per-partition counts are the only
+    driver-side state, one long per partition). The resulting rank is
+    the position in the total (key, id) order, identical whatever the
+    partition boundaries were, so the permutation stays deterministic
+    across runs and retries."""
     k = F.md5(F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string")))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.withColumn("_k", k)
-        .repartitionByRange(n_parts, F.col("_k"), F.col(id_col))
-        .sortWithinPartitions("_k", id_col)
-        .withColumn("_pid", F.spark_partition_id())
-    ).persist()
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    rows, acc = [], 0
-    for pid in sorted(counts):
-        rows.append((pid, acc))
-        acc += counts[pid]
-    spark = df.sparkSession
-    offsets = spark.createDataFrame(rows or [(0, 0)], "_pid: int, _off: long")
-    w = Window.partitionBy("_pid").orderBy("_k", id_col)
-    rn = (F.row_number().over(w).cast("bigint") - 1) + F.col("_off")
-    out = (
-        ranged.join(F.broadcast(offsets), "_pid", "left")
-        .withColumn("_rn", rn)
-        .withColumn("shard", (F.col("_rn") / docs_per_shard).cast("bigint"))
-        .withColumn("offset_in_shard", F.col("_rn") % docs_per_shard)
-        .drop("_rn", "_k", "_pid", "_off")
+    ranged = ranged_with_pid(
+        df.withColumn("_k", k), n_parts, [F.col("_k"), F.col(id_col)]
     )
-    return out, ranged
+    base, _n = partition_bases(ranged, F.count(F.lit(1)))
+    withb = with_base_offsets(ranged, base, "_boff")
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    rn = (F.row_number().over(w).cast("bigint") - 1) + F.col("_boff")
+    return (
+        withb.withColumn("_rn", rn)
+        # integer div, not float: exact past 2^53 ranks (bit-equal to
+        # the old double-divide cast below that)
+        .withColumn("shard", F.expr(f"_rn div {int(docs_per_shard)}"))
+        .withColumn("offset_in_shard", F.col("_rn") % docs_per_shard)
+        .drop("_rn", "_k", "_pid", "_boff")
+    )
 
 
 def write_training_shards(
@@ -90,7 +84,7 @@ def write_training_shards(
 ) -> int:
     """Write `path/shard=N/` parquet directories in sample order;
     returns the shard count."""
-    sharded, cached = _epoch_shards(df, id_col, epoch, docs_per_shard)
+    sharded = _epoch_shards(df, id_col, epoch, docs_per_shard)
     (
         sharded.repartition("shard")
         .sortWithinPartitions("shard", "offset_in_shard")
@@ -98,7 +92,6 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    cached.unpersist()
     # shard count is ceil(n/docs_per_shard) BY CONSTRUCTION (contiguous
     # rank ranges) — derived from the WRITTEN output's row count, not a
     # re-run of the rank job

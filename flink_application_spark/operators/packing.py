@@ -31,49 +31,47 @@ corpus_token_budget_planner (which picks them).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from flink_application_spark.operators.twophase import (
+    partition_bases,
+    ranged_with_pid,
+    with_base_offsets,
+)
 
 __all__ = ["packed_spans", "packing_stats"]
 
 
 def _with_offsets_two_phase(
-    docs: DataFrame, id_col: str, tokens_col: str
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    n_partitions: int | None = None,
+    literal_max: int | None = None,
 ) -> DataFrame:
     """Add `_off` = exclusive prefix sum of `tokens_col` in ascending
     `id_col` order, without a global-order window: range-partition by
-    id, per-partition local prefix sums, plus a broadcast map of
-    partition base offsets (collect = one row per partition)."""
-    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
-    parted = docs.repartitionByRange(n_part, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    id (PINNED — see operators/twophase.ranged_with_pid for why the
+    frame must be materialized before the subtotals collect),
+    per-partition local prefix sums, plus per-partition base offsets
+    (collect = one row per partition; literal map or broadcast join by
+    partition count)."""
+    n_part = n_partitions or max(
+        docs.sparkSession.sparkContext.defaultParallelism, 1
     )
-    # driver-side: #partitions rows, each (pid, subtotal)
-    subtotals = {
-        r["_pid"]: r["_sub"]
-        for r in parted.groupBy("_pid")
-        .agg(F.sum(tokens_col).alias("_sub"))
-        .collect()
-    }
-    base = {}
-    acc = 0
-    for pid in sorted(subtotals):
-        base[pid] = acc
-        acc += subtotals[pid]
-    base_col = F.element_at(
-        F.create_map(
-            *[x for pid in sorted(base) for x in (F.lit(pid), F.lit(base[pid]))]
-        ),
-        F.col("_pid"),
-    ) if base else F.lit(0)
+    parted = ranged_with_pid(docs, n_part, [F.col(id_col)])
+    base, _total = partition_bases(parted, F.sum(tokens_col))
+    withb = with_base_offsets(parted, base, "_pk_base", literal_max)
     w = (
         Window.partitionBy("_pid")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    return parted.withColumn("_off", (base_col + local).cast("bigint")).drop(
-        "_pid"
-    )
+    return withb.withColumn(
+        "_off", (F.col("_pk_base") + local).cast("bigint")
+    ).drop("_pid", "_pk_base")
 
 
 def packed_spans(

@@ -220,6 +220,67 @@ def test_streaming_ttl_dims_via_config(spark, app_dirs, tmp_path):
     assert back.count() == ref.count()
 
 
+def test_conf_without_broker_omits_kafka_and_routes_to_file(spark, app_dirs):
+    """round-6 ADVICE: a translation with no kafka block must not emit
+    a dict of Nones (truthy → build_source would route a file-source
+    override to kafka_csv_stream with bootstrap=None), and build_source
+    must key on the BOOTSTRAP, not the block's truthiness."""
+    from flink_application_spark.app import build_source, flink_conf_to_config
+
+    cfg = flink_conf_to_config(
+        {"hdfs": {"path": "/tmp/x", "checkpointLocation": "/tmp/c"}},
+        overrides={
+            "mode": "batch",
+            "source": {"format": "parquet", "path": str(app_dirs / "src")},
+        },
+    )
+    assert "kafka" not in cfg["source"]
+    assert build_source(spark, cfg).count() > 0
+    # legacy shape: kafka block present but bootstrap None → file route
+    cfg["source"]["kafka"] = {"bootstrap": None, "topic": None}
+    assert build_source(spark, cfg).count() > 0
+
+
+def test_streaming_ttl_dims_apply_rolling_policy(spark, app_dirs, tmp_path):
+    """round-6 ADVICE: the TTL (RefreshingDim) streaming path must
+    honor sink.rolling-policy.file-size like the plain path does —
+    files stay under the cap, per-batch idempotent layout kept."""
+    import glob
+    import os
+
+    cfg = {
+        "mode": "streaming",
+        "source": {"format": "parquet", "path": str(app_dirs / "src")},
+        "dims": {
+            "imsi_msisdn": {
+                "format": "jdbc",
+                "parquet_fallback": str(app_dirs / "imsi_msisdn"),
+                "cache_ttl_ms": 60_000,
+            },
+            "ms_ip": {
+                "format": "jdbc",
+                "parquet_fallback": str(app_dirs / "ms_ip"),
+            },
+        },
+        "dedup": {"gap": "36500 days"},
+        "sink": {
+            "format": "parquet",
+            "path": str(tmp_path / "out"),
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": None,  # availableNow
+            "name": "app_ttl_rolled_sink_test",
+            "sink.rolling-policy.file-size": 64 * 1024,
+        },
+    }
+    q = run(spark, cfg)
+    q.awaitTermination(300)
+    files = glob.glob(str(tmp_path / "out" / "**" / "*.parquet"), recursive=True)
+    assert files
+    assert max(os.path.getsize(f) for f in files) <= 64 * 1024 * 1.25
+    assert glob.glob(str(tmp_path / "out" / "_batch=*" / "event_date=*"))
+    assert spark.read.parquet(cfg["sink"]["path"]).count() > 0
+
+
 def test_generator_runs_with_reference_flink_conf_distributions(spark):
     """The reference generator job's own config block (flink.conf:4-11)
     drives our generator: probabilities and timestamp bounds flow

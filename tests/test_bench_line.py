@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from bench import HEADLINE, format_stdout_line  # noqa: E402
+from bench import HEADLINE, format_stdout_line, prev_aggregation  # noqa: E402
 
 
 def _synthetic_result(names: list[str]) -> dict:
@@ -78,6 +78,17 @@ def test_headline_growth_headroom():
         "within 5 queries of shedding the queries dict from the stdout "
         "line — trim HEADLINE or shorten query names"
     )
+
+
+def test_prev_aggregation_fallback_by_round():
+    """A tail-captured BENCH_r artifact lacks the shed 'aggregation'
+    key; the fallback must reflect what that round actually ran
+    (min-of-2 only existed in r01/r02) — round-6 ADVICE."""
+    assert prev_aggregation({"aggregation": "median"}, 2) == "median"
+    assert prev_aggregation({}, 1) == "min_of_2"
+    assert prev_aggregation({}, 2) == "min_of_2"
+    assert prev_aggregation({}, 3) == "median"
+    assert prev_aggregation({}, 6) == "median"
 
 
 def test_oversized_result_sheds_queries_but_stays_parseable():

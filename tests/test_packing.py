@@ -87,6 +87,21 @@ def test_two_phase_equals_single_phase_and_partitioning_invariant(spark, corpus)
     assert a == c
 
 
+def test_offsets_broadcast_path_bit_equal(spark, corpus):
+    """literal_max=0 forces the broadcast-join offset attach (the
+    >LITERAL_BASE_MAX partition-count path) — bit-equal to the
+    create_map literal path, BroadcastHashJoin in the plan."""
+    from flink_application_spark.operators.packing import _with_offsets_two_phase
+
+    docs = corpus.filter(F.col("n_tokens") > 0)
+    a = sorted(
+        tuple(r) for r in _with_offsets_two_phase(docs, "doc_id", "n_tokens").collect()
+    )
+    bj = _with_offsets_two_phase(docs, "doc_id", "n_tokens", literal_max=0)
+    assert "BroadcastHashJoin" in bj._jdf.queryExecution().toString()
+    assert sorted(tuple(r) for r in bj.collect()) == a
+
+
 def test_stats_report(spark, corpus):
     spans = packed_spans(corpus, L)
     row = packing_stats(spans, L).collect()[0]
