@@ -740,6 +740,15 @@ def contrastive_triplets(
     cands = retrieve_topk(
         queries, corpus, k_retrieve, use_ann=use_ann, **ann_kwargs
     ).select("query_id", "vec_id", "cosine")
+    return mine_triplets(cands, labels)
+
+
+def mine_triplets(cands: DataFrame, labels: DataFrame) -> DataFrame:
+    """Positive / hard-negative mining over ANY (query_id, vec_id,
+    cosine) retrieval — the retriever-agnostic core of
+    `contrastive_triplets`, shared by the exact, trained-IVF and
+    seeded-IVF forms so swapping the retriever never touches the
+    mining logic (the knn_vote / label_agreement precedent)."""
     scored = cands.join(
         F.broadcast(
             labels.select(
@@ -804,9 +813,45 @@ def mmr_rerank(
     Deterministic: ties break on vec_id ascending; first pick is
     always the cosine top-1 (λ has no effect before S is non-empty).
     """
+    cands = retrieve_topk(queries, corpus, k_retrieve, use_ann=use_ann, **ann_kwargs)
+    return mmr_rerank_cands(
+        cands.select("query_id", "vec_id", "cosine"),
+        corpus,
+        k_final=k_final,
+        lam=lam,
+    )
+
+
+def mmr_rerank_cands(
+    cands: DataFrame,
+    corpus: DataFrame,
+    *,
+    k_final: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Greedy MMR over a precomputed (query_id, vec_id, cosine)
+    candidate set — the rerank core shared by the exact, trained-IVF
+    and seeded-IVF retrievers.
+
+    Scoring is EXACT integer micro-unit arithmetic so the whole greedy
+    is replayable cross-engine (the DuckDB oracle in plans/mmr_sql.py
+    runs the same k_final argmax stages): relevance and pairwise
+    similarities quantize to ppm integers (round(cos·1e6) of the
+    6-rounded cosines), λ must be a multiple of 0.1 (lam10 = 10·λ),
+    and the selection score is
+    mmr_e7 = lam10·rel_ppm − (10−lam10)·max_{s∈S} sim_ppm — a BIGINT
+    in 1e-7 units, emitted as mmr_score = mmr_e7 / 1e7 (the identical
+    IEEE double both engines). Argmax ties break on vec_id ascending;
+    the first pick is the relevance top-1. Pair cosines accumulate in
+    the same left-to-right coordinate order as the JVM fold
+    (acc += x_j·y_j per j — the brute_force_topk discipline), then
+    dot/(‖a‖·‖b‖) and round 6, matching the oracle's expression shape
+    term for term."""
     import pandas as pd
 
-    cands = retrieve_topk(queries, corpus, k_retrieve, use_ann=use_ann, **ann_kwargs)
+    lam10 = round(lam * 10)
+    if abs(lam10 - lam * 10) > 1e-9 or not 0 <= lam10 <= 10:
+        raise ValueError(f"lam must be a multiple of 0.1 in [0, 1], got {lam}")
     with_emb = cands.join(corpus.select("vec_id", "embedding"), "vec_id")
 
     out_schema = (
@@ -819,26 +864,33 @@ def mmr_rerank(
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         embs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(embs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = embs / norms[:, None]
-        pair_sim = unit @ unit.T
+        n, d = embs.shape
+        dots = np.zeros((n, n), dtype=np.float64)
+        nacc = np.zeros(n, dtype=np.float64)
+        for j in range(d):  # left-to-right fold order, every pair at once
+            dots += np.outer(embs[:, j], embs[:, j])
+            nacc += embs[:, j] * embs[:, j]
+        nrm = np.sqrt(nacc)
+        nrm[nrm == 0] = 1.0
+        pair_ppm = np.rint(
+            np.round(dots / np.outer(nrm, nrm), 6) * 1e6
+        ).astype(np.int64)
         rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        rel_ppm = np.rint(rel * 1e6).astype(np.int64)
 
-        n = len(pdf)
         selected: list[int] = []
-        scores: list[float] = []
+        scores: list[int] = []
         remaining = list(range(n))
         while remaining and len(selected) < k_final:
             if selected:
-                penalty = pair_sim[np.ix_(remaining, selected)].max(axis=1)
+                penalty = pair_ppm[np.ix_(remaining, selected)].max(axis=1)
             else:
-                penalty = np.zeros(len(remaining))
-            mmr = lam * rel[remaining] - (1 - lam) * penalty
+                penalty = np.zeros(len(remaining), dtype=np.int64)
+            mmr = lam10 * rel_ppm[remaining] - (10 - lam10) * penalty
             # argmax with vec_id-ascending tie-break: remaining is in
             # vec_id order, np.argmax takes the first maximum
             best_pos = int(np.argmax(mmr))
-            scores.append(float(mmr[best_pos]))
+            scores.append(int(mmr[best_pos]))
             selected.append(remaining.pop(best_pos))
         return pd.DataFrame(
             {
@@ -846,7 +898,7 @@ def mmr_rerank(
                 "vec_id": pdf["vec_id"].iloc[selected].to_numpy(),
                 "rank": np.arange(1, len(selected) + 1, dtype="int32"),
                 "relevance": np.round(rel[selected], 6),
-                "mmr_score": np.round(scores, 6),
+                "mmr_score": np.array(scores, dtype=np.float64) / 1e7,
             }
         )
 

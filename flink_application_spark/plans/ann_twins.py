@@ -11,12 +11,14 @@ queries probe `n_probe` lists, the scoring join is equi on the list id
 — no cross product anywhere. These twins are the entries a 100 TB
 deployment runs; the exact forms become explicit oracles/baselines.
 
-Verification split, tightened in round 6: four twins (cosine top-k,
-kNN classify, label-noise audit, radius search) now run a
-DETERMINISTIC seeded-centroid IVF index at the gate and carry exact
-DuckDB oracles (see `_seeded_cand_cte` below); the remaining twins
-(MMR, triplets, text-search — greedy/sequential downstream logic) stay
-rows-only. In BOTH cases the trained-centroid path's agreement
+Verification split, completed in round 7: every twin here (cosine
+top-k, kNN classify, label-noise audit, radius search since round 6;
+MMR, triplets, text-search since round 7) runs a DETERMINISTIC
+seeded-centroid IVF index at the gate and carries an exact DuckDB
+oracle (see `_seeded_cand_cte` below; the greedy MMR unrolls via
+plans/mmr_sql.py over integer micro-unit scores). Only
+emb_ivf_ann_topk — whose registered POINT is the trained k-means
+index — stays rows-only. In all cases the trained-centroid path's agreement
 contracts — full probe ≡ exact, and ≥ 0.9 agreement at partial probe
 on clustered data — are pinned in tests/test_ivf.py and
 tests/test_ann_twins.py. On the driver's
@@ -33,11 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
-from flink_application_spark.operators.similarity import (
-    contrastive_triplets,
-    ivf_topk,
-    mmr_rerank,
-)
 from flink_application_spark.plans.registry import register
 
 _ANN = dict(n_centroids=16, n_probe=4)
@@ -65,17 +62,30 @@ _COS = (
 )
 
 
+_E_EMBEDDINGS = (
+    "SELECT vec_id, label,"
+    " list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb\n"
+    "  FROM embeddings WHERE embedding IS NOT NULL"
+)
+
+
 def _seeded_cand_cte(
-    query_pred: str, corpus_pred: str, n_centroids: int, n_probe: int
+    query_pred: str,
+    corpus_pred: str,
+    n_centroids: int,
+    n_probe: int,
+    e_sql: str = _E_EMBEDDINGS,
 ) -> str:
     """WITH-clause body producing `cand(query_id, vec_id, cosine)` —
     the DuckDB replay of `ivf_candidates_seeded` (same seeding, same
     d2 assignment/probe ranking with cluster-ascending tie-break, same
-    rounded cosine, self-matches excluded, DISTINCT)."""
+    rounded cosine, self-matches excluded, DISTINCT). `e_sql` swaps the
+    vector source — it must yield (vec_id, label, emb DOUBLE[]); the
+    default reads the embeddings table, doc_text_search_topk_ann feeds
+    hashing-trick document vectors instead."""
     return f"""
 e AS (
-  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-  FROM embeddings WHERE embedding IS NOT NULL
+  {e_sql}
 ),
 c AS (SELECT vec_id, label, emb FROM e WHERE {corpus_pred}),
 cent AS (
@@ -202,48 +212,108 @@ def q_knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_vote(topk, emb.select("vec_id", "label"))
 
 
+def _mmr_ann_oracle() -> str:
+    from flink_application_spark.plans.mmr_sql import mmr_oracle_sql
+
+    with_body = f"""{_seeded_cand_cte('vec_id < 5', 'TRUE', 16, 4)},
+tk AS (
+  SELECT query_id, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rnk
+    FROM cand
+  ) WHERE rnk <= 20
+)"""
+    return mmr_oracle_sql(with_body, k_final=5, lam10=7)
+
+
 @register(
     "emb_mmr_diversified_topk_ann",
-    None,
+    _mmr_ann_oracle(),
     doc="ANN twin of emb_mmr_diversified_topk: MMR re-ranking over an "
     "IVF top-20 retrieval (the O(k²) greedy never sees more than the "
-    "candidate group either way). ≥ 0.9 selection overlap vs the "
-    "exact retriever on clustered data pinned in tests/test_ivf.py "
+    "candidate group either way). Oracle-EXACT since round 7: seeded "
+    "deterministic index (ivf_candidates_seeded) + the integer-scored "
+    "greedy unrolled in SQL (plans/mmr_sql.py). The trained-centroid "
+    "path keeps ≥ 0.9 selection overlap vs the exact retriever on "
+    "clustered data in tests/test_ivf.py "
     "(test_mmr_ann_retrieval_overlap).",
     tags=("similarity", "embeddings", "mmr", "ann", "scale-twin"),
 )
 def q_mmr_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import (
+        ivf_topk_seeded,
+        mmr_rerank_cands,
+    )
+
     emb = _emb(spark, sf_dir)
-    return mmr_rerank(
-        emb.filter(F.col("vec_id") < 5),
-        emb,
-        k_retrieve=20,
-        k_final=5,
-        lam=0.7,
-        use_ann=True,
-        **_ANN,
+    cands = ivf_topk_seeded(emb.filter(F.col("vec_id") < 5), emb, k=20, **_ANN)
+    return mmr_rerank_cands(
+        cands.select("query_id", "vec_id", "cosine"), emb, k_final=5, lam=0.7
     )
 
 
 @register(
     "emb_contrastive_triplets_ann",
-    None,
+    f"""
+WITH {_seeded_cand_cte('vec_id < 20', 'TRUE', 16, 4)},
+tk AS (
+  SELECT query_id, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rnk
+    FROM cand
+  ) WHERE rnk <= 50
+),
+scored AS (
+  SELECT t.query_id, ql.label AS query_label,
+         t.vec_id AS cand_id, cl.label AS cand_label, t.cosine
+  FROM tk t
+  JOIN e ql ON ql.vec_id = t.query_id
+  JOIN e cl ON cl.vec_id = t.vec_id
+),
+best AS (
+  SELECT query_id, query_label, cand_id, cand_label, cosine,
+         row_number() OVER (
+           PARTITION BY query_id, (cand_label = query_label)
+           ORDER BY cosine DESC, cand_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT p.query_id AS query_id,
+       p.query_label AS label,
+       p.cand_id AS positive_id,
+       p.cosine AS positive_cos,
+       n.cand_id AS negative_id,
+       n.cosine AS negative_cos,
+       round(p.cosine - n.cosine, 6) + 0.0 AS margin
+FROM best p
+JOIN best n ON n.query_id = p.query_id AND n.rn = 1
+WHERE p.rn = 1 AND p.cand_label = p.query_label
+  AND n.cand_label <> n.query_label
+""",
     doc="ANN twin of emb_contrastive_triplets: positives and hard "
     "negatives mined from an IVF top-50 neighborhood instead of the "
     "all-pairs scoring join — both live in the query's neighborhood "
-    "by definition (a distant negative isn't hard). Agreement vs the "
-    "exact miner pinned in tests/test_ann_twins.py.",
+    "by definition (a distant negative isn't hard). Oracle-EXACT since "
+    "round 7 via the seeded deterministic index + the shared "
+    "mine_triplets aggregate (the knn_vote conversion pattern); the "
+    "trained path keeps its agreement pins in tests/test_ann_twins.py.",
     tags=("embeddings", "similarity", "training-prep", "ann", "scale-twin"),
 )
 def q_contrastive_triplets_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.similarity import (
+        ivf_topk_seeded,
+        mine_triplets,
+    )
+
     emb = _emb(spark, sf_dir)
-    return contrastive_triplets(
-        emb.filter(F.col("vec_id") < 20),
-        emb,
+    cands = ivf_topk_seeded(emb.filter(F.col("vec_id") < 20), emb, k=50, **_ANN)
+    return mine_triplets(
+        cands.select("query_id", "vec_id", "cosine"),
         emb.select("vec_id", "label"),
-        k_retrieve=50,
-        use_ann=True,
-        **_ANN,
     )
 
 
@@ -315,18 +385,45 @@ def q_radius_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("cosine") >= 0.25)
 
 
+def _text_search_ann_oracle() -> str:
+    from flink_application_spark.plans.vectorize_queries import _oracle_sql
+
+    e_sql = (
+        "SELECT doc_id AS vec_id, NULL AS label,\n"
+        "         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb\n"
+        "  FROM emb_src\n"
+        "  WHERE embedding IS NOT NULL\n"
+        "    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+        "                              CAST(embedding AS DOUBLE[]))) > 0"
+    )
+    return f"""
+WITH emb_src AS ({_oracle_sql()}),
+{_seeded_cand_cte('vec_id < 3', 'TRUE', 8, 3, e_sql=e_sql)}
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
 @register(
     "doc_text_search_topk_ann",
-    None,
+    _text_search_ann_oracle(),
     doc="ANN twin of doc_text_search_topk: hashing-trick document "
     "vectors (codegen explode→histogram, vocabulary-free) searched "
     "through the IVF index — the full text→vector→ANN composition at "
-    "its 100 TB operating point. The exact composition stays the "
-    "oracle entry.",
+    "its 100 TB operating point. Oracle-EXACT since round 7: the "
+    "seeded deterministic index runs over the SAME hashing-trick "
+    "vector CTE the exact composition's oracle uses (integer-count "
+    "vectors make the d2 assignment exactly tie-stable cross-engine).",
     tags=("documents", "vectorize", "similarity", "search", "ann", "scale-twin"),
 )
 def q_text_search_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.functions.vectors import norm
+    from flink_application_spark.operators.similarity import ivf_topk_seeded
     from flink_application_spark.plans.vectorize_queries import (
         hashing_trick_features,
     )
@@ -338,6 +435,6 @@ def q_text_search_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull() & (norm(F.col("embedding")) > 0))
         .persist()  # queries and corpus both read the vectorized frame
     )
-    return ivf_topk(
+    return ivf_topk_seeded(
         vecs.filter(F.col("vec_id") < 3), vecs, k=5, n_centroids=8, n_probe=3
     )

@@ -158,87 +158,83 @@ def _load_all() -> None:
 # queries. This list IS that window, curated explicitly (import order
 # alone can't express it once queries live in many modules).
 #
-# Round-6 rotation (closing the loop on the round-5 verdict): after
-# r05 the driver-sampled union covered the whole registry except six
-# post-window-fill additions. This window front-loads those six
-# (multi-probe pair first, per the verdict), the three new NN-Descent
-# entries, the FIXED agg_approx_sketches (the one r05 red row —
-# array<double> price_quantiles crashed the driver canonicalizer; now
-# scalar p50/p95, plus a registry-wide complex-type schema gate in
-# tests/test_oracle_parity.py), and the four ANN twins CONVERTED from
-# rows-only to oracle-bearing (seeded deterministic IVF the oracle
-# replays — verdict item 3; the unverifiable surface shrinks 22→18).
-# The remaining 36 slots are re-confirmations, prioritized: the §2
-# CDR core (r01-only driver evidence, five rounds of refactors since),
-# the retrieval counterparts touched by this round's knn/label-noise
-# refactor, the MinHash/dedup flagship family (signature build was
-# collapsed late r05 without a driver re-run), and the composed
-# curation/audit flagships. Everything not listed keeps its
+# Round-7 rotation (verdict item 5: every query has ≥1 driver row, so
+# priority is now AGE plus anything this round's code touched). The
+# window front-loads (a) the four round-7 rows-only → oracle-EXACT
+# conversions (MMR pair + contrastive/text-search twins — the driver
+# must hash-check them, not rows-only them), (b) every query whose
+# lineage the shared two-phase scan rewrite (operators/twophase.py)
+# touched — ranks/ntile/packing/epoch-shard consumers, and (c) the
+# OLDEST evidence: all remaining r01-sampled names, then r02 names
+# prioritizing the mine_triplets-refactor counterpart and the mm_*
+# multimodal family. r02 names that did not fit (15: emb_dup_components, emb_ivfadc_topk,
+# emb_kmeans_assign, emb_pca_gram, emb_pq_codes, emb_semdedup_flags,
+# events_asof_last_signup, events_cep_signup_purchase_no_error,
+# events_funnel_conversion, events_global_interval_join,
+# events_interval_join_purchase_clicks, events_latest_per_user,
+# scalar_function_library, tpch_q5_local_supplier,
+# vocab_bpe_pair_counts) rotate into round 8 together with the r03
+# tpch/sql_surface breadth. Everything not listed keeps its
 # import-order position.
 SAMPLE_WINDOW = [
-    # never-driver-sampled (the six r05 post-window additions + the
-    # three NN-Descent entries)
-    "emb_lsh_multiprobe_topk",
-    "emb_multiprobe_recall_curve",
-    "doc_dedup_keep_best_quality",
-    "emb_lr_train_profile",
-    "emb_lr_holdout_eval",
-    "emb_lr_confusion",
-    "emb_knn_graph_nndescent",
-    "emb_knn_graph_recall",
-    "emb_nn_descent_convergence",
-    # the r05 red row, re-run after the scalar-projection fix
-    "agg_approx_sketches",
-    # rows-only → oracle-bearing conversions (seeded IVF oracles)
-    "emb_cosine_topk_ann",
-    "emb_knn_classify_ann",
-    "emb_label_noise_knn_ann",
-    "emb_radius_search_ann",
-    # re-confirmation: §2 CDR reference core (r01 evidence only)
-    "cdr_src_extended",
-    "cdr_exploded",
-    "cdr_exploded_udtf",
-    "cdr_dim_exploded",
-    "cdr_enrich_path_a",
-    "cdr_enrich_path_a_left",
-    "cdr_enrich_path_b",
-    "cdr_enrichment_full",
-    "cdr_generated_sample",
-    "cdr_dim_validity_intervals",
-    "cdr_enrich_path_b_asof",
-    # re-confirmation: retrieval counterparts of this round's refactor
-    "emb_knn_classify",
-    "emb_cosine_topk_bruteforce",
-    "emb_radius_search",
-    "emb_ivf_full_probe_exact",
-    "emb_ivf_recall_curve",
-    "emb_lsh_ann_topk",
-    # re-confirmation: MinHash/dedup flagship family
-    "doc_minhash_signatures",
-    "doc_near_dup_pairs_minhash_lsh",
-    "doc_lsh_recall_audit",
-    "doc_minhash_estimate_vs_exact",
-    "doc_jaccard_similarity_join",
-    "doc_dup_components",
-    "doc_dedup_canonical_near",
-    "doc_exact_dedup_groups",
-    "doc_dedup_keep_canonical",
-    "doc_dedup_pipeline_stats",
-    # re-confirmation: composed curation/audit flagships
-    "corpus_curation_funnel",
-    "doc_bigram_lm_score",
-    "doc_quality_scores",
-    "doc_hybrid_rrf_search",
-    "doc_containment_join",
-    "doc_bloom_dedup_audit",
-    # round-6 additions (sequence packing + bootstrap CI), sampled the
-    # round they were written — displacing the
-    # doc_stratified_sample_neyman / events_global_interval_join /
-    # corpus_doremi_reweight re-confirmations (all r04-green,
-    # untouched since)
+    # round-7 rows-only → oracle-EXACT conversions (integer-scored
+    # greedy MMR unrolled in SQL + seeded-IVF retrieval; verdict item 4)
+    "emb_mmr_diversified_topk",
+    "emb_mmr_diversified_topk_ann",
+    "emb_contrastive_triplets_ann",
+    "doc_text_search_topk_ann",
+    # touched by the two-phase scan rewrite (pinned partitioning,
+    # shared offset attach, ntile single-execution): re-confirm every
+    # consumer of ranks/packing/export
+    "vocab_gini_concentration",
+    "doc_curriculum_buckets",
+    "customer_rfm_segmentation",
+    "doc_epoch_shuffle_shards",
+    "corpus_shard_manifest",
+    "window_ntile_quartiles",
+    "doc_pack_sequences",
+    "doc_length_percentile_filter",
+    "percentile_quantity_by_flag",
     "corpus_pack_spans",
     "corpus_pack_stats",
-    "source_quality_bootstrap_ci",
+    # oldest evidence: every remaining r01-sampled name
+    "doc_blocklist_filter",
+    "doc_near_dup_edit_distance",
+    "doc_ngram_jaccard_topk",
+    "doc_pii_redaction",
+    "doc_simhash",
+    "doc_simhash_near_dup_pairs",
+    "doc_stratified_sample",
+    "emb_centroid_per_label",
+    "emb_int8_quantization_error",
+    "emb_ivf_ann_topk",
+    "events_time_weighted_avg",
+    "events_zorder_key",
+    "mm_audio_window_features",
+    "mm_image_features",
+    "mm_image_meta",
+    "orders_daily_gapfill",
+    "vocab_count_min_estimate",
+    # r02 evidence: the exact counterpart of this round's
+    # mine_triplets refactor first, then the mm_* family, then breadth
+    "emb_contrastive_triplets",
+    "mm_frame_delta_scene_changes",
+    "mm_frame_sample",
+    "corpus_mixture_plan",
+    "corpus_temperature_mixture",
+    "customer_apply_changelog",
+    "customer_tree_depth_recursive_cte",
+    "doc_chunk_windows",
+    "doc_dsir_log_weights",
+    "doc_dsir_selection",
+    "doc_jaccard_topk_thresholded",
+    "doc_novelty_scores",
+    "doc_quality_classifier_score",
+    "doc_quality_gate_audit",
+    "doc_repeated_ngram_scrub",
+    "doc_split_train_val_test",
+    "doc_weighted_sample",
+    "emb_cosine_near_dup_pairs",
 ]
 
 

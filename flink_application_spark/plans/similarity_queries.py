@@ -331,15 +331,42 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
+def _mmr_exact_oracle() -> str:
+    from flink_application_spark.plans.mmr_sql import mmr_oracle_sql
+
+    with_body = f"""e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {_COS.format(a='q.emb', b='c.emb')} AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+tk AS (
+  SELECT query_id, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+)"""
+    return mmr_oracle_sql(with_body, k_final=5, lam10=7)
+
+
 @register(
     "emb_mmr_diversified_topk",
-    None,  # greedy sequential selection is not SQL-expressible; property
-    # tests in tests/test_mmr.py pin λ=1 ≡ cosine ranking, first-pick,
-    # and determinism contracts
+    _mmr_exact_oracle(),
     doc="MMR-diversified top-5 (λ=0.7) for 5 query vectors over a "
     "top-20 cosine retrieval: retrieve-then-rerank, with the O(k²) "
-    "greedy confined to per-query Arrow groups. Rows-only driver "
-    "check; see tests/test_mmr.py for the behavioral contracts.",
+    "greedy confined to per-query Arrow groups. Oracle-EXACT since "
+    "round 7: the greedy scores in integer micro-units (ppm relevance "
+    "/ pair similarities, λ as tenths — operators/similarity."
+    "mmr_rerank_cands), so DuckDB replays the k_final argmax stages "
+    "unrolled (plans/mmr_sql.py); behavioral contracts stay in "
+    "tests/test_mmr.py.",
     tags=("similarity", "embeddings", "mmr"),
 )
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,8 @@ def _synthetic_result(names: list[str]) -> dict:
         "ingest_docs_per_sec": 999.4,
         "ingest_wall_sec": 5.003,
         "ingest_docs": 5000,
+        "flinkconf_events_per_sec": 11234.5,
+        "flinkconf_wall_sec": 8.912,
         "roll_proof_max_file_mb": 98.92,
         "roll_proof_total_mb": 244.6,
         "roll_proof_files": 3,

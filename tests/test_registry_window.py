@@ -21,35 +21,27 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-6 window contract: the non-negotiables are the six queries
-# that were still never-driver-sampled after round 5 (multi-probe
-# pair first per the verdict), the three NN-Descent additions, the
-# fixed agg_approx_sketches re-run, and the four rows-only → oracle
-# conversions (the full window is pinned exactly by
+# Round-7 window contract: the non-negotiables are the four round-7
+# rows-only → oracle-EXACT conversions (the driver must hash-check
+# them) and the consumers of the two-phase scan rewrite (the full
+# window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # never-sampled after round 5 (verdict item 2)
-    "emb_lsh_multiprobe_topk",
-    "emb_multiprobe_recall_curve",
-    "doc_dedup_keep_best_quality",
-    "emb_lr_train_profile",
-    "emb_lr_holdout_eval",
-    "emb_lr_confusion",
-    # round-6 additions
-    "emb_knn_graph_nndescent",
-    "emb_knn_graph_recall",
-    "emb_nn_descent_convergence",
-    # the r05 red row, re-run after the scalar-projection fix
-    "agg_approx_sketches",
-    # rows-only → oracle-bearing conversions (verdict item 3)
-    "emb_cosine_topk_ann",
-    "emb_knn_classify_ann",
-    "emb_label_noise_knn_ann",
-    "emb_radius_search_ann",
-    # round-6 additions, sampled the round they were written
+    # round-7 rows-only → oracle conversions (verdict item 4)
+    "emb_mmr_diversified_topk",
+    "emb_mmr_diversified_topk_ann",
+    "emb_contrastive_triplets_ann",
+    "doc_text_search_topk_ann",
+    # two-phase scan rewrite consumers (ranks/packing/export)
+    "vocab_gini_concentration",
+    "doc_curriculum_buckets",
+    "customer_rfm_segmentation",
+    "doc_epoch_shuffle_shards",
+    "corpus_shard_manifest",
     "corpus_pack_spans",
     "corpus_pack_stats",
-    "source_quality_bootstrap_ci",
+    # the exact counterpart of the mine_triplets refactor
+    "emb_contrastive_triplets",
 }
 
 
