@@ -167,7 +167,9 @@ def _load_all() -> None:
 # touched — ranks/ntile/packing/epoch-shard consumers, and (c) the
 # OLDEST evidence: all remaining r01-sampled names, then r02 names
 # prioritizing the mine_triplets-refactor counterpart and the mm_*
-# multimodal family. r02 names that did not fit (15: emb_dup_components, emb_ivfadc_topk,
+# multimodal family. r02 names that did not fit (18:
+# doc_split_train_val_test, doc_weighted_sample,
+# emb_cosine_near_dup_pairs, emb_dup_components, emb_ivfadc_topk,
 # emb_kmeans_assign, emb_pca_gram, emb_pq_codes, emb_semdedup_flags,
 # events_asof_last_signup, events_cep_signup_purchase_no_error,
 # events_funnel_conversion, events_global_interval_join,
@@ -183,6 +185,11 @@ SAMPLE_WINDOW = [
     "emb_mmr_diversified_topk_ann",
     "emb_contrastive_triplets_ann",
     "doc_text_search_topk_ann",
+    # round-7 CEP conversions: the automaton queries now carry
+    # recursive-CTE oracles (greedy walk unrolled per cursor step)
+    "events_cep_funnel_matches",
+    "events_cep_error_burst_recovery",
+    "events_cep_clean_checkout",
     # touched by the two-phase scan rewrite (pinned partitioning,
     # shared offset attach, ntile single-execution): re-confirm every
     # consumer of ranks/packing/export
@@ -232,9 +239,6 @@ SAMPLE_WINDOW = [
     "doc_quality_classifier_score",
     "doc_quality_gate_audit",
     "doc_repeated_ngram_scrub",
-    "doc_split_train_val_test",
-    "doc_weighted_sample",
-    "emb_cosine_near_dup_pairs",
 ]
 
 

@@ -32,6 +32,9 @@ MUST_BE_IN_WINDOW = {
     "emb_mmr_diversified_topk_ann",
     "emb_contrastive_triplets_ann",
     "doc_text_search_topk_ann",
+    "events_cep_funnel_matches",
+    "events_cep_error_burst_recovery",
+    "events_cep_clean_checkout",
     # two-phase scan rewrite consumers (ranks/packing/export)
     "vocab_gini_concentration",
     "doc_curriculum_buckets",
