@@ -238,7 +238,10 @@ SAMPLE_WINDOW = [
     "doc_novelty_scores",
     "doc_quality_classifier_score",
     "doc_quality_gate_audit",
-    "doc_repeated_ngram_scrub",
+    # round-7 addition, sampled the round it lands (displacing the
+    # doc_repeated_ngram_scrub re-confirmation to round 8): the
+    # deterministic mergeable HLL rollup, oracle-exact
+    "events_hll_det_rollup",
 ]
 
 

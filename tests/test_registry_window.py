@@ -45,6 +45,8 @@ MUST_BE_IN_WINDOW = {
     "corpus_pack_stats",
     # the exact counterpart of the mine_triplets refactor
     "emb_contrastive_triplets",
+    # round-7 addition: deterministic mergeable HLL, oracle-exact
+    "events_hll_det_rollup",
 }
 
 
