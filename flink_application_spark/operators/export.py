@@ -33,16 +33,6 @@ def with_epoch_shards(
     epoch: int,
     docs_per_shard: int,
 ) -> DataFrame:
-    """Public name for `_epoch_shards`."""
-    return _epoch_shards(df, id_col, epoch, docs_per_shard)
-
-
-def _epoch_shards(
-    df: DataFrame,
-    id_col: str,
-    epoch: int,
-    docs_per_shard: int,
-) -> DataFrame:
     """Append (shard, offset_in_shard) from the md5 epoch permutation.
 
     The global rank is computed the scale-safe way: an unpartitioned
@@ -84,7 +74,7 @@ def write_training_shards(
 ) -> int:
     """Write `path/shard=N/` parquet directories in sample order;
     returns the shard count."""
-    sharded = _epoch_shards(df, id_col, epoch, docs_per_shard)
+    sharded = with_epoch_shards(df, id_col, epoch, docs_per_shard)
     (
         sharded.repartition("shard")
         .sortWithinPartitions("shard", "offset_in_shard")

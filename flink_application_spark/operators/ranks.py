@@ -11,9 +11,10 @@ For those, this is the standard two-phase scan, built on the shared
 
 1. range-partition by the sort key (one shuffle — same volume the
    global sort would move, but into N sorted partitions instead
-   of 1), PINNED via localCheckpoint so every downstream job sees the
-   identical partitioning (RangePartitioner samples its boundaries —
-   an unpersisted plan may split rows differently across jobs);
+   of 1), PINNED via persist+materialize so every downstream job sees
+   the identical partitioning (RangePartitioner samples its boundaries
+   — an unpersisted plan may split rows differently across jobs;
+   twophase.ranged_with_pid documents why persist, not localCheckpoint);
 2. per-partition row counts → driver (one row per partition) →
    base offsets (create_map literal, or a broadcast join above
    `twophase.LITERAL_BASE_MAX` partitions);
@@ -27,7 +28,7 @@ the window form, invariance under input partitioning, and a
 one-upstream-execution accumulator check.
 
 Siblings on the same helpers, kept separate on purpose:
-`operators/export._epoch_shards` (two-phase rank over the md5 epoch
+`operators/export.with_epoch_shards` (two-phase rank over the md5 epoch
 key) and `operators/packing._with_offsets_two_phase` (prefix SUM
 rather than rank)."""
 

@@ -1,10 +1,12 @@
 """Shared machinery for the two-phase distributed scan — the pattern
 behind `operators/ranks.global_row_number` (global rank),
 `operators/packing._with_offsets_two_phase` (prefix sum) and
-`operators/export._epoch_shards` (epoch shards):
+`operators/export.with_epoch_shards` (epoch shards):
 
 1. range-partition on the order key and stamp `spark_partition_id()`;
-2. **pin the partitioning** (`localCheckpoint`): RangePartitioner
+2. **pin the partitioning** (persist + materialize —
+   `ranged_with_pid`'s docstring has the fault-tolerance rationale):
+   RangePartitioner
    draws its boundaries by reservoir sampling, so two separate
    executions of the same *unpersisted* `repartitionByRange` plan may
    split rows differently once the input outgrows the sample. The
@@ -46,12 +48,32 @@ def ranged_with_pid(
     df: DataFrame, n_part: int, order: list[Column]
 ) -> DataFrame:
     """Range-partition `df` on `order` into `n_part` partitions, stamp
-    `_pid`, and PIN the result (eager localCheckpoint) so the offsets
-    collect and the final window provably see one partitioning."""
-    parted = df.repartitionByRange(n_part, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    `_pid`, and PIN the result so the offsets collect and the final
+    window provably see one partitioning.
+
+    The pin is persist(MEMORY_AND_DISK) + an eager materialization,
+    NOT localCheckpoint: both freeze the boundaries (the range
+    sampler's output is embedded in the materialized RDD's fixed
+    ShuffleDependency, so even a cache-evicted or executor-lost block
+    recomputes into the SAME partitions), but localCheckpoint blocks
+    are non-recomputable — one lost executor between the pin and the
+    caller's final consumption would abort the whole job at exactly
+    the cluster scale this module targets. No unpersist hook is
+    exposed on purpose: releasing the cache while the returned frame
+    is still unconsumed would let a replan re-sample new boundaries
+    against the already-collected offsets (the corruption this
+    function exists to prevent); blocks are reclaimed by the
+    ContextCleaner when the frame is garbage-collected, exactly like
+    the localCheckpoint form."""
+    from pyspark import StorageLevel
+
+    parted = (
+        df.repartitionByRange(n_part, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return parted.localCheckpoint(eager=True)
+    parted.count()  # materialize: every later job reads these blocks
+    return parted
 
 
 def partition_bases(
