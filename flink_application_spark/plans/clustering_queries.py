@@ -94,3 +94,38 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.filter(F.col("embedding").isNotNull())
     cents, _ = kmeans_fit(emb, _K, "vec_id", max_iters=10)
     return cluster_profile(assign_clusters(emb, cents))
+
+
+def _kmeans_exact_oracle() -> str:
+    from flink_application_spark.operators.kmeans_exact import (
+        kmeans_exact_oracle_sql,
+    )
+
+    return kmeans_exact_oracle_sql(k=_K, iters=5, dim=64)
+
+
+@register(
+    "emb_kmeans_fit_exact_profile",
+    _kmeans_exact_oracle(),
+    doc=f"Exact-integer (ppm-quantized) Lloyd's k-means (k={_K}, 5 "
+    "iterations, the shared k-smallest-id seeding) — the TRAINED-model "
+    "blocker class made oracle-verifiable: coordinates quantize once "
+    "to ppm BIGINTs, distances and inertia are exact integer folds "
+    "(order-free under any partitioning), centroid updates reduce "
+    "exact integer sums and re-quantize with one double division + "
+    "round. The per-iteration (inertia, centroid-L1) profile pins the "
+    "whole training trajectory; DuckDB replays the 5 rounds as "
+    "unrolled CTE stages (operators/kmeans_exact.py — the mmr_sql/CEP "
+    "recipe applied to a training loop). The float trainer "
+    "(emb_kmeans_fit_profile) stays registered for conventional-"
+    "pipeline parity; monotone descent + determinism contracts in "
+    "tests/test_kmeans_exact.py.",
+    tags=("embeddings", "clustering", "training", "deterministic"),
+)
+def q_kmeans_fit_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.kmeans_exact import (
+        kmeans_fit_exact_profile,
+    )
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return kmeans_fit_exact_profile(emb, k=_K, iters=5)

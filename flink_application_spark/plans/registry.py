@@ -237,11 +237,12 @@ SAMPLE_WINDOW = [
     "doc_jaccard_topk_thresholded",
     "doc_novelty_scores",
     "doc_quality_classifier_score",
-    "doc_quality_gate_audit",
-    # round-7 addition, sampled the round it lands (displacing the
-    # doc_repeated_ngram_scrub re-confirmation to round 8): the
-    # deterministic mergeable HLL rollup, oracle-exact
+    # round-7 additions, sampled the round they land (displacing the
+    # doc_repeated_ngram_scrub and doc_quality_gate_audit
+    # re-confirmations to round 8): the deterministic mergeable HLL
+    # rollup and the exact-integer Lloyd's trainer, both oracle-exact
     "events_hll_det_rollup",
+    "emb_kmeans_fit_exact_profile",
 ]
 
 

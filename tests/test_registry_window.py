@@ -45,8 +45,10 @@ MUST_BE_IN_WINDOW = {
     "corpus_pack_stats",
     # the exact counterpart of the mine_triplets refactor
     "emb_contrastive_triplets",
-    # round-7 addition: deterministic mergeable HLL, oracle-exact
+    # round-7 additions: deterministic mergeable HLL + exact-integer
+    # Lloyd's trainer, both oracle-exact
     "events_hll_det_rollup",
+    "emb_kmeans_fit_exact_profile",
 }
 
 
