@@ -84,3 +84,38 @@ def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     return pca_top_component_projection(emb, dim=_DIM).select("vec_id", "label", "pc1")
+
+
+def _pca_exact_oracle() -> str:
+    from flink_application_spark.operators.pca_exact import (
+        pca_power_exact_oracle_sql,
+    )
+
+    return pca_power_exact_oracle_sql(iters=8, dim=_DIM)
+
+
+@register(
+    "emb_pca_power_exact",
+    _pca_exact_oracle(),
+    doc="Exact-integer power iteration (8 rounds) — the spectral "
+    "blocker class made oracle-verifiable (operators/pca_exact.py): "
+    "ppm-quantized coordinates, EXACT integer Gram (per-Arrow-batch "
+    "int64 matmul partials, order-free integer combine), then "
+    "arbitrary-precision matvec + max-|w| renormalization with "
+    "truncating integer division per round. Output is every round's "
+    "renormalized vector as (iteration, pos, v) long rows — the whole "
+    "trajectory in the value hash; DuckDB replays the rounds as "
+    "MATERIALIZED HUGEINT CTE stages. |cos| ≥ 0.999 vs numpy eigh "
+    "pinned on a planted-spike corpus (the fixture is isotropic — "
+    "there the guaranteed Rayleigh monotonicity is pinned instead) in "
+    "tests/test_pca_exact.py; the float path (emb_pca_top_component) "
+    "stays registered for conventional parity.",
+    tags=("embeddings", "pca", "training", "deterministic"),
+)
+def q_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.pca_exact import (
+        pca_power_exact_trajectory,
+    )
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    return pca_power_exact_trajectory(emb, iters=8, dim=_DIM)

@@ -236,13 +236,14 @@ SAMPLE_WINDOW = [
     "doc_dsir_selection",
     "doc_jaccard_topk_thresholded",
     "doc_novelty_scores",
-    "doc_quality_classifier_score",
     # round-7 additions, sampled the round they land (displacing the
-    # doc_repeated_ngram_scrub and doc_quality_gate_audit
-    # re-confirmations to round 8): the deterministic mergeable HLL
-    # rollup and the exact-integer Lloyd's trainer, both oracle-exact
+    # doc_repeated_ngram_scrub / doc_quality_gate_audit /
+    # doc_quality_classifier_score re-confirmations to round 8): the
+    # deterministic mergeable HLL rollup, the exact-integer Lloyd's
+    # trainer, and the exact-integer power iteration — all oracle-exact
     "events_hll_det_rollup",
     "emb_kmeans_fit_exact_profile",
+    "emb_pca_power_exact",
 ]
 
 
