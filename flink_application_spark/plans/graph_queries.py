@@ -41,6 +41,62 @@ def q_simgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
 
 
+def _pagerank_exact_oracle() -> str:
+    from flink_application_spark.operators.graph_exact import (
+        pagerank_exact_oracle_sql,
+    )
+    from flink_application_spark.plans.dedup_queries import (
+        JACCARD_SQL,
+        SHINGLES_CTE,
+        _pairs_cte,
+        _sigs_cte,
+    )
+
+    edge_cte = (
+        SHINGLES_CTE
+        + ","
+        + _sigs_cte()
+        + ","
+        + _pairs_cte()
+        + f""",
+edges AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {JACCARD_SQL} >= {NEAR_DUP_THRESHOLD}
+)"""
+    )
+    return "WITH " + pagerank_exact_oracle_sql(edge_cte, iters=12)
+
+
+@register(
+    "doc_simgraph_pagerank_exact",
+    _pagerank_exact_oracle(),
+    doc="Exact-integer PageRank over the verified near-dup graph "
+    "(operators/graph_exact.py) — the graph-iteration blocker class "
+    "made oracle-verifiable: rank mass in integer 1e12 units, "
+    "contributions shipped as truncating rank div deg, damped update "
+    "(15·T)//(100·n) + (85·inflow)//100 — every reduction an exact "
+    "integer sum (order-free), so the 12-round fixpoint is "
+    "bit-deterministic and DuckDB replays it as MATERIALIZED CTE "
+    "stages over the same shingle/LSH/verify edge SQL the graph "
+    "siblings use. The float doc_simgraph_pagerank stays registered "
+    "(Σ rank = 1 exactly via dangling redistribution); rank-ordering "
+    "agreement + Python-reference parity in tests/test_graph_exact.py.",
+    tags=("documents", "graph", "dedup", "deterministic"),
+)
+def q_simgraph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.graph_exact import pagerank_exact
+
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    return pagerank_exact(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        iters=12,
+    ).select(F.col("id").alias("doc_id"), "rank")
+
+
 @register(
     "doc_simgraph_triangles",
     "WITH "

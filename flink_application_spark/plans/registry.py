@@ -235,15 +235,16 @@ SAMPLE_WINDOW = [
     "doc_dsir_log_weights",
     "doc_dsir_selection",
     "doc_jaccard_topk_thresholded",
-    "doc_novelty_scores",
     # round-7 additions, sampled the round they land (displacing the
     # doc_repeated_ngram_scrub / doc_quality_gate_audit /
-    # doc_quality_classifier_score re-confirmations to round 8): the
-    # deterministic mergeable HLL rollup, the exact-integer Lloyd's
-    # trainer, and the exact-integer power iteration — all oracle-exact
+    # doc_quality_classifier_score / doc_novelty_scores
+    # re-confirmations to round 8): the deterministic mergeable HLL
+    # rollup, the exact-integer Lloyd's trainer, the exact-integer
+    # power iteration, and the exact-integer PageRank — all oracle-exact
     "events_hll_det_rollup",
     "emb_kmeans_fit_exact_profile",
     "emb_pca_power_exact",
+    "doc_simgraph_pagerank_exact",
 ]
 
 

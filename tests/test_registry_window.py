@@ -46,10 +46,11 @@ MUST_BE_IN_WINDOW = {
     # the exact counterpart of the mine_triplets refactor
     "emb_contrastive_triplets",
     # round-7 additions: deterministic mergeable HLL + exact-integer
-    # Lloyd's trainer + exact-integer power iteration, all oracle-exact
+    # Lloyd's / power-iteration / PageRank, all oracle-exact
     "events_hll_det_rollup",
     "emb_kmeans_fit_exact_profile",
     "emb_pca_power_exact",
+    "doc_simgraph_pagerank_exact",
 }
 
 
