@@ -81,6 +81,14 @@ def kmeans_fit_exact_profile(
     q = quantize_ppm(emb, id_col, col).persist()
     seed_rows = q.orderBy("vec_id").limit(k).collect()
     cents = [list(r["e"]) for r in seed_rows]
+    if not cents:  # empty / all-NULL input: no seeds, so "training"
+        # is undefined — return an empty profile instead of crashing
+        # in _assign_expr on a zero-length struct array (the driver
+        # fixtures are never empty; this is a robustness guard)
+        q.unpersist()
+        return spark.createDataFrame(
+            [], "iteration bigint, inertia bigint, centroid_l1 bigint"
+        )
     prof: list[tuple[int, int, int]] = []
     for t in range(1, iters + 1):
         assigned = q.select(

@@ -11,10 +11,11 @@ algebra):
 
 - coordinates quantize once to ppm BIGINTs
   (`kmeans_exact.quantize_ppm`);
-- the Gram matrix is EXACT integer Σ xᵢxⱼ (per-Arrow-batch int64
-  matmul partials — exact, no float — combined by an order-free
-  integer groupBy sum; per-row products ≤ (1.1e6)² ≈ 1.2e12, so a
-  10k-row batch partial stays ≪ 2⁶³);
+- the Gram matrix is EXACT integer Σ xᵢxⱼ (int64 matmul partials over
+  ≤10k-row chunks — per-row products ≤ (1.1e6)² ≈ 1.2e12, so a chunk
+  partial is ≤ 1.2e16 ≪ 2⁶³ regardless of Arrow batch sizing or rows
+  per partition — combined by an order-free DECIMAL(38,0) groupBy sum,
+  the same unbounded headroom as the oracle's HUGEINT);
 - each power-iteration step is w = G·v in ARBITRARY-PRECISION integer
   arithmetic (Python bigint on the driver; HUGEINT in the DuckDB
   replay), renormalized by the max-|w| coordinate with TRUNCATING
@@ -49,36 +50,42 @@ from flink_application_spark.operators.kmeans_exact import quantize_ppm
 
 def int_gram_long(q: DataFrame, dim: int = 64) -> DataFrame:
     """(i, j, g): exact integer Gram Σ eᵢ·eⱼ of ppm vectors — the
-    int64 twin of pca.gram_long (full matrix, not upper triangle: the
-    matvec replay wants direct lookups)."""
+    integer twin of pca.gram_long (full matrix, not upper triangle:
+    the matvec replay wants direct lookups). Partials are int64 over
+    bounded ≤10k-row chunks; the cross-partial sum is DECIMAL(38,0)
+    so the Spark side carries the oracle's HUGEINT headroom (a plain
+    BIGINT sum would silently wrap in non-ANSI mode at ~7.6e6 ppm
+    rows per partition)."""
     import numpy as np
     import pandas as pd
 
     from flink_application_spark.catalog import fan_out
 
+    # 1e4 rows × (1.1e6 ppm)² ≈ 1.2e16 ≪ 2⁶³: each chunk partial is
+    # int64-safe independent of Arrow batch size or partition size.
+    chunk = 10_000
+
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros((dim, dim), dtype=np.int64)
-        any_rows = False
+        ii, jj = np.indices((dim, dim))
         for pdf in batches:
             if pdf.empty:
                 continue
             x = np.array(pdf["e"].tolist(), dtype=np.int64)
             if x.shape[1] != dim:
                 raise ValueError(f"expected dim {dim}, got {x.shape[1]}")
-            acc += x.T @ x  # exact int64 partial
-            any_rows = True
-        if any_rows:
-            ii, jj = np.indices((dim, dim))
-            yield pd.DataFrame(
-                {"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()}
-            )
+            for s in range(0, len(x), chunk):
+                blk = x[s : s + chunk]
+                yield pd.DataFrame(
+                    {"i": ii.ravel(), "j": jj.ravel(), "g": (blk.T @ blk).ravel()}
+                )
+
+    from pyspark.sql import functions as F
 
     return (
         fan_out(q.select("e"))
         .mapInPandas(part, schema="i int, j int, g long")
         .groupBy("i", "j")
-        .sum("g")
-        .withColumnRenamed("sum(g)", "g")
+        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
     )
 
 
@@ -99,6 +106,10 @@ def pca_power_exact_trajectory(
     spark = emb.sparkSession
     q = quantize_ppm(emb)
     cells = int_gram_long(q, dim).collect()
+    if not cells:  # empty / all-NULL input: the oracle's g CTE is
+        # empty so every unrolled stage is too — emit zero rows, not
+        # iters·dim zero-vector rows
+        return spark.createDataFrame([], "iteration bigint, pos bigint, v bigint")
     G = [[0] * dim for _ in range(dim)]
     for r in cells:
         G[r["i"]][r["j"]] = int(r["g"])

@@ -837,11 +837,17 @@ def mmr_rerank_cands(
     is replayable cross-engine (the DuckDB oracle in plans/mmr_sql.py
     runs the same k_final argmax stages): relevance and pairwise
     similarities quantize to ppm integers (round(cos·1e6) of the
-    6-rounded cosines), λ must be a multiple of 0.1 (lam10 = 10·λ),
-    and the selection score is
-    mmr_e7 = lam10·rel_ppm − (10−lam10)·max_{s∈S} sim_ppm — a BIGINT
-    in 1e-7 units, emitted as mmr_score = mmr_e7 / 1e7 (the identical
-    IEEE double both engines). Argmax ties break on vec_id ascending;
+    6-rounded cosines), λ quantizes once to micro-units
+    (lam_u = round(λ·1e6) — ANY λ in [0, 1] is accepted; λ that is not
+    a multiple of 1e-6 is rounded), and the selection score is
+    mmr_e12 = lam_u·rel_ppm − (1e6−lam_u)·max_{s∈S} sim_ppm — a BIGINT
+    in 1e-12 units, emitted as mmr_score = mmr_e12 / 1e12 (≤ 1e12 <
+    2⁵³, so the double is the correctly-rounded exact value). For
+    tenth λ (every registered query) mmr_e12 is exactly 1e5·mmr_e7, so
+    selections AND emitted doubles are bit-identical to the oracle's
+    lam10 form in plans/mmr_sql.py — positive integer rescaling
+    preserves every argmax comparison, and 1e5·m/1e12 and m/1e7 round
+    to the same double. Argmax ties break on vec_id ascending;
     the first pick is the relevance top-1. Pair cosines accumulate in
     the same left-to-right coordinate order as the JVM fold
     (acc += x_j·y_j per j — the brute_force_topk discipline), then
@@ -849,9 +855,9 @@ def mmr_rerank_cands(
     term for term."""
     import pandas as pd
 
-    lam10 = round(lam * 10)
-    if abs(lam10 - lam * 10) > 1e-9 or not 0 <= lam10 <= 10:
-        raise ValueError(f"lam must be a multiple of 0.1 in [0, 1], got {lam}")
+    lam_u = round(lam * 1_000_000)
+    if not 0 <= lam_u <= 1_000_000:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
     with_emb = cands.join(corpus.select("vec_id", "embedding"), "vec_id")
 
     out_schema = (
@@ -886,7 +892,7 @@ def mmr_rerank_cands(
                 penalty = pair_ppm[np.ix_(remaining, selected)].max(axis=1)
             else:
                 penalty = np.zeros(len(remaining), dtype=np.int64)
-            mmr = lam10 * rel_ppm[remaining] - (10 - lam10) * penalty
+            mmr = lam_u * rel_ppm[remaining] - (1_000_000 - lam_u) * penalty
             # argmax with vec_id-ascending tie-break: remaining is in
             # vec_id order, np.argmax takes the first maximum
             best_pos = int(np.argmax(mmr))
@@ -898,7 +904,7 @@ def mmr_rerank_cands(
                 "vec_id": pdf["vec_id"].iloc[selected].to_numpy(),
                 "rank": np.arange(1, len(selected) + 1, dtype="int32"),
                 "relevance": np.round(rel[selected], 6),
-                "mmr_score": np.array(scores, dtype=np.float64) / 1e7,
+                "mmr_score": np.array(scores, dtype=np.float64) / 1e12,
             }
         )
 

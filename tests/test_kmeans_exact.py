@@ -57,6 +57,16 @@ def test_empty_cluster_keeps_seed_centroid(spark):
     assert all(r.inertia >= 0 for r in prof)
 
 
+def test_empty_input_yields_empty_profile(spark):
+    """ADVICE r07: an all-NULL corpus gave cents=[] and crashed in
+    _assign_expr (zero-length struct array) / int(None) — must return
+    an empty profile instead."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert kmeans_fit_exact_profile(df, k=4, iters=2).count() == 0
+
+
 def test_quantization_matches_float_assignment_on_fixture(spark, sf_dir):
     """ppm quantization must not flip the SEED-round assignment vs the
     float path on real data (1e-6 relative perturbation vs O(1e-2)

@@ -24,7 +24,7 @@ def _emb(spark, sf_dir):
 def test_int_gram_matches_numpy_reference(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     got = {
-        (r["i"], r["j"]): r["g"]
+        (r["i"], r["j"]): int(r["g"])  # DECIMAL(38,0) cells
         for r in int_gram_long(quantize_ppm(emb), dim=64).collect()
     }
     rows = emb.select("embedding").collect()
@@ -95,6 +95,32 @@ def test_bit_determinism_under_repartitioning(spark, sf_dir):
         for r in pca_power_exact_trajectory(emb.repartition(13), iters=4).collect()
     )
     assert a == b  # integer Gram + bigint matvec: order-free, EXACT
+
+
+def test_gram_exact_across_chunk_boundaries(spark):
+    """int_gram_long partials are ≤10k-row int64 chunks summed in
+    DECIMAL(38,0): a 12,345-row corpus (spanning the chunk boundary)
+    must still match numpy exactly."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(-1_000_000, 1_000_001, size=(12_345, 8), dtype=np.int64)
+    df = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, e array<bigint>",
+    )
+    got = {(r["i"], r["j"]): int(r["g"]) for r in int_gram_long(df, dim=8).collect()}
+    want = x.T @ x
+    assert len(got) == 64
+    for (i, j), g in got.items():
+        assert g == int(want[i, j]), (i, j)
+
+
+def test_empty_input_yields_empty_trajectory(spark):
+    """ADVICE r07: an empty / all-NULL corpus must produce ZERO rows
+    (the oracle's g CTE is empty), not iters·dim zero-vectors."""
+    df = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert pca_power_exact_trajectory(df, iters=3, dim=64).count() == 0
 
 
 def test_renormalized_vectors_stay_in_ppm_range(spark, sf_dir):
