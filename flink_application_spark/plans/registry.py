@@ -158,93 +158,86 @@ def _load_all() -> None:
 # queries. This list IS that window, curated explicitly (import order
 # alone can't express it once queries live in many modules).
 #
-# Round-7 rotation (verdict item 5: every query has ≥1 driver row, so
-# priority is now AGE plus anything this round's code touched). The
-# window front-loads (a) the four round-7 rows-only → oracle-EXACT
-# conversions (MMR pair + contrastive/text-search twins — the driver
-# must hash-check them, not rows-only them), (b) every query whose
-# lineage the shared two-phase scan rewrite (operators/twophase.py)
-# touched — ranks/ntile/packing/epoch-shard consumers, and (c) the
-# OLDEST evidence: all remaining r01-sampled names, then r02 names
-# prioritizing the mine_triplets-refactor counterpart and the mm_*
-# multimodal family. r02 names that did not fit (18:
-# doc_split_train_val_test, doc_weighted_sample,
-# emb_cosine_near_dup_pairs, emb_dup_components, emb_ivfadc_topk,
-# emb_kmeans_assign, emb_pca_gram, emb_pq_codes, emb_semdedup_flags,
-# events_asof_last_signup, events_cep_signup_purchase_no_error,
-# events_funnel_conversion, events_global_interval_join,
-# events_interval_join_purchase_clicks, events_latest_per_user,
-# scalar_function_library, tpch_q5_local_supplier,
-# vocab_bpe_pair_counts) rotate into round 8 together with the r03
-# tpch/sql_surface breadth. Everything not listed keeps its
+# Round-8 rotation (verdict item 1: evidence staleness is the only
+# remaining gap — 68 queries' newest driver row is r03 or older). The
+# window front-loads (a) the five round-8 rows-only → oracle-EXACT
+# conversions (the exact-integer LR trio and the unrolled BPE learn
+# loop — the driver must hash-check them, not rows-only them), then
+# (b) ALL 22 r02-evidence names (the 18 listed in round 7's registry
+# comment plus the four displaced re-confirmations), then (c) the
+# verdict-named r03 priorities (mm_image_phash pair,
+# doc_substring_dedup_report) and the oldest tpch breadth (q1–q21).
+# The r03 residue that did not fit (23: tpch_q22_global_sales_
+# opportunity, corpus_data_card, corpus_drift_psi, doc_bm25_search,
+# doc_decontaminate_vs_eval, doc_gopher_repetition,
+# doc_hashing_trick_embedding, doc_lang_id, doc_text_search_topk,
+# doc_tfidf_topk, doc_token_stats, doc_winnowing_fingerprints,
+# emb_pq_adc_topk, events_cumulate_window, events_hopping_window,
+# events_sessionization, events_tumbling_window,
+# grouping_sets_order_stats, pivot_event_type_counts,
+# salted_agg_lineitem, window_lag_gap, window_running_revenue,
+# window_topn_per_group) rotates into round 9 — one rotation closes
+# the freshness horizon entirely. Everything not listed keeps its
 # import-order position.
 SAMPLE_WINDOW = [
-    # round-7 rows-only → oracle-EXACT conversions (integer-scored
-    # greedy MMR unrolled in SQL + seeded-IVF retrieval; verdict item 4)
-    "emb_mmr_diversified_topk",
-    "emb_mmr_diversified_topk_ann",
-    "emb_contrastive_triplets_ann",
-    "doc_text_search_topk_ann",
-    # round-7 CEP conversions: the automaton queries now carry
-    # recursive-CTE oracles (greedy walk unrolled per cursor step)
-    "events_cep_funnel_matches",
-    "events_cep_error_burst_recovery",
-    "events_cep_clean_checkout",
-    # touched by the two-phase scan rewrite (pinned partitioning,
-    # shared offset attach, ntile single-execution): re-confirm every
-    # consumer of ranks/packing/export
-    "vocab_gini_concentration",
-    "doc_curriculum_buckets",
-    "customer_rfm_segmentation",
-    "doc_epoch_shuffle_shards",
-    "corpus_shard_manifest",
-    "window_ntile_quartiles",
-    "doc_pack_sequences",
-    "doc_length_percentile_filter",
-    "percentile_quantity_by_flag",
-    "corpus_pack_spans",
-    "corpus_pack_stats",
-    # oldest evidence: every remaining r01-sampled name
-    "doc_blocklist_filter",
-    "doc_near_dup_edit_distance",
-    "doc_ngram_jaccard_topk",
-    "doc_pii_redaction",
-    "doc_simhash",
-    "doc_simhash_near_dup_pairs",
-    "doc_stratified_sample",
-    "emb_centroid_per_label",
-    "emb_int8_quantization_error",
-    "emb_ivf_ann_topk",
-    "events_time_weighted_avg",
-    "events_zorder_key",
-    "mm_audio_window_features",
-    "mm_image_features",
-    "mm_image_meta",
-    "orders_daily_gapfill",
-    "vocab_count_min_estimate",
-    # r02 evidence: the exact counterpart of this round's
-    # mine_triplets refactor first, then the mm_* family, then breadth
-    "emb_contrastive_triplets",
-    "mm_frame_delta_scene_changes",
-    "mm_frame_sample",
-    "corpus_mixture_plan",
-    "corpus_temperature_mixture",
-    "customer_apply_changelog",
-    "customer_tree_depth_recursive_cte",
-    "doc_chunk_windows",
-    "doc_dsir_log_weights",
-    "doc_dsir_selection",
-    "doc_jaccard_topk_thresholded",
-    # round-7 additions, sampled the round they land (displacing the
-    # doc_repeated_ngram_scrub / doc_quality_gate_audit /
-    # doc_quality_classifier_score / doc_novelty_scores
-    # re-confirmations to round 8): the deterministic mergeable HLL
-    # rollup, the exact-integer Lloyd's trainer, the exact-integer
-    # power iteration, and the exact-integer PageRank — all oracle-exact
-    "events_hll_det_rollup",
-    "emb_kmeans_fit_exact_profile",
-    "emb_pca_power_exact",
-    "doc_simgraph_pagerank_exact",
+    # round-8 rows-only → oracle-EXACT conversions: the exact-integer
+    # ridge trainer trio (ppm gradients, engine-side round, unrolled
+    # MATERIALIZED-CTE replay — verdict item 2) and the BPE learn loop
+    # (fixed merge count → unrolled top-1 + string-surgery stages —
+    # verdict item 3)
+    "emb_lr_train_exact_profile",
+    "emb_lr_confusion",
+    "emb_lr_holdout_eval",
+    "vocab_bpe_learned_merges",
+    "doc_bpe_token_counts",
+    # all 22 r02-evidence names — the oldest backlog, cleared whole
+    "doc_novelty_scores",
+    "doc_quality_classifier_score",
+    "doc_quality_gate_audit",
+    "doc_repeated_ngram_scrub",
+    "doc_split_train_val_test",
+    "doc_weighted_sample",
+    "emb_cosine_near_dup_pairs",
+    "emb_dup_components",
+    "emb_ivfadc_topk",
+    "emb_kmeans_assign",
+    "emb_pca_gram",
+    "emb_pq_codes",
+    "emb_semdedup_flags",
+    "events_asof_last_signup",
+    "events_cep_signup_purchase_no_error",
+    "events_funnel_conversion",
+    "events_global_interval_join",
+    "events_interval_join_purchase_clicks",
+    "events_latest_per_user",
+    "scalar_function_library",
+    "tpch_q5_local_supplier",
+    "vocab_bpe_pair_counts",
+    # verdict-named r03 priorities
+    "mm_image_phash",
+    "mm_image_phash_near_dup_pairs",
+    "doc_substring_dedup_report",
+    # oldest tpch breadth (r03 evidence) — q22 rotates in round 9
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_unit_price",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_exists",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
 ]
 
 

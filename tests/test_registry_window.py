@@ -21,36 +21,55 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-7 window contract: the non-negotiables are the four round-7
+# Round-8 window contract: the non-negotiables are the five round-8
 # rows-only → oracle-EXACT conversions (the driver must hash-check
-# them) and the consumers of the two-phase scan rewrite (the full
-# window is pinned exactly by
+# them, not rows-only them) and the oldest-evidence backlog the round
+# exists to clear (the full window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # round-7 rows-only → oracle conversions (verdict item 4)
-    "emb_mmr_diversified_topk",
-    "emb_mmr_diversified_topk_ann",
-    "emb_contrastive_triplets_ann",
-    "doc_text_search_topk_ann",
-    "events_cep_funnel_matches",
-    "events_cep_error_burst_recovery",
-    "events_cep_clean_checkout",
-    # two-phase scan rewrite consumers (ranks/packing/export)
-    "vocab_gini_concentration",
-    "doc_curriculum_buckets",
-    "customer_rfm_segmentation",
-    "doc_epoch_shuffle_shards",
-    "corpus_shard_manifest",
-    "corpus_pack_spans",
-    "corpus_pack_stats",
-    # the exact counterpart of the mine_triplets refactor
-    "emb_contrastive_triplets",
-    # round-7 additions: deterministic mergeable HLL + exact-integer
-    # Lloyd's / power-iteration / PageRank, all oracle-exact
-    "events_hll_det_rollup",
-    "emb_kmeans_fit_exact_profile",
-    "emb_pca_power_exact",
-    "doc_simgraph_pagerank_exact",
+    # round-8 rows-only → oracle conversions (verdict items 2+3)
+    "emb_lr_train_exact_profile",
+    "emb_lr_confusion",
+    "emb_lr_holdout_eval",
+    "vocab_bpe_learned_merges",
+    "doc_bpe_token_counts",
+    # verdict-named r03 priorities
+    "mm_image_phash",
+    "mm_image_phash_near_dup_pairs",
+    "doc_substring_dedup_report",
+    # the r02-evidence backlog (oldest driver rows in the registry)
+    "doc_split_train_val_test",
+    "doc_weighted_sample",
+    "emb_cosine_near_dup_pairs",
+    "emb_dup_components",
+    "emb_ivfadc_topk",
+    "emb_kmeans_assign",
+    "emb_pca_gram",
+    "emb_pq_codes",
+    "emb_semdedup_flags",
+    "events_asof_last_signup",
+    "events_cep_signup_purchase_no_error",
+    "events_funnel_conversion",
+    "events_global_interval_join",
+    "events_interval_join_purchase_clicks",
+    "events_latest_per_user",
+    "scalar_function_library",
+    "tpch_q5_local_supplier",
+    "vocab_bpe_pair_counts",
+}
+
+# Deliberate renames: the ONLY sanctioned way a driver-sampled name may
+# leave the registry — each entry forfeits the old name's evidence
+# because its replacement carries strictly stronger evidence (an
+# oracle-backed hash check where the old name was rows-only) AND sits
+# in the current SAMPLE_WINDOW so the driver re-establishes a row the
+# same round the rename lands.
+RENAMED = {
+    # round 8: the float softmax profile (rows-only, r06 evidence)
+    # became the exact-integer ridge trainer profile with a full
+    # MATERIALIZED-CTE training-replay oracle; the float trainer
+    # itself remains in operators/lr.py under test_lr.py.
+    "emb_lr_train_profile": "emb_lr_train_exact_profile",
 }
 
 
@@ -109,5 +128,14 @@ def test_previously_sampled_queries_still_registered():
     for f in root.glob("CORRECTNESS_r*.json"):
         sampled |= set(json.loads(f.read_text()))
     _load_all()
-    missing = sampled - set(REGISTRY)
+    missing = sampled - set(REGISTRY) - set(RENAMED)
     assert not missing, f"previously driver-sampled queries vanished: {missing}"
+    # every sanctioned rename must resolve to a live, ORACLE-BACKED
+    # replacement inside the current sample window — otherwise the
+    # rename forfeits evidence without replacing it
+    from flink_application_spark.plans.registry import SAMPLE_WINDOW
+
+    for old, new in RENAMED.items():
+        assert old not in REGISTRY, f"renamed query {old} still registered"
+        assert new in REGISTRY and REGISTRY[new].oracle is not None, new
+        assert new in SAMPLE_WINDOW, f"rename target {new} not driver-sampled"
