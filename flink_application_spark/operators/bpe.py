@@ -122,6 +122,90 @@ def bpe_learn(
     return rules
 
 
+def bpe_oracle_sql(n_merges: int, mode: str = "merges") -> str:
+    """DuckDB replay of the ENTIRE merge-learning loop (the round-8
+    rows-only → oracle-EXACT conversion): the merge count is a fixed
+    constant, so the loop unrolls as MATERIALIZED CTE stages — one
+    (pair-count, top-1, rewrite) triple per round, the mmr_sql/
+    kmeans_exact unrolling recipe applied to tokenizer training.
+
+    The per-round rewrite is STRING SURGERY standing in for the
+    scan-local list fold: symbol arrays encode as
+    ``\\x01sym\\x02\\x01sym\\x02…`` (each symbol individually wrapped,
+    so arbitrary symbol strings stay unambiguous), and one
+    ``replace(enc, \\x01l\\x02\\x01r\\x02, \\x01lr\\x02)`` applies the
+    merge: standard replace scans left-to-right and resumes AFTER each
+    replacement, which is exactly the greedy non-overlapping fold
+    ("aaa" → [aa, a], "aaaa" → [aa, aa] — probed, and pinned against
+    the pure-Python reference in tests/test_bpe.py). Precondition
+    (asserted by test_bpe_oracle_delimiter_precondition): the corpus
+    contains no \\x01/\\x02 control characters — true of the driver
+    fixtures; the SPARK side (`apply_merge`) needs no such guard.
+
+    mode='merges' → (merge_idx, lhs, rhs, n_pairs) per learned rule;
+    mode='tokens' → per-document BPE token counts under the final
+                    segmentation (doc_id, n_words, n_bpe_tokens).
+    """
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT w.word AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS word
+        FROM documents) w
+  GROUP BY w.word
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT word, c,
+         array_to_string(list_transform(list_append(string_split(word, ''), '</w>'),
+                                        s -> chr(1) || s || chr(2)), '') AS enc
+  FROM words
+)""",
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""p{t} AS (
+  SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(c) AS BIGINT) AS n_pairs
+  FROM (SELECT c, s, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM (SELECT c, string_split(substr(enc, 2, length(enc) - 2),
+                                     chr(2) || chr(1)) AS s
+              FROM e{t - 1})
+        WHERE len(s) >= 2)
+  GROUP BY lhs, rhs
+)"""
+        )
+        parts.append(
+            f"""t{t} AS MATERIALIZED (
+  SELECT lhs, rhs, n_pairs FROM p{t} ORDER BY n_pairs DESC, lhs, rhs LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""e{t} AS MATERIALIZED (
+  SELECT e.word, e.c,
+         replace(e.enc, chr(1) || t.lhs || chr(2) || chr(1) || t.rhs || chr(2),
+                 chr(1) || t.lhs || t.rhs || chr(2)) AS enc
+  FROM e{t - 1} e CROSS JOIN t{t} t
+)"""
+        )
+    body = ",\n".join(parts)
+    if mode == "merges":
+        rows = "\nUNION ALL\n".join(
+            f"SELECT CAST({t - 1} AS INT) AS merge_idx, lhs, rhs, n_pairs FROM t{t}"
+            for t in range(1, n_merges + 1)
+        )
+        return f"WITH {body}\nSELECT merge_idx, lhs, rhs, n_pairs FROM ({rows})"
+    assert mode == "tokens"
+    return f"""WITH {body},
+vocab AS (SELECT word,
+                 CAST(length(enc) - length(replace(enc, chr(1), '')) AS INT) AS n_sym
+          FROM e{n_merges}),
+docw AS (SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS word
+         FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN vocab USING (word) GROUP BY doc_id"""
+
+
 def bpe_segment(words: DataFrame, rules: list[tuple[str, str, int]]) -> DataFrame:
     """Apply learned rules in order to segment the vocabulary:
     (word, c, syms, n_sym). The application is the same scan-local

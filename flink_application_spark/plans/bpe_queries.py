@@ -1,13 +1,14 @@
 """BPE tokenizer-training queries over the `documents` table.
 
-`vocab_bpe_pair_counts` (the first merge round's pair statistics) is
-fully oracle-checked — DuckDB reproduces the word-frequency table, the
-character seeding with the ``</w>`` marker, and the weighted adjacent-
-pair counts bit-for-bit. The multi-round driver loop
-(`vocab_bpe_learned_merges`) is iterative with a data-dependent merge
-choice per round — not one-shot-SQL-expressible — so it is rows-only at
-the driver gate and pinned against a pure-Python reference BPE in
-`tests/test_bpe.py`.
+All three fully oracle-checked. `vocab_bpe_pair_counts` (round 1's
+pair statistics) replays directly; the multi-round learn loop
+(`vocab_bpe_learned_merges`) and the segmented token counts
+(`doc_bpe_token_counts`) looked iterative-only, but the merge count is
+a FIXED constant, so round 8 unrolls the whole loop as MATERIALIZED
+CTE stages (one pair-count → top-1 → string-surgery-rewrite triple per
+round — `operators/bpe.bpe_oracle_sql`), the same recipe that
+converted MMR and Lloyd's. The Spark side is unchanged; the pure-
+Python reference in `tests/test_bpe.py` still pins both independently.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.bpe import (
     bpe_learn,
+    bpe_oracle_sql,
     pair_counts,
     word_symbol_counts,
 )
@@ -81,13 +83,16 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_bpe_learned_merges",
-    None,  # data-dependent per-round argmax — iterative, not one-shot SQL
+    bpe_oracle_sql(_N_MERGES, mode="merges"),
     doc=f"Learned BPE merge table ({_N_MERGES} rounds): per round one "
     "vocab-sized pair aggregate, a deterministic driver-side top-1 "
     "(count desc, lexicographic tie-break — no RNG), and a scan-local "
     "left-to-right merge fold. Matches the classic Sennrich algorithm "
     "exactly (pinned against a pure-Python reference in tests/"
-    "test_bpe.py). At 100 TB only round zero touches the corpus.",
+    "test_bpe.py). At 100 TB only round zero touches the corpus. "
+    "Round 8: oracle-EXACT — the fixed merge count unrolls the learn "
+    "loop as MATERIALIZED CTE stages, with wrapped-symbol string "
+    "surgery replaying the greedy fold (operators/bpe.bpe_oracle_sql).",
     tags=("documents", "vocab", "bpe"),
 )
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +109,7 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_bpe_token_counts",
-    None,  # depends on the iteratively-learned merge table
+    bpe_oracle_sql(_N_MERGES, mode="tokens"),
     doc="Tokenizer APPLICATION at corpus scale: segment the vocabulary "
     f"once under the {_N_MERGES} learned merges (scan-local folds over "
     "the vocab-sized table), then count each document's BPE tokens via "

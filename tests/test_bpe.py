@@ -157,3 +157,39 @@ def test_apply_merge_matches_python_on_random_words(spark):
                     out.append(syms[i])
                     i += 1
             assert got[w] == out, (w, lhs, rhs)
+
+
+def test_bpe_oracle_delimiter_precondition(sf_dir):
+    """The DuckDB replay of the merge loop (`bpe_oracle_sql`) encodes
+    symbol arrays as \\x01sym\\x02 wrapped strings — sound only while
+    the corpus contains neither control character. Assert it on the
+    fixture (the SPARK side needs no such guard). Pure DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE text LIKE '%' || chr(1) || '%' OR text LIKE '%' || chr(2) || '%'"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_bpe_oracle_replace_is_greedy_nonoverlapping():
+    """The wrapped-symbol string replace must equal the left-to-right
+    greedy fold on overlapping runs: merge (a,a) turns aaa into
+    [aa, a] and aaaa into [aa, aa] — replace() resumes AFTER each
+    replacement, never re-matching inside one. Pure DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def enc(syms):
+        return "".join(f"\x01{s}\x02" for s in syms)
+
+    for word, want in [("aaa", ["aa", "a"]), ("aaaa", ["aa", "aa"]),
+                       ("baab", ["b", "aa", "b"])]:
+        got = con.execute(
+            "SELECT replace(?, ?, ?)",
+            [enc(list(word)), enc(["a", "a"]), enc(["aa"])],
+        ).fetchone()[0]
+        assert got == enc(want), (word, got)
