@@ -118,6 +118,8 @@ def compact_batches(
     min_live_batch: int,
     combine: dict[str, str] | None = None,
     group_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
 ) -> int:
     """Fold all ``_batch=<id>`` partitions with id < ``min_live_batch``
     into one consolidated partition — the file-count control an
@@ -136,7 +138,19 @@ def compact_batches(
     with ``group_cols`` as keys — the additive-merge that keeps the
     consolidated partial semantically identical to the batches it
     replaces. With ``combine=None`` rows are concatenated unchanged
-    (event stores). Returns the number of partitions absorbed."""
+    (event stores). Returns the number of partitions absorbed.
+
+    ``partition_by`` (event-sink mode, round-8): for the size-rolled
+    EVENT sink (`write_partitioned_parquet_size_rolled`, whose layout
+    is ``_batch=N/event_date=…/probe=…``), per-batch-per-task writes
+    leave one ~10 KB file per (batch × task × user-partition) at small
+    batch sizes. Passing the user partition columns re-writes the
+    consolidated rows PARTITIONED BY them (one writer task → one file
+    per partition dir, optionally re-rolled via
+    ``max_records_per_file``), so downstream partition pruning is
+    preserved while the file count collapses to ~the user-partition
+    cardinality. In this mode a SINGLE committed batch is already
+    worth folding (the fan-out is within the batch, not across)."""
     import glob as _glob
     import os
     import shutil
@@ -151,16 +165,30 @@ def compact_batches(
             continue
         if bid < min_live_batch:
             olds.append((bid, p))
-    if len(olds) < 2:
+    if len(olds) < (1 if partition_by else 2):
         return 0  # nothing worth folding
-    df = spark.read.parquet(*[p for _, p in olds])
+    # basePath anchors partition discovery when batch dirs carry user
+    # partition subdirs (event-sink layout); it also surfaces _batch
+    # as a column — dropped to keep the consolidated schema identical
+    # to the flat-store behavior
+    df = (
+        spark.read.option("basePath", root)
+        .parquet(*[p for _, p in olds])
+        .drop("_batch")
+    )
     if combine:
         df = df.groupBy(*group_cols).agg(
             *[getattr(F, fn)(c).alias(c) for c, fn in combine.items()]
         )
     consolidated = os.path.join(root, f"_batch={-min_live_batch - 1}")
     tmp = consolidated + ".tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if partition_by:
+        writer = df.coalesce(1).write.mode("overwrite").partitionBy(*partition_by)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(tmp)
+    else:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
     # absorb-then-swap: readers between the rm and the rename could
     # see a partial store, so swap the consolidated dir in FIRST,
     # then drop the absorbed partitions (transient double-count beats

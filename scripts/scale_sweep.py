@@ -100,14 +100,56 @@ OPS = {
 # holding the replicated table, so the sweep times exactly what the
 # driver gate runs (trained codebooks + probe equi-join + ADC top-k /
 # multi-probe bucket join).
-EMB_QUERIES = ["emb_ivfadc_trained_topk", "emb_lsh_multiprobe_topk"]
+EMB_QUERIES = [
+    "emb_ivfadc_trained_topk",
+    "emb_lsh_multiprobe_topk",
+    # round-8 (verdict item 5): the exact-integer training twins must
+    # match their float siblings' scale shape — broadcast-literal
+    # assignment passes + posexplode partial-agg reductions (kmeans),
+    # chunked int64 Gram partials (pca); replicated identical vectors
+    # exercise exactly the per-row cost that matters
+    "emb_kmeans_fit_exact_profile",
+    "emb_pca_power_exact",
+]
 
 # Round-6 additions swept on replicated DOCUMENTS (round-6 verdict
 # item 6): the packing prefix sum (two-phase scan — the collect is one
 # row per partition regardless of corpus size) and the deterministic
 # Poisson bootstrap (integer partials, one hash agg). Registered
 # queries run VERBATIM against a temp sf_dir, like the emb sweep.
-DOC_QUERIES = ["corpus_pack_spans", "source_quality_bootstrap_ci"]
+DOC_QUERIES = [
+    "corpus_pack_spans",
+    "source_quality_bootstrap_ci",
+    # round-8: exact-integer PageRank over the near-dup graph — the
+    # replica token-suffix keeps shingle spaces disjoint, so the graph
+    # is r disjoint copies and edges grow linearly
+    "doc_simgraph_pagerank_exact",
+]
+
+# Exact twins whose DuckDB oracle wall is recorded SEPARATELY
+# (round-7 verdict item 5: oracle cost must never silently gate
+# registry growth — a MATERIALIZED-CTE unroll that is cheap at sf0.01
+# could still blow up against a replicated corpus; measure it).
+ORACLE_TIMED = {
+    "emb_kmeans_fit_exact_profile",
+    "emb_pca_power_exact",
+    "doc_simgraph_pagerank_exact",
+}
+
+
+def _time_oracle(name: str, rep_dir: str, results: dict, r: int) -> None:
+    from flink_application_spark.oracle import duckdb_connect
+    from flink_application_spark.plans.registry import REGISTRY_GET
+
+    spec = REGISTRY_GET(name)
+    con = duckdb_connect(rep_dir)
+    t0 = time.time()
+    nrows = len(con.sql(spec.oracle).fetchall())
+    dt = round(time.time() - t0, 3)
+    con.close()
+    key = f"{name}__oracle_duckdb"
+    results.setdefault(key, {})[r] = dt
+    print(f"{key:44s} x{r}: {dt:7.3f} s  (result rows {nrows})", flush=True)
 
 
 def sweep_doc_queries(spark, sf_dir: str, replicas: list[int]) -> dict:
@@ -136,6 +178,8 @@ def sweep_doc_queries(spark, sf_dir: str, replicas: list[int]) -> dict:
                     f"{name:26s} x{r}: {dt:7.3f} s  (result rows {n})",
                     flush=True,
                 )
+                if name in ORACLE_TIMED:
+                    _time_oracle(name, rep_dir, results, r)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return results
@@ -226,6 +270,8 @@ def sweep_emb_queries(spark, sf_dir: str, replicas: list[int]) -> dict:
                     f"{name:26s} x{r}: {dt:7.3f} s  (result rows {n})",
                     flush=True,
                 )
+                if name in ORACLE_TIMED:
+                    _time_oracle(name, rep_dir, results, r)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return results

@@ -49,6 +49,9 @@ def _synthetic_result(names: list[str]) -> dict:
         "roll_proof_files": 3,
         "roll_proof_wall_sec": 2.704,
         "roll_proof_wall2_sec": 2.698,
+        "pre_compact_files": 123,
+        "post_compact_files": 8,
+        "post_compact_max_mb": 1.23,
     }
 
 

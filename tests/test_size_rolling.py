@@ -91,3 +91,80 @@ def test_first_batch_ceiling_holds_for_wide_rows(spark, tmp_path):
     roller(wide, 0)
     sizes = [os.path.getsize(f) for f in _data_files(out)]
     assert sizes and max(sizes) <= _TARGET * 1.25, sizes
+
+
+def test_compact_batches_event_sink_mode(spark, tmp_path):
+    """Round-8 small-file control: compact_batches(partition_by=...)
+    folds every committed _batch dir of a size-rolled EVENT sink into
+    one consolidated negative-id batch that (a) keeps the user
+    partition directories (pruning survives), (b) preserves the exact
+    row multiset, and (c) collapses the file count — including the
+    single-batch case, where the fan-out is within the batch."""
+    from flink_application_spark.streaming.sinks import (
+        compact_batches,
+        committed_batch_dirs,
+        idempotent_batch_write,
+    )
+
+    root = str(tmp_path / "sink")
+    rows = spark.range(0, 3000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("event_date"),
+        (F.col("id") % 5).cast("string").alias("probe"),
+    )
+    # 4 committed batches × 8 writer tasks × 15 partition combos
+    for b in range(4):
+        idempotent_batch_write(
+            rows.filter(F.col("id") % 4 == b).repartition(8),
+            root,
+            b,
+            partition_by=("event_date", "probe"),
+        )
+    pre_files = glob.glob(f"{root}/**/*.parquet", recursive=True)
+    pre_rows = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    max_bid = max(
+        int(os.path.basename(p).split("=", 1)[1]) for p in committed_batch_dirs(root)
+    )
+    absorbed = compact_batches(
+        spark, root, min_live_batch=max_bid + 1, partition_by=("event_date", "probe")
+    )
+    assert absorbed == 4
+    post_files = glob.glob(f"{root}/**/*.parquet", recursive=True)
+    assert len(post_files) <= 15  # one writer → ≤1 file per (date×probe)
+    assert len(post_files) * 4 <= len(pre_files)  # per-batch fan-out folded
+    post = spark.read.parquet(root)
+    assert sorted(r["id"] for r in post.collect()) == pre_rows
+    # user partition columns survive as partition dirs (pruning works)
+    assert {os.path.basename(os.path.dirname(os.path.dirname(p)))
+            for p in post_files} <= {f"event_date={i}" for i in range(3)}
+    pruned = post.filter("event_date = '1' AND probe = '2'")
+    assert pruned.count() == 200
+
+    # coarsen-on-compact (the bench's shape): re-compact the already-
+    # consolidated store down to the date axis alone — probe becomes a
+    # plain column, the file count collapses to ~#dates, rows invariant
+    absorbed2 = compact_batches(
+        spark, root, min_live_batch=max_bid + 1, partition_by=("event_date",)
+    )
+    assert absorbed2 == 1  # re-absorbs the prior consolidated batch
+    post2_files = glob.glob(f"{root}/**/*.parquet", recursive=True)
+    assert len(post2_files) <= 3  # one file per date
+    assert len(post2_files) * 10 <= len(pre_files)  # ≥10× vs the raw sink
+    post2 = spark.read.parquet(root)
+    assert sorted(r["id"] for r in post2.collect()) == pre_rows
+    assert post2.filter("event_date = '1' AND probe = '2'").count() == 200
+
+    # single-batch fold: a fresh sink with ONE committed batch still
+    # compacts in event-sink mode (refused in additive-store mode)
+    root2 = str(tmp_path / "sink2")
+    idempotent_batch_write(
+        rows.repartition(8), root2, 0, partition_by=("event_date", "probe")
+    )
+    assert compact_batches(spark, root2, min_live_batch=1) == 0  # store mode: <2
+    assert (
+        compact_batches(
+            spark, root2, min_live_batch=1, partition_by=("event_date", "probe")
+        )
+        == 1
+    )
+    assert spark.read.parquet(root2).count() == 3000
