@@ -8,6 +8,13 @@ yields exactly the one-shot scan's matches."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: e2e streaming / stateful-store / property tests (round-8
+# verdict item 8). Default runs exclude these via pytest.ini addopts;
+# run the full suite with:  python -m pytest tests/ -q -m ''
+pytestmark = _pytest_tier.mark.slow
+
 from hypothesis import given, settings, strategies as st
 
 from flink_application_spark.operators.cep import greedy_scan

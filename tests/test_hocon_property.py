@@ -5,6 +5,13 @@ style, value type, comment placement, or dotted-path aliasing.
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: e2e streaming / stateful-store / property tests (round-8
+# verdict item 8). Default runs exclude these via pytest.ini addopts;
+# run the full suite with:  python -m pytest tests/ -q -m ''
+pytestmark = _pytest_tier.mark.slow
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st

@@ -3,6 +3,13 @@ range-clustered (non-overlapping per-file sort-key intervals)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: e2e streaming / stateful-store / property tests (round-8
+# verdict item 8). Default runs exclude these via pytest.ini addopts;
+# run the full suite with:  python -m pytest tests/ -q -m ''
+pytestmark = _pytest_tier.mark.slow
+
 from pyspark.sql import functions as F
 
 from flink_application_spark.operators.maintenance import (

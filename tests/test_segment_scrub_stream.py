@@ -6,6 +6,13 @@ be invisible (the Bloom stream's crash-window discipline)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: e2e streaming / stateful-store / property tests (round-8
+# verdict item 8). Default runs exclude these via pytest.ini addopts;
+# run the full suite with:  python -m pytest tests/ -q -m ''
+pytestmark = _pytest_tier.mark.slow
+
 from pyspark.sql import functions as F
 
 from flink_application_spark.operators.dedup import segment_dedup_scrub

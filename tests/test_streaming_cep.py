@@ -11,6 +11,13 @@ each of the last two waves."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: e2e streaming / stateful-store / property tests (round-8
+# verdict item 8). Default runs exclude these via pytest.ini addopts;
+# run the full suite with:  python -m pytest tests/ -q -m ''
+pytestmark = _pytest_tier.mark.slow
+
 import pyspark.sql.functions as F
 
 from flink_application_spark.catalog import register_views
