@@ -138,11 +138,25 @@ ORACLE_TIMED = {
 
 
 def _time_oracle(name: str, rep_dir: str, results: dict, r: int) -> None:
-    from flink_application_spark.oracle import duckdb_connect
+    import glob as _glob
+    import os as _os
+
+    import duckdb
+
     from flink_application_spark.plans.registry import REGISTRY_GET
 
     spec = REGISTRY_GET(name)
-    con = duckdb_connect(rep_dir)
+    # register only the tables the replica dir holds (duckdb validates
+    # view paths eagerly, so the full-catalog duckdb_connect would
+    # fail on the absent tables)
+    con = duckdb.connect()
+    for f in _glob.glob(_os.path.join(rep_dir, "*.parquet")):
+        # Spark writes each replica table as a DIRECTORY of part files
+        pat = f"{f}/*.parquet" if _os.path.isdir(f) else f
+        con.execute(
+            f"CREATE VIEW {_os.path.basename(f)[:-8]} AS"
+            f" SELECT * FROM read_parquet('{pat}')"
+        )
     t0 = time.time()
     nrows = len(con.sql(spec.oracle).fetchall())
     dt = round(time.time() - t0, 3)
