@@ -66,18 +66,18 @@ def _assign_expr(cents: list[list[int]]) -> str:
     return f"element_at(array_sort(array({structs})), 1)"
 
 
-def kmeans_fit_exact_profile(
+def kmeans_fit_exact(
     emb: DataFrame,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     col: str = "embedding",
-) -> DataFrame:
+) -> tuple[list[list[int]], list[tuple[int, int, int]]]:
     """Run `iters` exact-integer Lloyd's rounds (seed = embeddings of
-    the k smallest ids, the shared no-RNG convention) and return the
-    training profile: (iteration, inertia, centroid_l1) — all BIGINT,
-    hash-identical to the unrolled SQL replay."""
-    spark = emb.sparkSession
+    the k smallest ids, the shared no-RNG convention) and return
+    (final ppm centroids, profile rows) — the centroids feed the
+    exact-TRAINED retrieval index (round 8), the profile is the
+    bit-replayable trajectory."""
     q = quantize_ppm(emb, id_col, col).persist()
     seed_rows = q.orderBy("vec_id").limit(k).collect()
     cents = [list(r["e"]) for r in seed_rows]
@@ -86,9 +86,7 @@ def kmeans_fit_exact_profile(
         # in _assign_expr on a zero-length struct array (the driver
         # fixtures are never empty; this is a robustness guard)
         q.unpersist()
-        return spark.createDataFrame(
-            [], "iteration bigint, inertia bigint, centroid_l1 bigint"
-        )
+        return [], []
     prof: list[tuple[int, int, int]] = []
     for t in range(1, iters + 1):
         assigned = q.select(
@@ -117,15 +115,30 @@ def kmeans_fit_exact_profile(
         l1 = sum(abs(x) for cv in cents for x in cv)
         prof.append((t, inertia, l1))
     q.unpersist()
-    return spark.createDataFrame(
+    return cents, prof
+
+
+def kmeans_fit_exact_profile(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """The registered-profile form of `kmeans_fit_exact`:
+    (iteration, inertia, centroid_l1) — all BIGINT, hash-identical to
+    the unrolled SQL replay."""
+    _, prof = kmeans_fit_exact(emb, k, iters, id_col, col)
+    return emb.sparkSession.createDataFrame(
         prof, "iteration bigint, inertia bigint, centroid_l1 bigint"
     )
 
 
-def kmeans_exact_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
-    """The DuckDB replay: `iters` Lloyd's rounds unrolled as CTE
-    stages over the same ppm integers (the mmr_sql/cep unrolling
-    recipe applied to a training loop)."""
+def kmeans_exact_cte_parts(k: int = 8, iters: int = 5, dim: int = 64) -> list[str]:
+    """The unrolled Lloyd's CTE stages (q, c0, then a{t}/m{t}/c{t} per
+    round) — shared by the profile oracle and the exact-TRAINED IVF
+    retrieval oracle (round 8), which appends assignment/probe/top-k
+    stages over the final c{iters}."""
     d2 = (
         "list_sum(list_transform(list_zip(q.e, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -172,6 +185,14 @@ def kmeans_exact_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
              FROM m{t} GROUP BY cluster) m USING (cluster)
 )""",
         )
+    return parts
+
+
+def kmeans_exact_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """The DuckDB replay: `iters` Lloyd's rounds unrolled as CTE
+    stages over the same ppm integers (the mmr_sql/cep unrolling
+    recipe applied to a training loop)."""
+    parts = kmeans_exact_cte_parts(k, iters, dim)
     union = "\nUNION ALL\n".join(
         f"SELECT {t} AS iteration,"
         f" (SELECT CAST(sum(d2) AS BIGINT) FROM a{t}) AS inertia,"

@@ -35,6 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.ivf_exact import (
+    ivf_exact_trained_oracle_sql,
+)
 from flink_application_spark.plans.registry import register
 
 _ANN = dict(n_centroids=16, n_probe=4)
@@ -437,4 +440,32 @@ def q_text_search_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk_seeded(
         vecs.filter(F.col("vec_id") < 3), vecs, k=5, n_centroids=8, n_probe=3
+    )
+
+
+@register(
+    "emb_ivf_exact_trained_topk",
+    ivf_exact_trained_oracle_sql(k=10, n_centroids=8, iters=5, n_probe=2,
+                                 n_queries=5),
+    doc="Round-8 capstone of the determinism recipe: IVF retrieval "
+    "whose coarse quantizer is TRAINED — 5 exact-integer Lloyd's "
+    "rounds (operators/kmeans_exact.py), not merely seeded — with the "
+    "ENTIRE index lifecycle oracle-replayed: training unroll (shared "
+    "CTE stages with emb_kmeans_fit_exact_profile), corpus assignment, "
+    "per-query probe ranking (n_probe=2 of 8 cells), exact-integer d² "
+    "candidate scoring, per-query top-10 (ties → vec_id). Removes the "
+    "'trained codebooks are float Lloyd's' conversion blocker for the "
+    "IVF class: fitted centroids AND bit-determinism at once. Corpus "
+    "vectors never shuffle; probes broadcast; the candidate join is "
+    "equi on the list id — the similarity.ivf_topk scale shape.",
+    tags=("similarity", "embeddings", "ann", "training", "exact"),
+)
+def q_ivf_exact_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.ivf_exact import (
+        ivf_exact_trained_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return ivf_exact_trained_topk(
+        emb, k=10, n_centroids=8, iters=5, n_probe=2, n_queries=5
     )
