@@ -69,6 +69,12 @@ def ivf_exact_trained_topk(
     `n_queries` vec_ids over the exact-trained IVF index — every
     number an exact integer, hash-replayable end to end."""
     cents, _ = kmeans_fit_exact(emb, k=n_centroids, iters=iters)
+    if not cents:  # empty / all-NULL corpus: no index, no neighbors —
+        # match the oracle's zero rows instead of crashing in the
+        # assignment expression (the kmeans_exact empty-input rule)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, vec_id bigint, d2q bigint, rank int"
+        )
     q = quantize_ppm(emb)
     assigned = q.select(
         "vec_id",

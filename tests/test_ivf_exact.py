@@ -93,3 +93,10 @@ def test_output_contract(spark):
     assert all(r["rank"] <= _K for r in rows)
     assert all(r["query_id"] != r["vec_id"] for r in rows)
     assert all(r["d2q"] >= 0 for r in rows)
+
+
+def test_empty_input_returns_empty_frame(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    df = ivf_exact_trained_topk(empty, k=_K)
+    assert df.columns == ["query_id", "vec_id", "d2q", "rank"]
+    assert df.count() == 0
