@@ -135,54 +135,74 @@ def kmeans_fit_exact_profile(
 
 
 def kmeans_exact_cte_parts(k: int = 8, iters: int = 5, dim: int = 64) -> list[str]:
-    """The unrolled Lloyd's CTE stages (q, c0, then a{t}/m{t}/c{t} per
-    round) — shared by the profile oracle and the exact-TRAINED IVF
-    retrieval oracle (round 8), which appends assignment/probe/top-k
-    stages over the final c{iters}."""
+    """The unrolled Lloyd's CTE stages ({prefix}q, {prefix}c0, then
+    {prefix}a{t}/m{t}/c{t} per round) — shared by the profile oracle,
+    the exact-TRAINED IVF retrieval oracle (round 8, appends
+    assignment/probe/top-k stages over the final c{iters}), and the
+    exact-TRAINED PQ/ADC oracle (round 8, one PREFIXED unroll per
+    subspace over sliced vectors — pass `q_sql` defining
+    ``{prefix}q(vec_id, e)``)."""
+    return kmeans_exact_cte_parts_prefixed(k, iters, dim)
+
+
+def kmeans_exact_cte_parts_prefixed(
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    prefix: str = "",
+    q_sql: str | None = None,
+) -> list[str]:
+    p = prefix
     d2 = (
         "list_sum(list_transform(list_zip(q.e, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
-    parts = [
-        f"""q AS (
+    # alias the prefixed base back to the local name `q` the d2
+    # template uses; with no prefix keep the original byte-identical
+    # text (the profile oracle is proven hash-green as written)
+    qref = f"{p}q q" if p else "q"
+    if q_sql is None:
+        q_sql = f"""{p}q AS (
   SELECT vec_id,
          list_transform(embedding,
                         v -> CAST(round(CAST(v AS DOUBLE) * {SCALE}) AS BIGINT))
            AS e
   FROM embeddings WHERE embedding IS NOT NULL
-)""",
-        f"""c0 AS (
+)"""
+    parts = [
+        q_sql,
+        f"""{p}c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
-  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, e FROM {p}q ORDER BY vec_id LIMIT {k})
 )""",
     ]
     for t in range(1, iters + 1):
         parts.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
   SELECT vec_id, e, cluster, d2 FROM (
     SELECT q.vec_id, q.e, c.cluster, {d2} AS d2,
            row_number() OVER (
              PARTITION BY q.vec_id ORDER BY {d2} ASC, c.cluster ASC
            ) AS rn
-    FROM q CROSS JOIN c{t - 1} c
+    FROM {qref} CROSS JOIN {p}c{t - 1} c
   ) WHERE rn = 1
 )""",
         )
         parts.append(
-            f"""m{t} AS (
+            f"""{p}m{t} AS (
   SELECT cluster, pos,
          CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv_j
   FROM (SELECT cluster, t.pos AS pos, e[t.pos] AS v
-        FROM a{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) t)
+        FROM {p}a{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) t)
   GROUP BY cluster, pos
 )""",
         )
         parts.append(
-            f"""c{t} AS (
+            f"""{p}c{t} AS (
   SELECT c.cluster, COALESCE(m.cv, c.cv) AS cv
-  FROM c{t - 1} c
+  FROM {p}c{t - 1} c
   LEFT JOIN (SELECT cluster, list(cv_j ORDER BY pos) AS cv
-             FROM m{t} GROUP BY cluster) m USING (cluster)
+             FROM {p}m{t} GROUP BY cluster) m USING (cluster)
 )""",
         )
     return parts

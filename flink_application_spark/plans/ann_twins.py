@@ -38,6 +38,7 @@ from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.ivf_exact import (
     ivf_exact_trained_oracle_sql,
 )
+from flink_application_spark.operators.pq_exact import pq_exact_adc_oracle_sql
 from flink_application_spark.plans.registry import register
 
 _ANN = dict(n_centroids=16, n_probe=4)
@@ -469,3 +470,25 @@ def q_ivf_exact_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_exact_trained_topk(
         emb, k=10, n_centroids=8, iters=5, n_probe=2, n_queries=5
     )
+
+
+@register(
+    "emb_pq_exact_trained_adc_topk",
+    pq_exact_adc_oracle_sql(k=10, n_queries=5),
+    doc="Round-8 trained-index conversion, PQ half: product-quantization "
+    "ADC top-10 whose per-subspace codebooks are TRAINED by the "
+    "exact-integer Lloyd's loop (8 subspaces × 8 codewords × 3 rounds "
+    "over ppm subvector slices — operators/pq_exact.py). Corpus codes, "
+    "per-query ADC tables (one exact-d² table per subspace per query, "
+    "then m lookups + adds per candidate — the Jégou ADC shape), and "
+    "the final ranking are all exact BIGINTs; the DuckDB oracle replays "
+    "the ENTIRE lifecycle as 8 prefixed copies of the shared kmeans "
+    "training unroll plus long-format code/book joins. Approximation "
+    "error comes from quantization only — never float nondeterminism.",
+    tags=("similarity", "embeddings", "ann", "training", "exact", "pq"),
+)
+def q_pq_exact_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.operators.pq_exact import pq_exact_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_exact_adc_topk(emb, k=10, n_queries=5)

@@ -167,9 +167,10 @@ def _load_all() -> None:
 # comment plus the four displaced re-confirmations), then (c) the
 # verdict-named r03 priorities (mm_image_phash pair,
 # doc_substring_dedup_report) and the oldest tpch breadth (q1–q21).
-# The r03 residue that did not fit (24: tpch_q21_waiting_supplier
-# — displaced late by the round-8 addition emb_ivf_exact_trained_topk,
-# which must be driver-sampled the round it lands —
+# The r03 residue that did not fit (25: tpch_q20_excess_suppliers
+# and tpch_q21_waiting_supplier — displaced late by the round-8
+# additions emb_ivf_exact_trained_topk / emb_pq_exact_trained_adc_topk,
+# which must be driver-sampled the round they land —
 # tpch_q22_global_sales_opportunity, corpus_data_card, corpus_drift_psi, doc_bm25_search,
 # doc_decontaminate_vs_eval, doc_gopher_repetition,
 # doc_hashing_trick_embedding, doc_lang_id, doc_text_search_topk,
@@ -238,11 +239,12 @@ SAMPLE_WINDOW = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    # round-8 addition, sampled the round it lands (displacing
-    # tpch_q21 to the round-9 residue): the exact-TRAINED IVF index —
-    # training unroll + assignment + probe + top-k, all oracle-exact
+    # round-8 additions, sampled the round they land (displacing
+    # tpch_q20/q21 to the round-9 residue): the exact-TRAINED IVF
+    # index and the exact-TRAINED PQ/ADC — training unrolls +
+    # assignment/probe/ADC + top-k, all oracle-exact
     "emb_ivf_exact_trained_topk",
+    "emb_pq_exact_trained_adc_topk",
 ]
 
 

@@ -28,8 +28,9 @@ from flink_application_spark.plans.registry import REGISTRY, _load_all
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
     # round-8 rows-only → oracle conversions (verdict items 2+3)
-    # and the round-8 addition (exact-TRAINED IVF)
+    # and the round-8 additions (exact-TRAINED IVF and PQ/ADC)
     "emb_ivf_exact_trained_topk",
+    "emb_pq_exact_trained_adc_topk",
     "emb_lr_train_exact_profile",
     "emb_lr_confusion",
     "emb_lr_holdout_eval",
