@@ -178,12 +178,21 @@ def bpe_oracle_sql(n_merges: int, mode: str = "merges") -> str:
   SELECT lhs, rhs, n_pairs FROM p{t} ORDER BY n_pairs DESC, lhs, rhs LIMIT 1
 )"""
         )
+        # LEFT JOIN ON TRUE + COALESCE, not CROSS JOIN: when a round
+        # has no remaining pairs (t{t} empty — merges exhausted before
+        # n_merges) the rewrite must be a NO-OP, matching bpe_learn's
+        # early break. A CROSS JOIN against the empty t{t} would wipe
+        # the vocabulary and zero mode='tokens' on degenerate corpora
+        # (round-8 ADVICE; exhaustion-edge parity pinned in
+        # tests/test_bpe.py).
         parts.append(
             f"""e{t} AS MATERIALIZED (
   SELECT e.word, e.c,
-         replace(e.enc, chr(1) || t.lhs || chr(2) || chr(1) || t.rhs || chr(2),
-                 chr(1) || t.lhs || t.rhs || chr(2)) AS enc
-  FROM e{t - 1} e CROSS JOIN t{t} t
+         COALESCE(replace(e.enc,
+                          chr(1) || t.lhs || chr(2) || chr(1) || t.rhs || chr(2),
+                          chr(1) || t.lhs || t.rhs || chr(2)),
+                  e.enc) AS enc
+  FROM e{t - 1} e LEFT JOIN t{t} t ON TRUE
 )"""
         )
     body = ",\n".join(parts)

@@ -132,15 +132,17 @@ def ivf_exact_trained_oracle_sql(
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
     parts = kmeans_exact_cte_parts(n_centroids, iters, dim)
+    # argmin-as-aggregate (the kmeans_exact_cte_parts_prefixed a{t}
+    # encoding): min(d2·k+cluster) replaces the per-vector window sort
+    # that was measured superlinear in DuckDB at 8× fixture growth
     parts.append(
         f"""af AS MATERIALIZED (
-  SELECT vec_id, e, cluster FROM (
-    SELECT q.vec_id, q.e, c.cluster,
-           row_number() OVER (
-             PARTITION BY q.vec_id ORDER BY {d2} ASC, c.cluster ASC
-           ) AS rn
+  SELECT vec_id, e, best % {n_centroids} AS cluster FROM (
+    SELECT q.vec_id, any_value(q.e) AS e,
+           min({d2} * {n_centroids} + c.cluster) AS best
     FROM q CROSS JOIN c{iters} c
-  ) WHERE rn = 1
+    GROUP BY q.vec_id
+  )
 )"""
     )
     parts.append(

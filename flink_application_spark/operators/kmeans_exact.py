@@ -161,8 +161,14 @@ def kmeans_exact_cte_parts_prefixed(
     # template uses; with no prefix keep the original byte-identical
     # text (the profile oracle is proven hash-green as written)
     qref = f"{p}q q" if p else "q"
+    # Every stage is MATERIALIZED: the unroll is a chain where each
+    # round's stages are referenced by the next round AND by the final
+    # profile union — left to DuckDB's inlining heuristic the plan
+    # re-evaluates whole prefixes of the chain, which is what actually
+    # made the round-8 sweep superlinear (measured: 8× fixture 158 s
+    # inlined vs 6.4 s materialized with the same aggregate argmin).
     if q_sql is None:
-        q_sql = f"""{p}q AS (
+        q_sql = f"""{p}q AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         v -> CAST(round(CAST(v AS DOUBLE) * {SCALE}) AS BIGINT))
@@ -171,25 +177,32 @@ def kmeans_exact_cte_parts_prefixed(
 )"""
     parts = [
         q_sql,
-        f"""{p}c0 AS (
+        f"""{p}c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cv
   FROM (SELECT vec_id, e FROM {p}q ORDER BY vec_id LIMIT {k})
 )""",
     ]
+    # Assignment is a hash AGGREGATE, not a window: the (d2, cluster)
+    # lexicographic argmin is packed into one BIGINT key d2·k+cluster
+    # (cluster < k makes the encoding order-preserving; d2 ≤
+    # dim·(2·SCALE)² ≈ 2.6e14, ×k ≪ 2⁶³) so min() picks the nearest
+    # centroid with the ties→cluster-ascending rule and NO per-vector
+    # sort — replacing the row_number()-over-(q×c) form flagged by the
+    # round-8 sweep (growth_vs_linear 1.98, 42.6 s at 8×; with the
+    # MATERIALIZED stages above the rewrite measures 6.35 s / 0.38).
     for t in range(1, iters + 1):
         parts.append(
-            f"""{p}a{t} AS (
-  SELECT vec_id, e, cluster, d2 FROM (
-    SELECT q.vec_id, q.e, c.cluster, {d2} AS d2,
-           row_number() OVER (
-             PARTITION BY q.vec_id ORDER BY {d2} ASC, c.cluster ASC
-           ) AS rn
+            f"""{p}a{t} AS MATERIALIZED (
+  SELECT vec_id, e, best % {k} AS cluster, best // {k} AS d2 FROM (
+    SELECT q.vec_id, any_value(q.e) AS e,
+           min({d2} * {k} + c.cluster) AS best
     FROM {qref} CROSS JOIN {p}c{t - 1} c
-  ) WHERE rn = 1
+    GROUP BY q.vec_id
+  )
 )""",
         )
         parts.append(
-            f"""{p}m{t} AS (
+            f"""{p}m{t} AS MATERIALIZED (
   SELECT cluster, pos,
          CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv_j
   FROM (SELECT cluster, t.pos AS pos, e[t.pos] AS v
@@ -198,7 +211,7 @@ def kmeans_exact_cte_parts_prefixed(
 )""",
         )
         parts.append(
-            f"""{p}c{t} AS (
+            f"""{p}c{t} AS MATERIALIZED (
   SELECT c.cluster, COALESCE(m.cv, c.cv) AS cv
   FROM {p}c{t - 1} c
   LEFT JOIN (SELECT cluster, list(cv_j ORDER BY pos) AS cv

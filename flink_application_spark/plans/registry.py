@@ -158,93 +158,84 @@ def _load_all() -> None:
 # queries. This list IS that window, curated explicitly (import order
 # alone can't express it once queries live in many modules).
 #
-# Round-8 rotation (verdict item 1: evidence staleness is the only
-# remaining gap — 68 queries' newest driver row is r03 or older). The
-# window front-loads (a) the five round-8 rows-only → oracle-EXACT
-# conversions (the exact-integer LR trio and the unrolled BPE learn
-# loop — the driver must hash-check them, not rows-only them), then
-# (b) ALL 22 r02-evidence names (the 18 listed in round 7's registry
-# comment plus the four displaced re-confirmations), then (c) the
-# verdict-named r03 priorities (mm_image_phash pair,
-# doc_substring_dedup_report) and the oldest tpch breadth (q1–q21).
-# The r03 residue that did not fit (25: tpch_q20_excess_suppliers
-# and tpch_q21_waiting_supplier — displaced late by the round-8
-# additions emb_ivf_exact_trained_topk / emb_pq_exact_trained_adc_topk,
-# which must be driver-sampled the round they land —
-# tpch_q22_global_sales_opportunity, corpus_data_card, corpus_drift_psi, doc_bm25_search,
-# doc_decontaminate_vs_eval, doc_gopher_repetition,
-# doc_hashing_trick_embedding, doc_lang_id, doc_text_search_topk,
-# doc_tfidf_topk, doc_token_stats, doc_winnowing_fingerprints,
-# emb_pq_adc_topk, events_cumulate_window, events_hopping_window,
-# events_sessionization, events_tumbling_window,
-# grouping_sets_order_stats, pivot_event_type_counts,
-# salted_agg_lineitem, window_lag_gap, window_running_revenue,
-# window_topn_per_group) rotates into round 9 — one rotation closes
-# the freshness horizon entirely. Everything not listed keeps its
-# import-order position.
+# Round-9 rotation (verdict item 1: execute the pre-written residue
+# rotation; the round-8 judge already re-verified all 25 r03-evidence
+# names hash-green independently, this makes the driver's own record
+# current). The window front-loads (a) the three round-9 rows-only →
+# oracle-EXACT conversions (the NN-Descent trio on the exact-integer
+# recipe — verdict item 3; the driver must hash-check them the round
+# they land), then (b) the FULL 25-name r03 residue listed in round
+# 8's registry comment, then (c) the first 22 of the 41 r04-evidence
+# names in lexical order. The 19-name r04 residue that did not fit
+# (emb_sq8_recon_error, events_anomaly_zscore,
+# events_ewma_daily_anomaly, events_key_skew_profile,
+# events_mad_by_type, events_markov_transitions,
+# events_retention_cohorts, events_top_trigram_paths,
+# events_two_level_rollup, events_user_activity_entropy,
+# events_value_histogram, full_outer_customer_orders,
+# json_props_stats, nation_revenue_share, rollup_order_revenue,
+# snapshot_diff_orders, source_quality_wilson,
+# unpivot_lineitem_metrics, window_range_frame_trailing_hour) rotates
+# into round 10 — after which no query's newest driver row is older
+# than r05. Everything not listed keeps its import-order position.
 SAMPLE_WINDOW = [
-    # round-8 rows-only → oracle-EXACT conversions: the exact-integer
-    # ridge trainer trio (ppm gradients, engine-side round, unrolled
-    # MATERIALIZED-CTE replay — verdict item 2) and the BPE learn loop
-    # (fixed merge count → unrolled top-1 + string-surgery stages —
-    # verdict item 3)
-    "emb_lr_train_exact_profile",
-    "emb_lr_confusion",
-    "emb_lr_holdout_eval",
-    "vocab_bpe_learned_merges",
-    "doc_bpe_token_counts",
-    # all 22 r02-evidence names — the oldest backlog, cleared whole
-    "doc_novelty_scores",
-    "doc_quality_classifier_score",
-    "doc_quality_gate_audit",
-    "doc_repeated_ngram_scrub",
-    "doc_split_train_val_test",
-    "doc_weighted_sample",
-    "emb_cosine_near_dup_pairs",
-    "emb_dup_components",
-    "emb_ivfadc_topk",
-    "emb_kmeans_assign",
-    "emb_pca_gram",
-    "emb_pq_codes",
-    "emb_semdedup_flags",
-    "events_asof_last_signup",
-    "events_cep_signup_purchase_no_error",
-    "events_funnel_conversion",
-    "events_global_interval_join",
-    "events_interval_join_purchase_clicks",
-    "events_latest_per_user",
-    "scalar_function_library",
-    "tpch_q5_local_supplier",
-    "vocab_bpe_pair_counts",
-    # verdict-named r03 priorities
-    "mm_image_phash",
-    "mm_image_phash_near_dup_pairs",
-    "doc_substring_dedup_report",
-    # oldest tpch breadth (r03 evidence) — q22 rotates in round 9
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_unit_price",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_exists",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_by_returnflag",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    # round-8 additions, sampled the round they land (displacing
-    # tpch_q20/q21 to the round-9 residue): the exact-TRAINED IVF
-    # index and the exact-TRAINED PQ/ADC — training unrolls +
-    # assignment/probe/ADC + top-k, all oracle-exact
-    "emb_ivf_exact_trained_topk",
-    "emb_pq_exact_trained_adc_topk",
+    # round-9 rows-only → oracle-EXACT conversions: the NN-Descent
+    # trio (fixed round count + integer-d² ranking + md5-permuted
+    # ring init — the ivf_exact recipe applied to the kNN-graph
+    # builder; operators/nndescent_exact.py)
+    "emb_knn_graph_nndescent",
+    "emb_knn_graph_recall",
+    "emb_nn_descent_convergence",
+    # the full 25-name r03-evidence residue from the round-8 comment
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "corpus_data_card",
+    "corpus_drift_psi",
+    "doc_bm25_search",
+    "doc_decontaminate_vs_eval",
+    "doc_gopher_repetition",
+    "doc_hashing_trick_embedding",
+    "doc_lang_id",
+    "doc_text_search_topk",
+    "doc_tfidf_topk",
+    "doc_token_stats",
+    "doc_winnowing_fingerprints",
+    "emb_pq_adc_topk",
+    "events_cumulate_window",
+    "events_hopping_window",
+    "events_sessionization",
+    "events_tumbling_window",
+    "grouping_sets_order_stats",
+    "pivot_event_type_counts",
+    "salted_agg_lineitem",
+    "window_lag_gap",
+    "window_running_revenue",
+    "window_topn_per_group",
+    # first 22 of the 41 r04-evidence names, lexical order (the
+    # residue above rotates in round 10)
+    "agg_distinct_and_conditional",
+    "collection_function_library",
+    "corpus_doremi_reweight",
+    "corpus_token_budget_planner",
+    "cube_order_priority_stats",
+    "date_function_library",
+    "doc_bigram_collocations",
+    "doc_bigram_pmi",
+    "doc_langid_confusion",
+    "doc_pii_luhn_cards",
+    "doc_quality_threshold_sweep",
+    "doc_semdedup_flags",
+    "doc_simgraph_triangles",
+    "doc_split_by_component",
+    "doc_split_leakage_audit",
+    "doc_stratified_sample_neyman",
+    "doc_subword_count",
+    "doc_systematic_sample",
+    "dq_checks_star_schema",
+    "emb_binary_hamming_topk",
+    "emb_sq8_adc_topk",
+    "emb_sq8_codes",
 ]
 
 

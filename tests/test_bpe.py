@@ -174,6 +174,39 @@ def test_bpe_oracle_delimiter_precondition(sf_dir):
     assert n == 0
 
 
+def test_bpe_oracle_exhaustion_edge_parity(spark):
+    """Merges exhaust BEFORE n_merges: bpe_learn breaks early and
+    segments normally, and the oracle's per-round rewrite must be a
+    NO-OP for the empty rounds (LEFT JOIN + COALESCE), not a
+    vocabulary-wiping CROSS JOIN against the empty top-1 — the
+    round-8 ADVICE divergence. Both oracle modes compared against the
+    Spark path on a corpus with only two learnable merges."""
+    import duckdb
+
+    from flink_application_spark.operators.bpe import bpe_oracle_sql
+
+    rows = [(0, "ab ab"), (1, "ab")]
+    n_merges = 5  # > the 2 merges the corpus can yield
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    rules = bpe_learn(docs, n_merges=n_merges)
+    assert [(l, r) for l, r, _ in rules] == [("a", "b"), ("ab", END)]
+    vocab = bpe_segment(word_symbol_counts(docs), rules).collect()
+    assert [(v["word"], v["n_sym"]) for v in vocab] == [("ab", 1)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    merges = con.sql(bpe_oracle_sql(n_merges, mode="merges")).fetchall()
+    assert [(m[1], m[2], m[3]) for m in sorted(merges)] == rules
+    toks = {
+        d: (w, t)
+        for d, w, t in con.sql(bpe_oracle_sql(n_merges, mode="tokens")).fetchall()
+    }
+    # every word collapses to the single symbol 'ab</w>'
+    assert toks == {0: (2, 2), 1: (1, 1)}
+
+
 def test_bpe_oracle_replace_is_greedy_nonoverlapping():
     """The wrapped-symbol string replace must equal the left-to-right
     greedy fold on overlapping runs: merge (a,a) turns aaa into
