@@ -76,7 +76,9 @@ HEADLINE = [
 ]
 
 
-def stream_throughput(spark, sf_dir: str) -> tuple[float, int, float, float]:
+def stream_throughput(
+    spark, sf_dir: str
+) -> tuple[float, int, float, float, dict]:
     """End-to-end Structured Streaming throughput of the reference
     pipeline (SURVEY §6: the reference's only throughput operating
     point is its generator's 10 events/sec — we record events/sec at
@@ -92,7 +94,9 @@ def stream_throughput(spark, sf_dir: str) -> tuple[float, int, float, float]:
        real sink IO and the 110 MB ceiling is exercised at bench scale
        (round-2 verdict item 7).
 
-    Returns (mem_wall, events, sink_wall, max_sink_file_mb). A
+    Returns (mem_wall, events, sink_wall, max_sink_file_mb,
+    compact_stats) — the last a dict of pre/post compaction file
+    counts from folding the event sink's per-batch fan-out. A
     far-future sentinel row advances the watermark so every real
     session flushes before the run ends (same pattern as
     tests/test_streaming.py)."""
@@ -243,7 +247,9 @@ def ingest_throughput(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def flinkconf_throughput(spark, sf_dir: str) -> tuple[float, int]:
+def flinkconf_throughput(
+    spark, sf_dir: str, exercise_compaction: bool = False
+) -> tuple[float, int, dict]:
     """The reference-parity runtime path, timed (round-6 verdict item
     8): `app.run` with the reference's VERBATIM flink.conf — HOCON
     parse → translation → RefreshingDim TTL foreachBatch (the dims
@@ -252,9 +258,17 @@ def flinkconf_throughput(spark, sf_dir: str) -> tuple[float, int]:
     the env-blocked endpoints (Kafka/Postgres/HDFS) for local files.
     Everything else (partition columns, rolling size, cache TTLs,
     checkpoint interval) comes from the reference's own file. Returns
-    (wall, n_events); events/sec should sit within ~2× of
-    stream_sink_events_per_sec (same data volume, same sink shape —
-    the delta is the TTL-cache batch path vs the continuous plan)."""
+    (wall, n_events, compact_stats); events/sec should sit within ~2×
+    of stream_sink_events_per_sec (same data volume, same sink shape —
+    the delta is the TTL-cache batch path vs the continuous plan).
+
+    ``exercise_compaction`` (round-9 verdict item 6, untimed vs the
+    throughput wall): push one extra tiny wave through the same
+    checkpoint, then run the config-gated `app.compact_sink`
+    maintenance hook (Flink's filesystem-sink `auto-compaction`
+    option) and record the fold — the size-rolled TTL sink's
+    low-event-rate tiny-file regime, actively managed on the parity
+    path like the event sink's compact_batches key."""
     import shutil
     import tempfile
 
@@ -302,7 +316,39 @@ def flinkconf_throughput(spark, sf_dir: str) -> tuple[float, int]:
         n_out = spark.read.parquet(f"{root}/sink").count()
         wall = time.perf_counter() - t0
         assert n_out > 0
-        return wall, n_events
+        comp: dict = {}
+        if exercise_compaction:
+            import glob as _glob
+            import time as _time
+
+            from flink_application_spark.app import compact_sink
+
+            _time.sleep(1.2)  # file-stream batch order is modTime-based
+            src.limit(32).write.mode("append").parquet(f"{root}/src")
+            q2 = run(spark, cfg)
+            q2.awaitTermination(300)
+            sink_dir = f"{root}/sink"
+            pre = len(_glob.glob(f"{sink_dir}/**/*.parquet", recursive=True))
+            n_before = (
+                spark.read.option("basePath", sink_dir).parquet(sink_dir).count()
+            )
+            cfg["sink"]["auto-compaction"] = True
+            t1 = time.perf_counter()
+            absorbed = compact_sink(spark, cfg)
+            comp_wall = time.perf_counter() - t1
+            post = len(_glob.glob(f"{sink_dir}/**/*.parquet", recursive=True))
+            n_after = (
+                spark.read.option("basePath", sink_dir).parquet(sink_dir).count()
+            )
+            assert absorbed >= 1, "auto-compaction hook folded nothing"
+            assert n_after == n_before, (n_before, n_after)  # rows invariant
+            comp = {
+                "flinkconf_compact_absorbed": absorbed,
+                "flinkconf_compact_files_pre": pre,
+                "flinkconf_compact_files_post": post,
+                "flinkconf_compact_wall_sec": round(comp_wall, 3),
+            }
+        return wall, n_events, comp
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -453,6 +499,7 @@ def format_stdout_line(result: dict, limit: int = 1900) -> str:
         # rate — each pair reconstructs from the line + BENCH_LOCAL);
         # all live in BENCH_LOCAL like the other shed statics
         "flinkconf_wall_sec",
+        "flinkconf_compact_wall_sec",
         "stream_events",
         "ingest_docs",
         "stream_wall_sec",
@@ -534,9 +581,13 @@ def main() -> None:
     ingest_docs = ingest_runs[0][1]
     # reference-parity runtime path: the verbatim flink.conf through
     # app.run (HOCON → RefreshingDim TTL foreachBatch → rolled sink)
-    fc_runs = [flinkconf_throughput(spark, sf_dir) for _ in range(3)]
+    fc_runs = [
+        flinkconf_throughput(spark, sf_dir, exercise_compaction=(i == 2))
+        for i in range(3)
+    ]
     fc_wall = sorted(r[0] for r in fc_runs)[1]
     fc_events = fc_runs[0][1]
+    fc_comp = fc_runs[2][2]  # auto-compaction exercised on the last run
     # TWICE per session (round-5 verdict: r05 recorded a 20× roll-proof
     # wall on byte-identical output — one sample can't distinguish a
     # contention spike from a regression; two in-session samples plus
@@ -671,6 +722,11 @@ def main() -> None:
         # TTL foreachBatch → 110 MB rolled sink) — the parity runtime
         "flinkconf_events_per_sec": round(fc_events / fc_wall, 1),
         "flinkconf_wall_sec": round(fc_wall, 3),
+        # config-gated post-run compaction on the parity path (the
+        # Flink filesystem-sink auto-compaction option → app.
+        # compact_sink): fold count + file collapse, rows asserted
+        # invariant inside flinkconf_throughput; wall shed to LOCAL
+        **fc_comp,
         # 110 MB rolling-ceiling proof with real bytes (≥2 rolls in one
         # partition of incompressible rows; ceiling holds iff
         # roll_proof_max_file_mb ≤ 110 and roll_proof_files > 1)

@@ -152,12 +152,55 @@ def flink_conf_to_config(
             "sink.rolling-policy.file-size": (
                 parse_size(hdfs["fileSize"]) if "fileSize" in hdfs else None
             ),
+            # Flink's filesystem-sink `auto-compaction` option (public
+            # FileSystem connector surface; the reference conf leaves
+            # it at its default false) → the post-run compact_sink
+            # maintenance hook below
+            "auto-compaction": bool(hdfs.get("auto-compaction", False)),
         },
         "generator": dict(conf.get("generator", {})),
     }
     if cfg["sink"]["sink.rolling-policy.file-size"] is None:
         del cfg["sink"]["sink.rolling-policy.file-size"]
     return _deep_merge(cfg, overrides or {})
+
+
+def compact_sink(spark: SparkSession, config: str | dict[str, Any]) -> int:
+    """Post-run maintenance for the parquet sink: fold the committed
+    per-batch fan-out (`_batch=<id>/event_date=…/probe=…` tiny files —
+    the regime the size-rolled sink lands in at low event rates) into
+    one consolidated partition via `sinks.compact_batches`, preserving
+    the sink's own partition layout so downstream pruning survives.
+
+    Gated by the sink's ``auto-compaction`` key (Flink's filesystem-
+    sink option name; default off) — call it after `run(...)`'s query
+    has STOPPED. Replay safety mirrors vacuum_snapshots' discipline:
+    the newest committed batch stays live (a restart may re-run the
+    last micro-batch, which must still find its own ``_batch`` dir to
+    overwrite — `idempotent_batch_write`'s contract), so only batches
+    strictly below it fold. Returns the number absorbed (0 when
+    disabled, empty, or nothing old enough)."""
+    import os
+
+    from flink_application_spark.streaming.sinks import (
+        committed_batch_dirs,
+        compact_batches,
+    )
+
+    cfg = load_config(config)
+    sink = cfg.get("sink", {})
+    if sink.get("format") != "parquet" or not sink.get("auto-compaction"):
+        return 0
+    dirs = committed_batch_dirs(sink["path"])
+    bids = [int(os.path.basename(p).split("=", 1)[1]) for p in dirs]
+    if not bids:
+        return 0
+    return compact_batches(
+        spark,
+        sink["path"],
+        min_live_batch=max(bids),
+        partition_by=tuple(sink.get("partition_by", ("event_date", "probe"))),
+    )
 
 
 def _parse_specific_offsets(v: Any) -> dict[int, int] | None:

@@ -76,10 +76,18 @@ def ivf_exact_trained_topk(
             [], "query_id bigint, vec_id bigint, d2q bigint, rank int"
         )
     q = quantize_ppm(emb)
+    # coalesce(-1) makes the assignment expression NON-NULLABLE, so
+    # the equi-join below cannot infer an IsNotNull(fold) filter that
+    # Catalyst would inline into the scan stage (the PLAN_AUDIT
+    # round-8 HOF_IN_SCAN_FILTER advisory; -1 is unreachable — e is
+    # non-null after quantize_ppm, so the fold never yields NULL, and
+    # no probe carries cluster -1)
     assigned = q.select(
         "vec_id",
         "e",
-        F.expr(_assign_expr(cents) + ".cluster").alias("cluster"),
+        F.expr(
+            "coalesce(" + _assign_expr(cents) + ".cluster, -1)"
+        ).alias("cluster"),
     )
     probes = (
         q.filter(F.col("vec_id") < n_queries)

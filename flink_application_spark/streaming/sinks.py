@@ -157,16 +157,52 @@ def compact_batches(
 
     from pyspark.sql import functions as F
 
-    olds = []
+    olds, live = [], []
     for p in sorted(_glob.glob(os.path.join(root, "_batch=*"))):
         try:
             bid = int(os.path.basename(p).split("=", 1)[1])
         except ValueError:
             continue
-        if bid < min_live_batch:
+        if bid >= min_live_batch:
+            live.append(p)
+        # fold only COMMITTED batches (the committed_batch_dirs
+        # _SUCCESS check): an uncommitted crash-partial directory
+        # below the horizon must stay invisible until its replay
+        # overwrites it — folding it would make partial data
+        # permanent (round-8 ADVICE; the single-batch event-sink
+        # mode removed the accidental two-committed-batches guard)
+        elif os.path.exists(os.path.join(p, "_SUCCESS")):
             olds.append((bid, p))
     if len(olds) < (1 if partition_by else 2):
         return 0  # nothing worth folding
+    if partition_by and live:
+        # Coarsen-on-compact (partition_by narrower than the sink's
+        # per-batch layout) changes the consolidated dir's partition
+        # depth; a later spark.read.parquet(root) over MIXED depths
+        # throws CONFLICTING_DIRECTORY_STRUCTURES. Safe only when the
+        # requested layout matches the live batches' layout — refuse
+        # otherwise rather than corrupt the store's readability
+        # (round-8 ADVICE; bench/tests fold ALL batches so never live
+        # through this).
+        sink_keys, cur = [], olds[0][1]
+        while True:
+            subs = sorted(
+                d
+                for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            )
+            if not subs:
+                break
+            sink_keys.append(subs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subs[0])
+        if list(partition_by) != sink_keys:
+            raise ValueError(
+                f"compact_batches: partition_by {list(partition_by)} differs "
+                f"from the sink layout {sink_keys} while live batch dirs "
+                f"remain ({len(live)}) — coarsening would leave mixed "
+                "partition depths under one root; compact with the full "
+                "layout or raise min_live_batch past every live batch"
+            )
     # basePath anchors partition discovery when batch dirs carry user
     # partition subdirs (event-sink layout); it also surfaces _batch
     # as a column — dropped to keep the consolidated schema identical

@@ -175,3 +175,51 @@ def test_compact_batches_event_sink_mode(spark, tmp_path):
         == 1
     )
     assert spark.read.parquet(root2).count() == 3000
+
+
+def test_compact_batches_skips_uncommitted_partials(spark, tmp_path):
+    """A crash-partial _batch dir below the horizon (no _SUCCESS) must
+    NOT be folded — folding would make partial data permanent; its
+    replay still finds the directory to overwrite (round-8 ADVICE)."""
+    import pytest
+
+    from flink_application_spark.streaming.sinks import (
+        compact_batches,
+        idempotent_batch_write,
+    )
+
+    root = str(tmp_path / "sink")
+    rows = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("event_date")
+    )
+    for b in range(3):
+        idempotent_batch_write(rows.filter(F.col("id") % 3 == b), root, b)
+    os.remove(os.path.join(root, "_batch=1", "_SUCCESS"))  # crash partial
+    assert compact_batches(spark, root, min_live_batch=3) == 2  # 0 and 2 only
+    assert os.path.isdir(os.path.join(root, "_batch=1"))  # awaits its replay
+    folded = spark.read.parquet(os.path.join(root, "_batch=-4"))
+    assert folded.count() == 200  # batch 1's rows excluded
+
+    # coarsen guard: with a LIVE batch remaining, a partition_by that
+    # differs from the sink layout would leave mixed partition depths
+    # under one root — refused; the full layout is still allowed
+    root2 = str(tmp_path / "sink2")
+    rows2 = rows.withColumn("probe", (F.col("id") % 5).cast("string"))
+    for b in range(2):
+        idempotent_batch_write(
+            rows2.filter(F.col("id") % 2 == b),
+            root2,
+            b,
+            partition_by=("event_date", "probe"),
+        )
+    with pytest.raises(ValueError, match="differs"):
+        compact_batches(
+            spark, root2, min_live_batch=1, partition_by=("event_date",)
+        )
+    assert (
+        compact_batches(
+            spark, root2, min_live_batch=1, partition_by=("event_date", "probe")
+        )
+        == 1
+    )
+    assert spark.read.parquet(root2).count() == 300
