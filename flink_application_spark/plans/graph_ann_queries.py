@@ -1,0 +1,94 @@
+"""Graph-based ANN serving queries (operators/graph_ann.py) — the
+round-9 new capability: greedy beam search OVER the exact NN-Descent
+graph (GNNS, Hajebi et al. IJCAI'11; the HNSW layer-0 procedure),
+oracle-exact end to end INCLUDING the graph construction it searches
+(the oracle appends per-hop beam stages to the shared
+nndescent_exact unroll).
+
+The build/serve split this completes: NN-Descent builds the n·k-edge
+graph offline (emb_knn_graph_nndescent); these queries answer online
+lookups touching only beam·k·hops vertices per query — the pattern
+that serves a 100 TB corpus without scanning it. The recall readout
+publishes per-query hits against the LINEAR exact scan on the
+driver's isotropic embeddings (the hard regime — same honesty
+discipline as emb_knn_graph_recall / emb_ivf_recall_curve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.graph_ann import (
+    exact_topk_int,
+    graph_ann_oracle_sql,
+    graph_ann_search_topk,
+)
+from flink_application_spark.plans.registry import register
+
+_K = 6
+_BEAM = 8
+_HOPS = 3
+_NQ = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return register_views(spark, sf_dir, tables=("embeddings",))[
+        "embeddings"
+    ].filter(F.col("embedding").isNotNull())
+
+
+@register(
+    "emb_graph_ann_search_topk",
+    graph_ann_oracle_sql("topk", k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ),
+    doc="Graph-ANN serving: greedy beam search (beam=8, 3 hops) over "
+    "the exact-integer NN-Descent graph for the first 5 query "
+    "vectors — per hop, expand the beam's out-neighbors (equi-join on "
+    "the edge source; ≤ beam·(k+1) candidates per query), score with "
+    "exact ppm-integer d², keep the best beam vertices (ties → "
+    "vec_id), finish with the beam's top-6. Entry points are the 8 "
+    "smallest vec_ids (the no-RNG seed convention). The whole search "
+    "AND the graph under it replay as one MATERIALIZED CTE chain. "
+    "At scale: edges are ids-only, vectors are pulled to bounded "
+    "candidate sets, the corpus is never scanned per query.",
+    tags=("embeddings", "similarity", "ann", "knn-graph", "serving", "exact"),
+)
+def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_ann_search_topk(
+        _emb(spark, sf_dir), k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ
+    )
+
+
+@register(
+    "emb_graph_ann_recall",
+    graph_ann_oracle_sql("recall", k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ),
+    doc="Per-query honesty readout for the graph-ANN search: hits and "
+    "recall (integer ppm) of the beam-search top-6 against the LINEAR "
+    "exact integer scan (n_queries·n scoring pairs — never quadratic). "
+    "Published on the driver's isotropic embeddings, the regime where "
+    "a 3-hop beam on a k=6 graph legitimately misses — the number is "
+    "the measurement, not a cherry-pick; both sides replay in the "
+    "oracle.",
+    tags=("embeddings", "similarity", "ann", "knn-graph", "audit", "exact"),
+)
+def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    got = graph_ann_search_topk(
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ
+    ).select("query_id", "vec_id")
+    exact = exact_topk_int(emb, k=_K, n_queries=_NQ).select("query_id", "vec_id")
+    hit = exact.join(got, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            F.expr(f"coalesce(hits, 0L) * 1000000L div {_K}").alias("recall_ppm"),
+        )
+    )

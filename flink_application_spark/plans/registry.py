@@ -149,6 +149,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import nndescent_queries  # noqa: F401  (late)
     from flink_application_spark.plans import packing_queries  # noqa: F401  (late)
     from flink_application_spark.plans import bootstrap_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import graph_ann_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
@@ -175,9 +176,12 @@ def _load_all() -> None:
 # events_value_histogram, full_outer_customer_orders,
 # json_props_stats, nation_revenue_share, rollup_order_revenue,
 # snapshot_diff_orders, source_quality_wilson,
-# unpivot_lineitem_metrics, window_range_frame_trailing_hour) rotates
-# into round 10 — after which no query's newest driver row is older
-# than r05. Everything not listed keeps its import-order position.
+# unpivot_lineitem_metrics, window_range_frame_trailing_hour, plus
+# emb_sq8_adc_topk and emb_sq8_codes, displaced late by the round-9
+# additions emb_graph_ann_search_topk / emb_graph_ann_recall, which
+# must be driver-sampled the round they land) rotates into round 10 —
+# after which no query's newest driver row is older than r05.
+# Everything not listed keeps its import-order position.
 SAMPLE_WINDOW = [
     # round-9 rows-only → oracle-EXACT conversions: the NN-Descent
     # trio (fixed round count + integer-d² ranking + md5-permuted
@@ -234,8 +238,12 @@ SAMPLE_WINDOW = [
     "doc_systematic_sample",
     "dq_checks_star_schema",
     "emb_binary_hamming_topk",
-    "emb_sq8_adc_topk",
-    "emb_sq8_codes",
+    # round-9 additions, sampled the round they land (displacing
+    # emb_sq8_adc_topk / emb_sq8_codes to the round-10 residue): the
+    # graph-ANN serving layer — beam search over the exact NN-Descent
+    # graph, search + per-query recall both oracle-exact
+    "emb_graph_ann_search_topk",
+    "emb_graph_ann_recall",
 ]
 
 

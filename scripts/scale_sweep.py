@@ -110,6 +110,13 @@ EMB_QUERIES = [
     # exercise exactly the per-row cost that matters
     "emb_kmeans_fit_exact_profile",
     "emb_pca_power_exact",
+    # round-9: the exact NN-Descent graph build (per-round candidate
+    # volume bounded by n·(2k)²; Arrow int64 pair scoring) and the
+    # beam search served from it (per-hop frontier |Q|·beam —
+    # corpus-size-independent once the graph is built, but the build
+    # is inside the registered query so the sweep times both)
+    "emb_knn_graph_nndescent",
+    "emb_graph_ann_search_topk",
 ]
 
 # Round-6 additions swept on replicated DOCUMENTS (round-6 verdict
@@ -134,6 +141,10 @@ ORACLE_TIMED = {
     "emb_kmeans_fit_exact_profile",
     "emb_pca_power_exact",
     "doc_simgraph_pagerank_exact",
+    # round-9 unrolled oracles (authored MATERIALIZED from the start;
+    # the kmeans-replay lesson says measure, don't assume)
+    "emb_knn_graph_nndescent",
+    "emb_graph_ann_search_topk",
 }
 
 

@@ -46,6 +46,9 @@ INTENTIONALLY_QUADRATIC = {
     "emb_matryoshka_recall",
     "emb_lsh_ndcg",
     "emb_ivf_recall_curve",  # recall@k vs the exact ranking IS the eval
+    "emb_graph_ann_recall",  # recall vs the exact ranking IS the eval; the
+    # "quadratic" side is the LINEAR n_queries·n broadcast flat scan
+    # (exact_topk_int) — the serving path is emb_graph_ann_search_topk
     # emb_cosine_near_dup_pairs left OUT deliberately: since the banded
     # sign-LSH rework it must plan equi-joins only — a cartesian there
     # is a regression this test exists to catch.

@@ -31,6 +31,10 @@ MUST_BE_IN_WINDOW = {
     "emb_knn_graph_nndescent",
     "emb_knn_graph_recall",
     "emb_nn_descent_convergence",
+    # round-9 additions (graph-ANN serving layer) — sampled the round
+    # they land
+    "emb_graph_ann_search_topk",
+    "emb_graph_ann_recall",
     # the r03-evidence residue (oldest driver rows in the registry)
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_supplier",
