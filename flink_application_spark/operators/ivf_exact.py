@@ -64,11 +64,16 @@ def ivf_exact_trained_topk(
     iters: int = 5,
     n_probe: int = 2,
     n_queries: int = 5,
+    cents: list[list[int]] | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, d2q, rank): top-k neighbors of the first
     `n_queries` vec_ids over the exact-trained IVF index — every
-    number an exact integer, hash-replayable end to end."""
-    cents, _ = kmeans_fit_exact(emb, k=n_centroids, iters=iters)
+    number an exact integer, hash-replayable end to end. Pass `cents`
+    to reuse an already-trained (same k/iters) centroid set — the fit
+    is a pure function of (table, k, iters), so a memoized result is
+    bit-identical to training in place."""
+    if cents is None:
+        cents, _ = kmeans_fit_exact(emb, k=n_centroids, iters=iters)
     if not cents:  # empty / all-NULL corpus: no index, no neighbors —
         # match the oracle's zero rows instead of crashing in the
         # assignment expression (the kmeans_exact empty-input rule)

@@ -465,10 +465,13 @@ def q_ivf_exact_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.operators.ivf_exact import (
         ivf_exact_trained_topk,
     )
+    from flink_application_spark.plans._memo import kmeans_fit_exact_cached
 
     emb = _emb(spark, sf_dir)
+    # shared with emb_kmeans_fit_exact_profile (same table, k, iters)
+    cents, _ = kmeans_fit_exact_cached(spark, emb, sf_dir, 8, 5)
     return ivf_exact_trained_topk(
-        emb, k=10, n_centroids=8, iters=5, n_probe=2, n_queries=5
+        emb, k=10, n_centroids=8, iters=5, n_probe=2, n_queries=5, cents=cents
     )
 
 

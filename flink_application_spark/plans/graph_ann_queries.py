@@ -24,6 +24,7 @@ from flink_application_spark.operators.graph_ann import (
     graph_ann_oracle_sql,
     graph_ann_search_topk,
 )
+from flink_application_spark.plans._memo import nn_descent_graph_cached
 from flink_application_spark.plans.registry import register
 
 _K = 6
@@ -54,8 +55,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embeddings", "similarity", "ann", "knn-graph", "serving", "exact"),
 )
 def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _HOPS)
     return graph_ann_search_topk(
-        _emb(spark, sf_dir), k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ, graph=g
     )
 
 
@@ -73,8 +76,9 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _HOPS)
     got = graph_ann_search_topk(
-        emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ, graph=g
     ).select("query_id", "vec_id")
     exact = exact_topk_int(emb, k=_K, n_queries=_NQ).select("query_id", "vec_id")
     hit = exact.join(got, ["query_id", "vec_id"], "left_semi")

@@ -23,10 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.nndescent_exact import (
     knn_graph_exact_int,
-    nn_descent_exact,
-    nn_descent_exact_profile,
     nn_descent_exact_oracle_sql,
 )
+from flink_application_spark.plans._memo import nn_descent_graph_cached
 from flink_application_spark.plans.registry import register
 
 _K = 6
@@ -55,9 +54,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embeddings", "similarity", "knn-graph", "ann", "iterative", "exact"),
 )
 def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return nn_descent_exact(_emb(spark, sf_dir), k=_K, n_iter=_ITERS).select(
-        "vec_id", "nbr_id", "d2", "rank"
+    g, _ = nn_descent_graph_cached(
+        spark, _emb(spark, sf_dir), sf_dir, _K, _ITERS
     )
+    return g.select("vec_id", "nbr_id", "d2", "rank")
 
 
 @register(
@@ -76,7 +76,8 @@ def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    approx = nn_descent_exact(emb, k=_K, n_iter=_ITERS).select("vec_id", "nbr_id")
+    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _ITERS)
+    approx = g.select("vec_id", "nbr_id")
     exact = knn_graph_exact_int(emb, k=_K).select("vec_id", "nbr_id")
     hit = approx.join(exact, ["vec_id", "nbr_id"], "left_semi")
     return (
@@ -107,4 +108,9 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embeddings", "similarity", "knn-graph", "iterative", "audit", "exact"),
 )
 def q_nn_descent_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return nn_descent_exact_profile(_emb(spark, sf_dir), spark, k=_K, n_iter=_ITERS)
+    _, prof = nn_descent_graph_cached(
+        spark, _emb(spark, sf_dir), sf_dir, _K, _ITERS
+    )
+    return spark.createDataFrame(
+        prof, "iteration int, new_edges bigint, kept_d2_sum bigint"
+    )

@@ -45,6 +45,9 @@ def test_no_hugeint_oracle_columns(con):
     assert not offenders, offenders
 
 
+@pytest.mark.slow  # builds all ~250 queries; driver-side training
+# loops (BPE/Lloyd's/NN-Descent) run during construction — ~2 min of
+# wall for a schema-only sweep (round-9 tier rebalance, verdict item 8)
 def test_no_complex_typed_query_outputs(spark, sf_dir):
     """The DRIVER's canonicalization (pandas sort_values over all
     columns) cannot hash array/map/struct cells — round 2's red row
@@ -66,6 +69,8 @@ def test_no_complex_typed_query_outputs(spark, sf_dir):
     assert not offenders, offenders
 
 
+@pytest.mark.slow  # registry-wide execution sweep (round-9 tier
+# rebalance; the driver emulation covers the same surface per round)
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without an oracle still must run and return a schema."""
     for name, spec in REGISTRY.items():

@@ -5,6 +5,13 @@ no accidental cartesian products, dimension joins broadcast, filters
 reaching the parquet scan, salted/two-stage shapes present. A
 regression that keeps results right but degrades the plan (the classic
 silent 100×-at-scale bug) fails here.
+
+Slow tier (round-9 verdict item 8): the cartesian guard executes all
+~250 registered queries to audit their FINAL adaptive plans — ~6 min
+of the default tier's wall for a registry-wide regression net that
+the per-round PLAN_AUDIT sweep also casts. Both tiers stay green
+before shipping; the default tier keeps the per-operator units and
+the full oracle-parity matrix.
 """
 
 from __future__ import annotations
@@ -12,6 +19,8 @@ from __future__ import annotations
 import pytest
 
 from flink_application_spark.plans import registry
+
+pytestmark = pytest.mark.slow
 
 
 def _physical(df) -> str:
