@@ -301,15 +301,23 @@ def _unroll_parts(k: int, n_iter: int, sk: int) -> list[str]:
   FROM q
 )""",
         # each vertex takes the next min(k, max(n-1, 1)) ring slots;
-        # canonicalized (scores are symmetric — score each edge once)
+        # canonicalized (scores are symmetric — score each edge once).
+        # The neighbor position is computed in a PROJECTION before the
+        # join: a scalar subquery inside the join condition defeats
+        # the hash join (DuckDB falls back to a nested loop — measured
+        # minutes at a 16k-vector sweep vs sub-second with the
+        # precomputed column; round-9 sweep finding)
         f"""init AS MATERIALIZED (
   SELECT DISTINCT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b
   FROM (SELECT id, p,
-               unnest(generate_series(
-                 1, LEAST({k}, GREATEST((SELECT count(*) FROM pos) - 1, 1))))
-                 AS off
-        FROM pos) a
-  JOIN pos b ON b.p = (a.p + a.off) % (SELECT count(*) FROM pos)
+               (p + off) % (SELECT count(*) FROM pos) AS nbr_p
+        FROM (SELECT id, p,
+                     unnest(generate_series(
+                       1, LEAST({k},
+                                GREATEST((SELECT count(*) FROM pos) - 1, 1))))
+                       AS off
+              FROM pos)) a
+  JOIN pos b ON b.p = a.nbr_p
   WHERE a.id <> b.id
 )""",
         f"""s0 AS MATERIALIZED (

@@ -148,6 +148,21 @@ ORACLE_TIMED = {
 }
 
 
+def _clear_training_memos() -> None:
+    """Session memos (plans/_memo, lr_queries._FIT_CACHE) make a
+    registered query nearly free after its warmup run — correct for
+    the driver window (one build serves many queries), WRONG for a
+    scale sweep: the round-9 first sweep recorded x1 walls from the
+    memo replay (kmeans 0.56 s, knn_graph 0.77 s) against cold x2+
+    walls, corrupting growth_vs_linear. Clear them so every timed
+    point pays the training it claims to measure."""
+    from flink_application_spark.plans import _memo, lr_queries
+
+    _memo._KMEANS.clear()
+    _memo._GRAPH.clear()
+    lr_queries._FIT_CACHE.clear()
+
+
 def _time_oracle(name: str, rep_dir: str, results: dict, r: int) -> None:
     import glob as _glob
     import os as _os
@@ -195,6 +210,7 @@ def sweep_doc_queries(spark, sf_dir: str, replicas: list[int]) -> dict:
                 spec = REGISTRY_GET(name)
                 if r == replicas[0]:
                     spec.spark(spark, rep_dir).count()  # warm codegen
+                _clear_training_memos()  # timed run pays training honestly
                 t0 = time.time()
                 n = spec.spark(spark, rep_dir).count()
                 dt = round(time.time() - t0, 3)
@@ -287,6 +303,7 @@ def sweep_emb_queries(spark, sf_dir: str, replicas: list[int]) -> dict:
                 spec = REGISTRY_GET(name)
                 if r == replicas[0]:
                     spec.spark(spark, rep_dir).count()  # warm codegen
+                _clear_training_memos()  # timed run pays training honestly
                 t0 = time.time()
                 n = spec.spark(spark, rep_dir).count()
                 dt = round(time.time() - t0, 3)
