@@ -3,21 +3,35 @@ shared by several registered queries (the lr_queries `_FIT_CACHE`
 pattern, hoisted so different plan modules can share one run).
 
 Every cached value is a pure function of (application, sf_dir,
-params) — bit-deterministic by the operators' own contracts — and is
-small driver state (k·d integers, n·k edge ids), never a DataFrame:
-frames are rebuilt per call via `spark.createDataFrame`, so cached
-results behave identically to fresh ones under any partitioning.
-One driver correctness window runs the kmeans fit 2× (profile +
-trained IVF) and the NN-Descent build 5× (graph, recall,
-convergence, and both graph-ANN queries) without this; training cost
-is real, the cache is not."""
+params) — bit-deterministic by the operators' own contracts. The
+kmeans memo is genuinely bounded driver state (k·d integers). The
+kNN-graph memo holds n·k edge ids — corpus-proportional — so it is
+CAPPED (round-9 verdict item 2): up to ``MEMO_EDGE_BUDGET`` edges the
+rows are collected and frames rebuilt per call via
+``spark.createDataFrame`` (behaves identically to a fresh build under
+any partitioning); above the budget the memo shares one PERSISTED
+DataFrame instead, keeping the edge list on the executors where a
+100× corpus needs it (the consumers take ``graph=`` as a frame either
+way). One driver correctness window runs the kmeans fit 2× (profile +
+trained IVF) and the NN-Descent build 5× (graph, recall, convergence,
+and both graph-ANN queries) without this; training cost is real, the
+cache is not."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
 _KMEANS: dict[tuple, tuple[list[list[int]], list]] = {}
-_GRAPH: dict[tuple, tuple[list, list]] = {}
+# value is ("rows", edge_rows, profile) | ("frame", persisted_df, profile)
+_GRAPH: dict[tuple, tuple[str, object, list]] = {}
+
+# Driver-collect ceiling for the kNN-graph memo, in edges (n·k). The
+# driver gate's largest corpus is ~5k vectors × k=6 = 30k edges; 1M
+# edges ≈ 32 MB of driver tuples — far past gate scale, far below
+# driver-heap risk. A 100× corpus lands on the persisted-frame path.
+MEMO_EDGE_BUDGET = 1_000_000
+
+_GRAPH_SCHEMA = "vec_id bigint, nbr_id bigint, d2 bigint, rank int"
 
 
 def kmeans_fit_exact_cached(
@@ -33,27 +47,100 @@ def kmeans_fit_exact_cached(
     return _KMEANS[key]
 
 
+def _cache_edge_frame(
+    spark: SparkSession, key: tuple, n_vertices: int, k: int, build
+) -> tuple[DataFrame, list]:
+    """Shared budget discipline for any n·k edge-frame memo: collect
+    below MEMO_EDGE_BUDGET edges, persist executor-side above it."""
+    from pyspark import StorageLevel
+
+    if key not in _GRAPH:
+        prof: list = []
+        g = build(prof)
+        if n_vertices * k <= MEMO_EDGE_BUDGET:
+            rows = g.collect()
+            _GRAPH[key] = (
+                "rows",
+                [(r["vec_id"], r["nbr_id"], r["d2"], r["rank"]) for r in rows],
+                prof,
+            )
+        else:
+            g = g.persist(StorageLevel.MEMORY_AND_DISK)
+            g.count()  # materialize now — consumers share the blocks
+            _GRAPH[key] = ("frame", g, prof)
+    kind, val, prof = _GRAPH[key]
+    if kind == "rows":
+        return spark.createDataFrame(val, _GRAPH_SCHEMA), prof
+    return val, prof
+
+
 def nn_descent_graph_cached(
     spark: SparkSession, emb: DataFrame, sf_dir: str, k: int, n_iter: int
 ) -> tuple[DataFrame, list]:
     """(graph frame (vec_id, nbr_id, d2, rank), profile rows
     (iteration, new_edges, kept_d2_sum)) of the exact NN-Descent run
-    over the sf_dir embeddings table — built once per session, with
-    the convergence profile captured on the same run."""
+    over the sf_dir embeddings table — built once per session.
+
+    Path choice is by projected edge count n·k (one metadata-cheap
+    count, no graph action): ≤ MEMO_EDGE_BUDGET collects the edges
+    (frames rebuilt per call); above it the built graph is persisted
+    executor-side and shared as a DataFrame — identical rows either
+    way (pinned by tests/test_memo.py), never
+    corpus-size-proportional driver state."""
     from flink_application_spark.operators.nndescent_exact import nn_descent_exact
 
     key = (spark.sparkContext.applicationId, sf_dir, k, n_iter)
-    if key not in _GRAPH:
-        prof: list = []
-        rows = nn_descent_exact(emb, k=k, n_iter=n_iter, _profile=prof).collect()
-        _GRAPH[key] = (
-            [(r["vec_id"], r["nbr_id"], r["d2"], r["rank"]) for r in rows],
-            prof,
-        )
-    rows, prof = _GRAPH[key]
-    return (
-        spark.createDataFrame(
-            rows, "vec_id bigint, nbr_id bigint, d2 bigint, rank int"
-        ),
-        prof,
+    return _cache_edge_frame(
+        spark,
+        key,
+        emb.count(),
+        k,
+        lambda prof: nn_descent_exact(emb, k=k, n_iter=n_iter, _profile=prof),
     )
+
+
+def graph_insert_updated_cached(
+    spark: SparkSession,
+    emb: DataFrame,
+    sf_dir: str,
+    *,
+    k: int,
+    beam: int,
+    hops: int,
+    n_insert: int,
+    n_waves: int,
+    graph_iters: int,
+) -> DataFrame:
+    """The round-10 incremental-maintenance artifact: the full-corpus
+    graph after the held-out insert waves (operators/graph_insert.py)
+    — shared by the insert-graph and insert-search queries. Same
+    budget discipline as the NN-Descent memo."""
+    from flink_application_spark.operators.graph_insert import graph_insert_waves
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "insert",
+        k,
+        beam,
+        hops,
+        n_insert,
+        n_waves,
+        graph_iters,
+    )
+    g, _ = _cache_edge_frame(
+        spark,
+        key,
+        emb.count(),
+        k,
+        lambda prof: graph_insert_waves(
+            emb,
+            k=k,
+            beam=beam,
+            hops=hops,
+            n_insert=n_insert,
+            n_waves=n_waves,
+            graph_iters=graph_iters,
+        ),
+    )
+    return g

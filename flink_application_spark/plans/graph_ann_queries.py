@@ -30,6 +30,11 @@ from flink_application_spark.plans.registry import register
 _K = 6
 _BEAM = 8
 _HOPS = 3
+# NN-Descent iteration count for the graph under the search — a
+# SEPARATE knob from _HOPS (they coincide at 3 today, but the oracle
+# replays graph_iters rounds of the build and hops beam stages; tying
+# them together would silently desync Spark/oracle if either moved).
+_GRAPH_ITERS = 3
 _NQ = 5
 
 
@@ -41,7 +46,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_graph_ann_search_topk",
-    graph_ann_oracle_sql("topk", k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ),
+    graph_ann_oracle_sql(
+        "topk",
+        k=_K,
+        beam=_BEAM,
+        hops=_HOPS,
+        n_queries=_NQ,
+        graph_k=_K,
+        graph_iters=_GRAPH_ITERS,
+    ),
     doc="Graph-ANN serving: greedy beam search (beam=8, 3 hops) over "
     "the exact-integer NN-Descent graph for the first 5 query "
     "vectors — per hop, expand the beam's out-neighbors (equi-join on "
@@ -56,7 +69,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _HOPS)
+    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _GRAPH_ITERS)
     return graph_ann_search_topk(
         emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ, graph=g
     )
@@ -64,7 +77,15 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_graph_ann_recall",
-    graph_ann_oracle_sql("recall", k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ),
+    graph_ann_oracle_sql(
+        "recall",
+        k=_K,
+        beam=_BEAM,
+        hops=_HOPS,
+        n_queries=_NQ,
+        graph_k=_K,
+        graph_iters=_GRAPH_ITERS,
+    ),
     doc="Per-query honesty readout for the graph-ANN search: hits and "
     "recall (integer ppm) of the beam-search top-6 against the LINEAR "
     "exact integer scan (n_queries·n scoring pairs — never quadratic). "
@@ -76,7 +97,7 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _HOPS)
+    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _GRAPH_ITERS)
     got = graph_ann_search_topk(
         emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ, graph=g
     ).select("query_id", "vec_id")

@@ -111,6 +111,23 @@ def committed_batch_dirs(root: str) -> list[str]:
     )
 
 
+def _partition_keys(batch_dir: str) -> list[str]:
+    """Hive partition-key chain under one ``_batch`` dir (outermost
+    first) — how compact_batches learns a store's current layout."""
+    import os
+
+    keys, cur = [], batch_dir
+    while os.path.isdir(cur):
+        subs = sorted(
+            d for d in os.listdir(cur) if "=" in d and os.path.isdir(os.path.join(cur, d))
+        )
+        if not subs:
+            break
+        keys.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+    return keys
+
+
 def compact_batches(
     spark,
     root: str,
@@ -173,8 +190,20 @@ def compact_batches(
         # mode removed the accidental two-committed-batches guard)
         elif os.path.exists(os.path.join(p, "_SUCCESS")):
             olds.append((bid, p))
+    consolidated = os.path.join(root, f"_batch={-min_live_batch - 1}")
     if len(olds) < (1 if partition_by else 2):
         return 0  # nothing worth folding
+    if all(p == consolidated for _, p in olds) and list(
+        partition_by
+    ) == _partition_keys(consolidated):
+        # Re-run at an unchanged horizon with nothing new below it and
+        # no layout change: the only fold target is the current
+        # consolidated dir itself, already in the requested shape.
+        # Rewriting it would report a phantom absorb and briefly
+        # expose readers to a partial store for zero gain (round-9
+        # ADVICE). A DIFFERENT partition_by is real work (the
+        # coarsen-on-compact path) and still proceeds.
+        return 0
     if partition_by and live:
         # Coarsen-on-compact (partition_by narrower than the sink's
         # per-batch layout) changes the consolidated dir's partition
@@ -184,17 +213,7 @@ def compact_batches(
         # otherwise rather than corrupt the store's readability
         # (round-8 ADVICE; bench/tests fold ALL batches so never live
         # through this).
-        sink_keys, cur = [], olds[0][1]
-        while True:
-            subs = sorted(
-                d
-                for d in os.listdir(cur)
-                if "=" in d and os.path.isdir(os.path.join(cur, d))
-            )
-            if not subs:
-                break
-            sink_keys.append(subs[0].split("=", 1)[0])
-            cur = os.path.join(cur, subs[0])
+        sink_keys = _partition_keys(olds[0][1])
         if list(partition_by) != sink_keys:
             raise ValueError(
                 f"compact_batches: partition_by {list(partition_by)} differs "
@@ -216,7 +235,6 @@ def compact_batches(
         df = df.groupBy(*group_cols).agg(
             *[getattr(F, fn)(c).alias(c) for c, fn in combine.items()]
         )
-    consolidated = os.path.join(root, f"_batch={-min_live_batch - 1}")
     tmp = consolidated + ".tmp"
     if partition_by:
         writer = df.coalesce(1).write.mode("overwrite").partitionBy(*partition_by)
@@ -229,10 +247,20 @@ def compact_batches(
     # see a partial store, so swap the consolidated dir in FIRST,
     # then drop the absorbed partitions (transient double-count beats
     # transient data loss for monitoring stores; exact readers should
-    # compact offline)
+    # compact offline). When the prior consolidated dir is itself a
+    # fold target (same horizon, new data below it), move it ASIDE
+    # with a rename — two renames narrow the hidden-rows window to
+    # microseconds vs an O(files) rmtree (round-9 ADVICE). The aside
+    # name carries no `_batch=` prefix so a crash between the renames
+    # can never surface it to `_batch=*` readers as a live partition.
+    aside = os.path.join(root, ".compact_old")
+    if os.path.exists(aside):  # crash debris from a prior swap
+        shutil.rmtree(aside)
     if os.path.exists(consolidated):
-        shutil.rmtree(consolidated)
+        os.rename(consolidated, aside)
     os.rename(tmp, consolidated)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
     for _, p in olds:
         if p != consolidated:
             shutil.rmtree(p)

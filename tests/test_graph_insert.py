@@ -1,0 +1,119 @@
+"""Incremental kNN-graph insertion (operators/graph_insert.py +
+streaming/graph_ingest.py) — the round-10 maintenance leg.
+
+Oracle parity for the two registered queries is the oracle harness's
+job (tests/test_oracle_parity.py runs them like everything else);
+here we pin the OPERATOR contracts: inserted vertices are fully
+wired (k out-edges each, back-links present), stream == batch on the
+same wave split, replay is a no-op, and crash partials stay
+invisible."""
+
+from __future__ import annotations
+
+import os
+
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow  # e2e store tests — slow tier
+
+from pyspark.sql import functions as F
+
+from flink_application_spark.catalog import register_views
+from flink_application_spark.operators.graph_insert import graph_insert_waves
+from flink_application_spark.operators.kmeans_exact import quantize_ppm
+from flink_application_spark.streaming.graph_ingest import GraphIngest
+
+_K, _BEAM, _HOPS, _NI, _NW = 6, 8, 2, 4, 2
+
+
+def _emb(spark, sf_dir):
+    return register_views(spark, sf_dir, tables=("embeddings",))[
+        "embeddings"
+    ].filter(F.col("embedding").isNotNull())
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("src", "dst", "d2", "rank").collect())
+
+
+def _grows(df):
+    return sorted(
+        tuple(r) for r in df.select("vec_id", "nbr_id", "d2", "rank").collect()
+    )
+
+
+def _split(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    ins_ids = sorted(
+        r["vec_id"]
+        for r in emb.orderBy(F.col("vec_id").desc()).limit(_NI).collect()
+    )
+    base = emb.filter(~F.col("vec_id").isin([int(i) for i in ins_ids]))
+    return emb, base, ins_ids
+
+
+def test_inserted_vertices_fully_wired(spark, sf_dir):
+    emb, _, ins_ids = _split(spark, sf_dir)
+    g = graph_insert_waves(
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_insert=_NI, n_waves=_NW
+    ).persist()
+    n = emb.count()
+    assert g.count() == n * _K  # every vertex, old and new, has k edges
+    out_deg = {
+        r["vec_id"]: r["c"]
+        for r in g.filter(F.col("vec_id").isin([int(i) for i in ins_ids]))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert out_deg == {i: _K for i in ins_ids}  # k out-edges each
+    # back-links: every inserted vertex is someone's neighbor
+    indeg = (
+        g.filter(F.col("nbr_id").isin([int(i) for i in ins_ids]))
+        .groupBy("nbr_id")
+        .count()
+        .count()
+    )
+    assert indeg == _NI
+    g.unpersist()
+
+
+def test_stream_equals_batch_same_wave_split(spark, sf_dir, tmp_path):
+    emb, base, ins_ids = _split(spark, sf_dir)
+    want = _grows(
+        graph_insert_waves(
+            emb, k=_K, beam=_BEAM, hops=_HOPS, n_insert=_NI, n_waves=_NW
+        )
+    )
+    st = GraphIngest(str(tmp_path / "store"), k=_K, beam=_BEAM, hops=_HOPS)
+    st.seed_from_embeddings(spark, base)
+    per = -(-_NI // _NW)
+    for w in range(_NW):
+        wave = ins_ids[w * per : (w + 1) * per]
+        st.process_batch(
+            emb.filter(F.col("vec_id").isin([int(i) for i in wave])), w
+        )
+    got = sorted(
+        (r["src"], r["dst"], r["d2"], r["rank"])
+        for r in st.graph(spark).collect()
+    )
+    assert got == want  # stream of waves == one batch run, bit-equal
+
+
+def test_replay_is_noop_and_crash_partial_invisible(spark, sf_dir, tmp_path):
+    emb, base, ins_ids = _split(spark, sf_dir)
+    st = GraphIngest(str(tmp_path / "store"), k=_K, beam=_BEAM, hops=_HOPS)
+    st.seed_from_embeddings(spark, base)
+    w0 = emb.filter(F.col("vec_id").isin([int(i) for i in ins_ids[:2]]))
+    w1 = emb.filter(F.col("vec_id").isin([int(i) for i in ins_ids[2:]]))
+    st.process_batch(w0, 0)
+    st.process_batch(w1, 1)
+    want = _rows(st.graph(spark))
+    st.process_batch(w1, 1)  # replay — reads strictly-before state
+    assert _rows(st.graph(spark)) == want
+    # crash partial: strip _SUCCESS from the newest snapshot — readers
+    # must fall back to the previous committed one
+    newest = os.path.join(str(tmp_path / "store"), "graph", "_batch=1")
+    os.remove(os.path.join(newest, "_SUCCESS"))
+    prev = _rows(st.graph(spark))
+    assert prev == _rows(st.graph(spark, before=1))  # batch-0 snapshot

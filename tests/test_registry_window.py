@@ -21,46 +21,43 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-9 window contract: the non-negotiables are the three round-9
-# rows-only → oracle-EXACT conversions (the NN-Descent trio — the
-# driver must hash-check them the round they land) and the 25-name
-# r03-evidence residue this rotation exists to clear (the full window
-# is pinned exactly by test_first_50_is_exactly_the_curated_window).
+# Round-10 window contract: the non-negotiables are the two round-10
+# additions (incremental graph maintenance — the driver must
+# hash-check them the round they land), the 21-name r04-evidence
+# residue this rotation exists to clear, and the CDR-core refresh
+# (the full window is pinned exactly by
+# test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # round-9 rows-only → oracle conversions (verdict item 3)
-    "emb_knn_graph_nndescent",
-    "emb_knn_graph_recall",
-    "emb_nn_descent_convergence",
-    # round-9 additions (graph-ANN serving layer) — sampled the round
-    # they land
-    "emb_graph_ann_search_topk",
-    "emb_graph_ann_recall",
-    # the r03-evidence residue (oldest driver rows in the registry)
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "corpus_data_card",
-    "corpus_drift_psi",
-    "doc_bm25_search",
-    "doc_decontaminate_vs_eval",
-    "doc_gopher_repetition",
-    "doc_hashing_trick_embedding",
-    "doc_lang_id",
-    "doc_text_search_topk",
-    "doc_tfidf_topk",
-    "doc_token_stats",
-    "doc_winnowing_fingerprints",
-    "emb_pq_adc_topk",
-    "events_cumulate_window",
-    "events_hopping_window",
-    "events_sessionization",
-    "events_tumbling_window",
-    "grouping_sets_order_stats",
-    "pivot_event_type_counts",
-    "salted_agg_lineitem",
-    "window_lag_gap",
-    "window_running_revenue",
-    "window_topn_per_group",
+    # round-10 additions (incremental graph maintenance) — sampled
+    # the round they land
+    "emb_graph_ann_insert_graph",
+    "emb_graph_ann_insert_search",
+    # the r04-evidence residue (oldest driver rows in the registry)
+    "emb_sq8_adc_topk",
+    "emb_sq8_codes",
+    "emb_sq8_recon_error",
+    "events_anomaly_zscore",
+    "events_ewma_daily_anomaly",
+    "events_key_skew_profile",
+    "events_mad_by_type",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_top_trigram_paths",
+    "events_two_level_rollup",
+    "events_user_activity_entropy",
+    "events_value_histogram",
+    "full_outer_customer_orders",
+    "json_props_stats",
+    "nation_revenue_share",
+    "rollup_order_revenue",
+    "snapshot_diff_orders",
+    "source_quality_wilson",
+    "unpivot_lineitem_metrics",
+    "window_range_frame_trailing_hour",
+    # CDR core refresh (flagship enrichment path, newest rows r06)
+    "cdr_enrichment_full",
+    "cdr_enrich_path_b_asof",
+    "cdr_generated_sample",
 }
 
 # Deliberate renames: the ONLY sanctioned way a driver-sampled name may

@@ -223,3 +223,57 @@ def test_compact_batches_skips_uncommitted_partials(spark, tmp_path):
         == 1
     )
     assert spark.read.parquet(root2).count() == 300
+
+
+def test_compact_rerun_unchanged_horizon_is_noop(spark, tmp_path):
+    """Round-9 ADVICE: re-running compact_batches at an unchanged
+    horizon with nothing new below it and the SAME layout must be a
+    no-op (return 0, bytes untouched) — not a phantom absorb that
+    rewrites the store and briefly hides consolidated rows. New data
+    at the same horizon still folds, via the rename-aside swap."""
+    from flink_application_spark.streaming.sinks import (
+        compact_batches,
+        idempotent_batch_write,
+    )
+
+    root = str(tmp_path / "sink")
+    rows = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("event_date")
+    )
+    for b in range(2):
+        idempotent_batch_write(
+            rows.filter(F.col("id") % 2 == b),
+            root,
+            b,
+            partition_by=("event_date",),
+        )
+    assert (
+        compact_batches(spark, root, min_live_batch=2, partition_by=("event_date",))
+        == 2
+    )
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{root}/**/*.parquet", recursive=True)
+    }
+    # same horizon, same layout, nothing new → no-op
+    assert (
+        compact_batches(spark, root, min_live_batch=2, partition_by=("event_date",))
+        == 0
+    )
+    files_after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{root}/**/*.parquet", recursive=True)
+    }
+    assert files_after == files_before  # bytes untouched, not rewritten
+    # a NEW committed batch below the same horizon still folds and
+    # re-absorbs the prior consolidated dir (2 absorbed: it + batch 1')
+    extra = spark.range(300, 400).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("event_date")
+    )
+    idempotent_batch_write(extra, root, 1, partition_by=("event_date",))
+    assert (
+        compact_batches(spark, root, min_live_batch=2, partition_by=("event_date",))
+        == 2
+    )
+    assert spark.read.parquet(root).count() == 400
+    assert not os.path.exists(os.path.join(root, ".compact_old"))  # swap debris gone
