@@ -323,10 +323,19 @@ def flinkconf_throughput(
 
             from flink_application_spark.app import compact_sink
 
-            _time.sleep(1.2)  # file-stream batch order is modTime-based
-            src.limit(32).write.mode("append").parquet(f"{root}/src")
-            q2 = run(spark, cfg)
-            q2.awaitTermination(300)
+            # Three low-rate appends → three tiny committed batches.
+            # ONE old batch folds to the same file count it already
+            # has (coalesce(1)+partitionBy writes exactly one file per
+            # partition combo, and a single availableNow batch already
+            # sits at that floor — r09 recorded pre == post == 460 and
+            # proved nothing). The hook's purpose is MULTI-batch
+            # absorption, so give it several batches below the horizon
+            # and require a real net file-count drop.
+            for _ in range(3):
+                _time.sleep(1.2)  # file-stream batch order is modTime-based
+                src.limit(32).write.mode("append").parquet(f"{root}/src")
+                qi = run(spark, cfg)
+                qi.awaitTermination(300)
             sink_dir = f"{root}/sink"
             pre = len(_glob.glob(f"{sink_dir}/**/*.parquet", recursive=True))
             n_before = (
@@ -337,15 +346,20 @@ def flinkconf_throughput(
             absorbed = compact_sink(spark, cfg)
             comp_wall = time.perf_counter() - t1
             post = len(_glob.glob(f"{sink_dir}/**/*.parquet", recursive=True))
+            consolidated = len(
+                _glob.glob(f"{sink_dir}/_batch=-*/**/*.parquet", recursive=True)
+            )
             n_after = (
                 spark.read.option("basePath", sink_dir).parquet(sink_dir).count()
             )
-            assert absorbed >= 1, "auto-compaction hook folded nothing"
+            assert absorbed >= 2, f"hook folded {absorbed} batches, wanted >= 2"
+            assert post < pre, f"no net file reduction: {pre} -> {post}"
             assert n_after == n_before, (n_before, n_after)  # rows invariant
             comp = {
                 "flinkconf_compact_absorbed": absorbed,
                 "flinkconf_compact_files_pre": pre,
                 "flinkconf_compact_files_post": post,
+                "flinkconf_compact_files_consolidated": consolidated,
                 "flinkconf_compact_wall_sec": round(comp_wall, 3),
             }
         return wall, n_events, comp
@@ -500,6 +514,9 @@ def format_stdout_line(result: dict, limit: int = 1900) -> str:
         # all live in BENCH_LOCAL like the other shed statics
         "flinkconf_wall_sec",
         "flinkconf_compact_wall_sec",
+        # derivable: post = consolidated + live-batch files; the pre/
+        # post pair on the line carries the reduction proof
+        "flinkconf_compact_files_consolidated",
         "stream_events",
         "ingest_docs",
         "stream_wall_sec",

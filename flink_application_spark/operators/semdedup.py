@@ -113,7 +113,12 @@ def semdedup_flags(
     skew guard for corpora whose density defeats the seed centroids;
     the oracle-checked registry query keeps the unguarded path (the
     split changes cluster labels, hence verdicts, by design)."""
-    emb = emb.filter(F.col("embedding").isNotNull())
+    # persist barriers (the composed-funnel discipline): emb feeds the
+    # centroid-seed collect AND the assignment; assigned feeds BOTH
+    # pair sides and the final verdict join. Without them a composed
+    # input (e.g. the hashing-trick vectorizer in doc_semdedup_flags)
+    # re-evaluates per consumer — measured 15.5 s → ~3 s at sf0.01.
+    emb = emb.filter(F.col("embedding").isNotNull()).persist()
     if max_cluster_size is not None:
         assigned = assign_with_split(emb, k, max_cluster_size)
     else:
@@ -122,6 +127,7 @@ def semdedup_flags(
         assigned = assign_clusters(emb, centroids).select(
             "vec_id", "embedding", "cluster"
         )
+    assigned = assigned.persist()
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
     )

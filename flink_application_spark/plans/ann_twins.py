@@ -88,15 +88,15 @@ def _seeded_cand_cte(
     default reads the embeddings table, doc_text_search_topk_ann feeds
     hashing-trick document vectors instead."""
     return f"""
-e AS (
+e AS MATERIALIZED (
   {e_sql}
 ),
-c AS (SELECT vec_id, label, emb FROM e WHERE {corpus_pred}),
-cent AS (
+c AS MATERIALIZED (SELECT vec_id, label, emb FROM e WHERE {corpus_pred}),
+cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cv
   FROM c ORDER BY vec_id LIMIT {n_centroids}
 ),
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT c.vec_id, cent.cluster,
            row_number() OVER (
@@ -106,8 +106,8 @@ assign AS (
     FROM c CROSS JOIN cent
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE {query_pred}),
-probes AS (
+q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS qv FROM e WHERE {query_pred}),
+probes AS MATERIALIZED (
   SELECT query_id, qv, cluster FROM (
     SELECT q.query_id, q.qv, cent.cluster,
            row_number() OVER (
@@ -117,7 +117,7 @@ probes AS (
     FROM q CROSS JOIN cent
   ) WHERE pr <= {n_probe}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT p.query_id, c.vec_id,
          {_COS.format(a='p.qv', b='c.emb')} AS cosine
   FROM probes p
@@ -220,7 +220,7 @@ def _mmr_ann_oracle() -> str:
     from flink_application_spark.plans.mmr_sql import mmr_oracle_sql
 
     with_body = f"""{_seeded_cand_cte('vec_id < 5', 'TRUE', 16, 4)},
-tk AS (
+tk AS MATERIALIZED (
   SELECT query_id, vec_id, cosine FROM (
     SELECT query_id, vec_id, cosine,
            row_number() OVER (
@@ -262,7 +262,7 @@ def q_mmr_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_contrastive_triplets_ann",
     f"""
 WITH {_seeded_cand_cte('vec_id < 20', 'TRUE', 16, 4)},
-tk AS (
+tk AS MATERIALIZED (
   SELECT query_id, vec_id, cosine FROM (
     SELECT query_id, vec_id, cosine,
            row_number() OVER (

@@ -37,12 +37,12 @@ def mmr_stages_sql(k_final: int, lam10: int) -> str:
     if not 0 <= lam10 <= 10:
         raise ValueError(f"lam10 must be in [0, 10], got {lam10}")
     parts = [
-        """relp AS (
+        """relp AS MATERIALIZED (
   SELECT query_id, vec_id, cosine,
          CAST(round(cosine * 1000000) AS BIGINT) AS rel_ppm
   FROM tk
 )""",
-        f"""s1 AS (
+        f"""s1 AS MATERIALIZED (
   SELECT query_id, vec_id, cosine, {lam10} * rel_ppm AS mmr_e7 FROM (
     SELECT query_id, vec_id, cosine, rel_ppm,
            row_number() OVER (
@@ -51,11 +51,11 @@ def mmr_stages_sql(k_final: int, lam10: int) -> str:
     FROM relp
   ) WHERE rn = 1
 )""",
-        "sel1 AS (SELECT query_id, vec_id FROM s1)",
+        "sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM s1)",
     ]
     for k in range(2, k_final + 1):
         parts.append(
-            f"""m{k} AS (
+            f"""m{k} AS MATERIALIZED (
   SELECT r.query_id, r.vec_id, r.cosine,
          {lam10} * r.rel_ppm - {10 - lam10} * (
            SELECT max(p.sim_ppm) FROM pair p
@@ -70,7 +70,7 @@ def mmr_stages_sql(k_final: int, lam10: int) -> str:
 )""",
         )
         parts.append(
-            f"""s{k} AS (
+            f"""s{k} AS MATERIALIZED (
   SELECT query_id, vec_id, cosine, mmr_e7 FROM (
     SELECT query_id, vec_id, cosine, mmr_e7,
            row_number() OVER (
@@ -82,7 +82,7 @@ def mmr_stages_sql(k_final: int, lam10: int) -> str:
         )
         if k < k_final:
             parts.append(
-                f"sel{k} AS (SELECT query_id, vec_id FROM sel{k - 1}"
+                f"sel{k} AS MATERIALIZED (SELECT query_id, vec_id FROM sel{k - 1}"
                 f" UNION ALL SELECT query_id, vec_id FROM s{k})"
             )
     return ",\n".join(parts)
@@ -93,7 +93,7 @@ def mmr_oracle_sql(with_body: str, k_final: int, lam10: int) -> str:
     tk(query_id, vec_id, cosine); output schema matches
     mmr_rerank_cands — (query_id, vec_id, rank, relevance,
     mmr_score = mmr_e7/1e7, identical IEEE division both engines)."""
-    pair = f"""pair AS (
+    pair = f"""pair AS MATERIALIZED (
   SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
          CAST(round({_COS.format(a='ea.emb', b='eb.emb')} * 1000000) AS BIGINT)
            AS sim_ppm

@@ -151,6 +151,7 @@ def _load_all() -> None:
     from flink_application_spark.plans import bootstrap_queries  # noqa: F401  (late)
     from flink_application_spark.plans import graph_ann_queries  # noqa: F401  (late)
     from flink_application_spark.plans import graph_insert_queries  # noqa: F401  (late)
+    from flink_application_spark.plans import graph_delete_queries  # noqa: F401  (late)
 
     _reorder_for_sample_window()
     _LOADED = True
@@ -168,8 +169,10 @@ def _load_all() -> None:
 # 21-name r04 residue from the round-9 comment; (c) the CDR core's
 # three highest-value r06 names (the flagship enrichment path —
 # entry() smokes it every round but its newest driver rows are r06);
-# then (d) the first 24 of the 35 r05-evidence names in lexical order.
-# The 11-name r05 residue that did not fit (events_hll_user_rollup,
+# then (d) the first 22 of the 35 r05-evidence names in lexical order.
+# The 13-name r05 residue that did not fit (emb_semdedup_cluster_stats
+# and events_funnel_time_to_convert, displaced late by the round-10
+# delete pair, plus events_hll_user_rollup,
 # events_props_variant_stats, events_seasonal_baseline_anomaly,
 # market_basket_part_pairs, pipe_syntax_returnflag_stats,
 # semi_anti_join, set_ops_customers, source_boilerplate_ngrams,
@@ -180,10 +183,14 @@ def _load_all() -> None:
 SAMPLE_WINDOW = [
     # round-10 additions, sampled the round they land: incremental
     # kNN-graph maintenance — HNSW layer-0 insert in micro-batch
-    # form over the exact NN-Descent base graph, insert + post-insert
-    # serving both oracle-exact (operators/graph_insert.py)
+    # form over the exact NN-Descent base graph (insert + post-insert
+    # serving) and deletion with local repair (prune + repair +
+    # post-delete serving), all oracle-exact
+    # (operators/graph_insert.py, operators/graph_delete.py)
     "emb_graph_ann_insert_graph",
     "emb_graph_ann_insert_search",
+    "emb_graph_ann_delete_graph",
+    "emb_graph_ann_delete_search",
     # the full 21-name r04-evidence residue from the round-9 comment
     "emb_sq8_adc_topk",
     "emb_sq8_codes",
@@ -211,8 +218,8 @@ SAMPLE_WINDOW = [
     "cdr_enrichment_full",
     "cdr_enrich_path_b_asof",
     "cdr_generated_sample",
-    # first 24 of the 35 r05-evidence names, lexical order (the
-    # 11-name residue above rotates in round 11)
+    # first 22 of the 35 r05-evidence names, lexical order (the
+    # 13-name residue above rotates in round 11)
     "corpus_gate_attrition",
     "corpus_mixture_materialized",
     "corpus_source_contamination_matrix",
@@ -235,8 +242,6 @@ SAMPLE_WINDOW = [
     "emb_pca_top2_projection",
     "emb_pca_top_component",
     "emb_pq_trained_adc_topk",
-    "emb_semdedup_cluster_stats",
-    "events_funnel_time_to_convert",
 ]
 
 

@@ -33,33 +33,33 @@ _COS = (
 @register(
     "doc_semdedup_flags",
     f"""
-WITH hemb AS ({_oracle_sql()}),
-vecs AS (
+WITH hemb AS MATERIALIZED ({_oracle_sql()}),
+vecs AS MATERIALIZED (
   SELECT doc_id AS vec_id, embedding FROM hemb
   WHERE embedding IS NOT NULL
     AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) > 0
 ),
-cent AS (
+cent AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
   FROM vecs ORDER BY vec_id LIMIT {_K}
 ),
-dists AS (
+dists AS MATERIALIZED (
   SELECT e.vec_id AS vec_id, e.embedding AS embedding, cent.cluster AS cluster,
          list_sum(list_transform(
            list_zip(list_transform(e.embedding, v -> CAST(v AS DOUBLE)), cent.c),
            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
   FROM vecs e CROSS JOIN cent
 ),
-assigned AS (
+assigned AS MATERIALIZED (
   SELECT vec_id, embedding, cluster FROM (
     SELECT vec_id, embedding, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
     FROM dists
   ) WHERE rn = 1
 ),
-close_pairs AS (
+close_pairs AS MATERIALIZED (
   SELECT b.vec_id AS id_b,
          {_COS.format(a='a.embedding', b='b.embedding')} AS cos
   FROM assigned a JOIN assigned b

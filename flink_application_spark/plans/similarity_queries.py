@@ -334,17 +334,17 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mmr_exact_oracle() -> str:
     from flink_application_spark.plans.mmr_sql import mmr_oracle_sql
 
-    with_body = f"""e AS (
+    with_body = f"""e AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
   FROM embeddings WHERE embedding IS NOT NULL
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          {_COS.format(a='q.emb', b='c.emb')} AS cosine
   FROM e q JOIN e c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 5
 ),
-tk AS (
+tk AS MATERIALIZED (
   SELECT query_id, vec_id, cosine FROM (
     SELECT query_id, vec_id, cosine,
            row_number() OVER (

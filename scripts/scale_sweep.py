@@ -117,6 +117,11 @@ EMB_QUERIES = [
     # is inside the registered query so the sweep times both)
     "emb_knn_graph_nndescent",
     "emb_graph_ann_search_topk",
+    # round-10: incremental insertion — base NN-Descent build over
+    # n−4 vectors + 2 micro-batch waves (wave work is bounded by
+    # |W|·beam·(k+1) candidates per hop, so growth should track the
+    # base build, i.e. the NN-Descent row above)
+    "emb_graph_ann_insert_graph",
 ]
 
 # Round-6 additions swept on replicated DOCUMENTS (round-6 verdict
@@ -145,6 +150,7 @@ ORACLE_TIMED = {
     # the kmeans-replay lesson says measure, don't assume)
     "emb_knn_graph_nndescent",
     "emb_graph_ann_search_topk",
+    "emb_graph_ann_insert_graph",
 }
 
 

@@ -100,6 +100,52 @@ def test_stream_equals_batch_same_wave_split(spark, sf_dir, tmp_path):
     assert got == want  # stream of waves == one batch run, bit-equal
 
 
+def test_delete_prunes_and_repairs(spark, sf_dir):
+    """graph_delete contracts: deleted ids vanish from BOTH edge
+    endpoints, every affected vertex re-fills to k out-edges, and
+    vertices that never touched a deleted id keep their exact edge
+    set (the local-repair locality claim)."""
+    from flink_application_spark.operators.graph_delete import graph_delete_largest
+    from flink_application_spark.operators.nndescent_exact import nn_descent_exact
+
+    emb = _emb(spark, sf_dir)
+    dels = sorted(
+        r["vec_id"]
+        for r in emb.orderBy(F.col("vec_id").desc()).limit(_NI).collect()
+    )
+    base = nn_descent_exact(emb, k=_K, n_iter=3).persist()
+    repaired = graph_delete_largest(
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_delete=_NI, base_graph=base
+    ).persist()
+    n = emb.count()
+    # deleted ids gone from both endpoints; every survivor has k edges
+    assert repaired.filter(
+        F.col("vec_id").isin(dels) | F.col("nbr_id").isin(dels)
+    ).count() == 0
+    assert repaired.count() == (n - _NI) * _K
+    # locality: vertices with no edge to a deleted id keep their rows
+    affected = {
+        r["vec_id"]
+        for r in base.filter(F.col("nbr_id").isin(dels)).select("vec_id").collect()
+    } | set(dels)
+    aff = [int(i) for i in affected]
+    before = sorted(
+        tuple(r)
+        for r in base.filter(~F.col("vec_id").isin(aff))
+        .select("vec_id", "nbr_id", "d2", "rank")
+        .collect()
+    )
+    after = sorted(
+        tuple(r)
+        for r in repaired.filter(~F.col("vec_id").isin(aff))
+        .select("vec_id", "nbr_id", "d2", "rank")
+        .collect()
+    )
+    assert before == after
+    base.unpersist()
+    repaired.unpersist()
+
+
 def test_replay_is_noop_and_crash_partial_invisible(spark, sf_dir, tmp_path):
     emb, base, ins_ids = _split(spark, sf_dir)
     st = GraphIngest(str(tmp_path / "store"), k=_K, beam=_BEAM, hops=_HOPS)

@@ -11,6 +11,14 @@ key)."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: three full NN-Descent builds (~45 s) — the default tier
+# holds its ~15 min solo budget (round-9 verdict item 7); the memo's
+# consumers are exercised in the default tier via the plan canary and
+# oracle-parity runs either way.
+pytestmark = _pytest_tier.mark.slow
+
 from pyspark.sql import functions as F
 
 from flink_application_spark.catalog import register_views

@@ -28,10 +28,12 @@ from flink_application_spark.plans.registry import REGISTRY, _load_all
 # (the full window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # round-10 additions (incremental graph maintenance) — sampled
-    # the round they land
+    # round-10 additions (incremental graph maintenance: insert +
+    # delete) — sampled the round they land
     "emb_graph_ann_insert_graph",
     "emb_graph_ann_insert_search",
+    "emb_graph_ann_delete_graph",
+    "emb_graph_ann_delete_search",
     # the r04-evidence residue (oldest driver rows in the registry)
     "emb_sq8_adc_topk",
     "emb_sq8_codes",
