@@ -83,13 +83,14 @@ def hashing_trick_features(
             F.filter(tokens(F.col(text_col)), lambda t: t != "")
         ).alias("tok"),
     )
-    # one shuffle, dim codegen conditional counts (a vectorized
-    # histogram: partial counts combine map-side). The earlier
-    # two-shuffle groupBy(bk)→map_from_entries→interpreted-transform
-    # form produced identical values but paid an extra exchange plus
-    # a per-row interpreted HOF lookup — at gate scale that was pure
-    # fixed overhead, at 100 TB the extra shuffle moved (id, bk)
-    # pairs for nothing.
+    # two-phase histogram: reduce (id, bucket) pairs first (count
+    # partials combine map-side, so the aggregate work is O(tokens)),
+    # then densify ≤dim entries per doc. A one-shuffle rewrite with
+    # dim conditional counts was tried in round 10 and REVERTED: it
+    # evaluates dim predicates per TOKEN (O(dim·tokens) map-side),
+    # which doubled corpus_curation_funnel at sf0.1 and only gets
+    # worse with corpus size — the extra tiny exchange here is the
+    # right trade at scale.
     hist = (
         toks.select(
             "_id",
@@ -98,17 +99,19 @@ def hashing_trick_features(
                 % F.lit(dim)
             ).alias("bk"),
         )
+        .groupBy("_id", "bk")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
         .groupBy("_id")
         .agg(
-            *[
-                F.count(F.when(F.col("bk") == j, 1)).alias(f"_c{j}")
-                for j in range(dim)
-            ]
+            F.map_from_entries(F.collect_list(F.struct("bk", "c"))).alias("m")
         )
         .select(
             "_id",
-            F.array(
-                *[F.col(f"_c{j}").cast("double") for j in range(dim)]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("m"), j.cast("bigint")), F.lit(0.0)
+                ),
             ).alias("counts"),
         )
     )
