@@ -8,6 +8,17 @@ members never see each other and later waves see every earlier one,
 a stream of waves is IDENTICAL to the batch `graph_insert_waves` run
 with the same wave split — pinned by tests/test_graph_insert.py.
 
+Batches may also be MIXED CDC-style changelogs: with an ``op`` column
+('insert' | 'delete'), a batch's deletions apply FIRST against the
+pre-batch graph (`operators/graph_delete.py` — prune + local repair),
+then its insertions beam-search the post-delete graph. Deleted ids
+append to an additive tombstone store (``deletes/_batch=<id>``) so
+replay and coordinate reconstruction stay strictly-before and
+idempotent; entry points are re-derived per batch as the `beam`
+smallest SURVIVING vertex ids (for insert-only streams over the
+largest-ids-arrive-last convention this equals the frozen base-entry
+convention, keeping the stream == batch pin intact).
+
 Replay safety (the shared store contract): a replayed batch reads the
 newest graph snapshot STRICTLY BEFORE itself and coordinate batches
 strictly before itself, then overwrites exactly its own two dirs —
@@ -56,9 +67,9 @@ class GraphIngest:
         self.k, self.beam, self.hops = k, beam, hops
         self._graph_dir = os.path.join(store_dir, "graph")
         self._vec_dir = os.path.join(store_dir, "vectors")
+        self._del_dir = os.path.join(store_dir, "deletes")
         self._base_graph = os.path.join(store_dir, "base", "graph")
         self._base_coords = os.path.join(store_dir, "base", "coords")
-        self._entries: list[int] | None = None
 
     # -- seeding -------------------------------------------------------
 
@@ -131,46 +142,113 @@ class GraphIngest:
                 .parquet(*dirs)
                 .select("vec_id", "e")
             )
+        ddirs = [
+            d
+            for d in committed_batch_dirs(self._del_dir)
+            if before is None
+            or int(re.search(r"_batch=(\d+)$", d).group(1)) < before
+        ]
+        if ddirs:
+            gone = (
+                spark.read.option("basePath", self._del_dir)
+                .parquet(*ddirs)
+                .select("vec_id")
+            )
+            out = out.join(gone, "vec_id", "left_anti")
         return out
 
-    def _entry_ids(self, spark: SparkSession) -> list[int]:
-        if self._entries is None:
-            self._entries = [
-                r["vec_id"]
-                for r in spark.read.parquet(self._base_coords)
-                .orderBy("vec_id")
-                .limit(self.beam)
-                .collect()
-            ]
-        return self._entries
+    def _entry_ids(self, coords: DataFrame) -> list[int]:
+        """The `beam` smallest SURVIVING vertex ids — re-derived per
+        batch (a delete may remove a former entry). For insert-only
+        streams where arriving ids exceed the base's (the demo
+        convention), this equals the frozen base-entry set, keeping
+        stream == batch parity with graph_insert_waves."""
+        return [
+            r["vec_id"] for r in coords.orderBy("vec_id").limit(self.beam).collect()
+        ]
 
     # -- per-batch maintenance -------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch. Plain (vec_id, embedding) batches are
+        pure insertions; with an ``op`` column ('insert' | 'delete'),
+        deletions apply FIRST against the pre-batch graph, then
+        insertions search the post-delete graph (CDC convention:
+        within a changelog batch, retractions precede additions)."""
+        from flink_application_spark.operators.graph_delete import (
+            graph_delete_batch,
+        )
+
         spark = batch_df.sparkSession
+        has_op = "op" in batch_df.columns
+        ins_df = (
+            batch_df.filter(F.col("op") == "insert") if has_op else batch_df
+        )
+        del_ids = (
+            sorted(
+                r["vec_id"]
+                for r in batch_df.filter(F.col("op") == "delete")
+                .select("vec_id")
+                .distinct()
+                .collect()
+            )
+            if has_op
+            else []
+        )
         new = quantize_ppm(
-            batch_df.filter(F.col("embedding").isNotNull())
+            ins_df.filter(F.col("embedding").isNotNull())
         ).localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
-            # still commit the (empty) vector batch so replay stays a
+        if new.limit(1).count() == 0 and not del_ids:
+            # still commit the (empty) batch dirs so replay stays a
             # strict overwrite; graph snapshot unchanged → skip
             idempotent_batch_write(
                 spark.createDataFrame([], _COORD_SCHEMA), self._vec_dir, batch_id
             )
+            idempotent_batch_write(
+                spark.createDataFrame([], "vec_id bigint"), self._del_dir, batch_id
+            )
             return
         graph_cur = self.graph(spark, before=batch_id)
         coords_cur = self._coords(spark, before=batch_id)
-        updated, _ = graph_insert_batch(
-            graph_cur,
-            coords_cur,
-            new,
-            k=self.k,
-            beam=self.beam,
-            hops=self.hops,
-            entry_ids=self._entry_ids(spark),
+        if del_ids:
+            ent = self._entry_ids(
+                coords_cur.filter(
+                    ~F.col("vec_id").isin([int(i) for i in del_ids])
+                )
+            )
+            graph_cur, coords_cur = graph_delete_batch(
+                graph_cur,
+                coords_cur,
+                del_ids,
+                k=self.k,
+                beam=self.beam,
+                hops=self.hops,
+                entry_ids=ent,
+            )
+            graph_cur = graph_cur.localCheckpoint()
+            coords_cur = coords_cur.localCheckpoint()
+        updated = graph_cur
+        if new.limit(1).count() > 0:
+            updated, _ = graph_insert_batch(
+                graph_cur,
+                coords_cur,
+                new,
+                k=self.k,
+                beam=self.beam,
+                hops=self.hops,
+                entry_ids=self._entry_ids(coords_cur),
+            )
+        idempotent_batch_write(
+            updated.select("src", "dst", "d2", "rank"), self._graph_dir, batch_id
         )
-        idempotent_batch_write(updated, self._graph_dir, batch_id)
         idempotent_batch_write(new, self._vec_dir, batch_id)
+        idempotent_batch_write(
+            spark.createDataFrame(
+                [(int(i),) for i in del_ids], "vec_id bigint"
+            ),
+            self._del_dir,
+            batch_id,
+        )
 
     def attach(self, vec_stream: DataFrame, checkpoint: str, trigger=None):
         return (

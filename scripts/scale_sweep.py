@@ -120,8 +120,11 @@ EMB_QUERIES = [
     # round-10: incremental insertion — base NN-Descent build over
     # n−4 vectors + 2 micro-batch waves (wave work is bounded by
     # |W|·beam·(k+1) candidates per hop, so growth should track the
-    # base build, i.e. the NN-Descent row above)
+    # base build, i.e. the NN-Descent row above) — and deletion with
+    # local repair (full build + prune + one repair beam chain; the
+    # affected set is ≤ |D|·k in-neighbors regardless of corpus size)
     "emb_graph_ann_insert_graph",
+    "emb_graph_ann_delete_graph",
 ]
 
 # Round-6 additions swept on replicated DOCUMENTS (round-6 verdict
@@ -151,6 +154,7 @@ ORACLE_TIMED = {
     "emb_knn_graph_nndescent",
     "emb_graph_ann_search_topk",
     "emb_graph_ann_insert_graph",
+    "emb_graph_ann_delete_graph",
 }
 
 

@@ -100,6 +100,77 @@ def test_stream_equals_batch_same_wave_split(spark, sf_dir, tmp_path):
     assert got == want  # stream of waves == one batch run, bit-equal
 
 
+def test_upsert_stream_equals_sequential_operators(spark, sf_dir, tmp_path):
+    """Mixed CDC-style changelog batches: batch 0 inserts two held-out
+    vectors; batch 1 deletes one of them AND a base vertex while
+    inserting the remaining two. The store's final graph must equal
+    applying graph_delete_batch then graph_insert_batch sequentially
+    with the same per-step state — deletes before inserts within a
+    batch, entries re-derived from surviving vertices."""
+    from flink_application_spark.operators.graph_delete import graph_delete_batch
+    from flink_application_spark.operators.graph_insert import graph_insert_batch
+    from flink_application_spark.operators.nndescent_exact import nn_descent_exact
+
+    emb, base, ins_ids = _split(spark, sf_dir)
+    base_ids = sorted(
+        r["vec_id"] for r in base.select("vec_id").orderBy("vec_id").collect()
+    )
+    victim = base_ids[len(base_ids) // 2]  # a mid-range base vertex
+    w0_ins, w1_del, w1_ins = ins_ids[:2], [ins_ids[0], victim], ins_ids[2:]
+
+    st = GraphIngest(str(tmp_path / "store"), k=_K, beam=_BEAM, hops=_HOPS)
+    st.seed_from_embeddings(spark, base)
+    st.process_batch(
+        emb.filter(F.col("vec_id").isin([int(i) for i in w0_ins])), 0
+    )
+    mixed = emb.filter(
+        F.col("vec_id").isin([int(i) for i in w1_ins])
+    ).withColumn("op", F.lit("insert")).unionByName(
+        emb.filter(F.col("vec_id").isin([int(i) for i in w1_del]))
+        .withColumn("op", F.lit("delete"))
+    )
+    st.process_batch(mixed.select("vec_id", "embedding", "op"), 1)
+    got = _rows(st.graph(spark))
+
+    # reference: the same steps via the batch operators
+    q = quantize_ppm(emb).persist()
+    graph = (
+        nn_descent_exact(base, k=_K, n_iter=3)
+        .select(
+            F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"),
+            "d2", "rank",
+        )
+        .localCheckpoint()
+    )
+    coords = q.filter(
+        F.col("vec_id").isin([int(i) for i in base_ids])
+    ).localCheckpoint()
+
+    def ent(c):
+        return [r["vec_id"] for r in c.orderBy("vec_id").limit(_BEAM).collect()]
+
+    graph, coords = graph_insert_batch(
+        graph, coords, q.filter(F.col("vec_id").isin([int(i) for i in w0_ins])),
+        k=_K, beam=_BEAM, hops=_HOPS, entry_ids=ent(coords),
+    )
+    graph, coords = graph.localCheckpoint(), coords.localCheckpoint()
+    surv = coords.filter(~F.col("vec_id").isin([int(i) for i in w1_del]))
+    graph, coords = graph_delete_batch(
+        graph, coords, w1_del, k=_K, beam=_BEAM, hops=_HOPS, entry_ids=ent(surv),
+    )
+    graph, coords = graph.localCheckpoint(), coords.localCheckpoint()
+    graph, coords = graph_insert_batch(
+        graph, coords, q.filter(F.col("vec_id").isin([int(i) for i in w1_ins])),
+        k=_K, beam=_BEAM, hops=_HOPS, entry_ids=ent(coords),
+    )
+    want = _rows(graph)
+    q.unpersist()
+    assert got == want
+    # the deleted ids are gone from both endpoints of the final graph
+    gone = {int(i) for i in w1_del}
+    assert not any(s in gone or d in gone for s, d, _, _ in got)
+
+
 def test_delete_prunes_and_repairs(spark, sf_dir):
     """graph_delete contracts: deleted ids vanish from BOTH edge
     endpoints, every affected vertex re-fills to k out-edges, and
