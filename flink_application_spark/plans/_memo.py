@@ -99,6 +99,51 @@ def nn_descent_graph_cached(
     )
 
 
+def graph_delete_repaired_cached(
+    spark: SparkSession,
+    emb: DataFrame,
+    sf_dir: str,
+    *,
+    k: int,
+    beam: int,
+    hops: int,
+    n_delete: int,
+    graph_iters: int,
+) -> DataFrame:
+    """The post-delete repaired graph (operators/graph_delete.py) —
+    shared by the delete-graph and delete-search queries (the repair
+    chain otherwise re-runs per query). The base full-corpus build
+    underneath comes from `nn_descent_graph_cached` (same key as the
+    serving queries), so one driver window builds it once total."""
+    from flink_application_spark.operators.graph_delete import graph_delete_largest
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "delete",
+        k,
+        beam,
+        hops,
+        n_delete,
+        graph_iters,
+    )
+
+    def build(prof):
+        base, _ = nn_descent_graph_cached(spark, emb, sf_dir, k, graph_iters)
+        return graph_delete_largest(
+            emb,
+            k=k,
+            beam=beam,
+            hops=hops,
+            n_delete=n_delete,
+            graph_iters=graph_iters,
+            base_graph=base,
+        )
+
+    g, _ = _cache_edge_frame(spark, key, emb.count(), k, build)
+    return g
+
+
 def graph_insert_updated_cached(
     spark: SparkSession,
     emb: DataFrame,

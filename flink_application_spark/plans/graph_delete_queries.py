@@ -19,11 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.graph_ann import graph_ann_search_topk
-from flink_application_spark.operators.graph_delete import (
-    graph_delete_largest,
-    graph_delete_oracle_sql,
-)
-from flink_application_spark.plans._memo import nn_descent_graph_cached
+from flink_application_spark.operators.graph_delete import graph_delete_oracle_sql
+from flink_application_spark.plans._memo import graph_delete_repaired_cached
 from flink_application_spark.plans.registry import register
 
 _K = 6
@@ -45,15 +42,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _repaired(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    base, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _GRAPH_ITERS)
-    return graph_delete_largest(
+    return graph_delete_repaired_cached(
+        spark,
         emb,
+        sf_dir,
         k=_K,
         beam=_BEAM,
         hops=_HOPS,
         n_delete=_N_DELETE,
         graph_iters=_GRAPH_ITERS,
-        base_graph=base,
     )
 
 
