@@ -31,12 +31,17 @@ NEAR_DUP_THRESHOLD = 0.5
 # --- shared oracle building blocks -----------------------------------------
 
 # Tokenize + distinct word-3-gram shingles (DuckDB lists are 1-based).
+# Both stages MATERIALIZED: this CTE body is spliced into a dozen
+# oracles that reference `sh` two or more times (self-joins, prefix
+# postings, recall audits) — DuckDB inlines plain CTEs, so the whole
+# shingle build re-ran per reference (measured ~2x on the jaccard
+# join / LSH-audit oracles; the round-7 MATERIALIZED rule).
 SHINGLES_CTE = """
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(CASE WHEN len(t) >= 3
            THEN list_transform(generate_series(1, len(t) - 2),
