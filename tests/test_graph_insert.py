@@ -100,6 +100,48 @@ def test_stream_equals_batch_same_wave_split(spark, sf_dir, tmp_path):
     assert got == want  # stream of waves == one batch run, bit-equal
 
 
+def test_attach_real_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The writeStream path (`GraphIngest.attach` + file source): the
+    4 held-out vectors arrive as two parquet files consumed one file
+    per trigger — the resulting graph must equal the batch
+    `graph_insert_waves` run with the same wave split (the same pin
+    as the direct process_batch test, but through a real streaming
+    query with checkpointing)."""
+    import time
+
+    from flink_application_spark.sources.streams import file_stream
+
+    emb, base, ins_ids = _split(spark, sf_dir)
+    want = _grows(
+        graph_insert_waves(
+            emb, k=_K, beam=_BEAM, hops=_HOPS, n_insert=_NI, n_waves=_NW
+        )
+    )
+    src = str(tmp_path / "src")
+    per = -(-_NI // _NW)
+    waves = [ins_ids[w * per : (w + 1) * per] for w in range(_NW)]
+    emb.filter(F.col("vec_id").isin([int(i) for i in waves[0]])).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.parquet(src)
+    time.sleep(1.2)  # file-stream batch order is modTime-based
+    emb.filter(F.col("vec_id").isin([int(i) for i in waves[1]])).select(
+        "vec_id", "embedding"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    st = GraphIngest(str(tmp_path / "store"), k=_K, beam=_BEAM, hops=_HOPS)
+    st.seed_from_embeddings(spark, base)
+    q = st.attach(
+        file_stream(spark, src, max_files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["src"], r["dst"], r["d2"], r["rank"])
+        for r in st.graph(spark).collect()
+    )
+    assert got == want
+
+
 def test_upsert_stream_equals_sequential_operators(spark, sf_dir, tmp_path):
     """Mixed CDC-style changelog batches: batch 0 inserts two held-out
     vectors; batch 1 deletes one of them AND a base vertex while
