@@ -147,7 +147,7 @@ def semdedup_flags(
         F.count(F.lit(1)).alias("n_close_smaller"),
         F.max("cos").alias("max_sim_smaller"),
     )
-    return (
+    out = (
         assigned.join(drops, assigned["vec_id"] == drops["id_b"], "left")
         .select(
             "vec_id",
@@ -158,4 +158,12 @@ def semdedup_flags(
             ),
             "max_sim_smaller",
         )
+        # materialize the (small, embedding-free) verdict frame, then
+        # release both caches — callers invoke this repeatedly per
+        # session (bench sweeps, driver windows) and the persists
+        # otherwise accumulate leaked blocks (round-10 ADVICE)
+        .localCheckpoint(eager=True)
     )
+    emb.unpersist()
+    assigned.unpersist()
+    return out

@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 _KMEANS: dict[tuple, tuple[list[list[int]], list]] = {}
 # value is ("rows", edge_rows, profile) | ("frame", persisted_df, profile)
 _GRAPH: dict[tuple, tuple[str, object, list]] = {}
+# corpus row-count per (applicationId, sf_dir) — every memo entry used
+# to run its own emb.count() just to pick the collect-vs-persist path
+# (one tiny Spark job per consumer query; round-10 verdict item 7)
+_NVEC: dict[tuple, int] = {}
+
+
+def corpus_count_cached(spark: SparkSession, emb: DataFrame, sf_dir: str) -> int:
+    """Row count of the sf_dir embeddings corpus (non-null embedding
+    rows — the frame every memo consumer passes), counted once per
+    (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NVEC:
+        _NVEC[key] = emb.count()
+    return _NVEC[key]
+
 
 # Driver-collect ceiling for the kNN-graph memo, in edges (n·k). The
 # driver gate's largest corpus is ~5k vectors × k=6 = 30k edges; 1M
@@ -93,7 +108,7 @@ def nn_descent_graph_cached(
     return _cache_edge_frame(
         spark,
         key,
-        emb.count(),
+        corpus_count_cached(spark, emb, sf_dir),
         k,
         lambda prof: nn_descent_exact(emb, k=k, n_iter=n_iter, _profile=prof),
     )
@@ -140,7 +155,9 @@ def graph_delete_repaired_cached(
             base_graph=base,
         )
 
-    g, _ = _cache_edge_frame(spark, key, emb.count(), k, build)
+    g, _ = _cache_edge_frame(
+        spark, key, corpus_count_cached(spark, emb, sf_dir), k, build
+    )
     return g
 
 
@@ -176,7 +193,7 @@ def graph_insert_updated_cached(
     g, _ = _cache_edge_frame(
         spark,
         key,
-        emb.count(),
+        corpus_count_cached(spark, emb, sf_dir),
         k,
         lambda prof: graph_insert_waves(
             emb,

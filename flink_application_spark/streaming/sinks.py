@@ -174,6 +174,30 @@ def compact_batches(
 
     from pyspark.sql import functions as F
 
+    # Crash recovery BEFORE scanning fold targets: `.compact_old` is
+    # the prior consolidated dir moved aside mid-swap. If any
+    # committed negative-id (consolidated) dir exists, the swap
+    # completed and the aside rows are already folded — debris, drop
+    # it. If NONE exists, the crash landed between the two swap
+    # renames and the aside holds the ONLY copy of previously
+    # consolidated rows — resurface it under a fresh negative batch
+    # id so this run (and `_batch=*` readers meanwhile) fold it back
+    # in instead of losing it (round-10 ADVICE).
+    aside = os.path.join(root, ".compact_old")
+    if os.path.exists(aside):
+        neg_committed = [
+            p
+            for p in _glob.glob(os.path.join(root, "_batch=-*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if neg_committed:
+            shutil.rmtree(aside)
+        else:
+            rescue_bid = -min_live_batch - 2
+            while os.path.exists(os.path.join(root, f"_batch={rescue_bid}")):
+                rescue_bid -= 1
+            os.rename(aside, os.path.join(root, f"_batch={rescue_bid}"))
+
     olds, live = [], []
     for p in sorted(_glob.glob(os.path.join(root, "_batch=*"))):
         try:

@@ -64,6 +64,27 @@ def test_graph_memo_paths_identical(spark, sf_dir, monkeypatch):
     _memo._GRAPH.clear()
 
 
+def test_corpus_count_counted_once_per_sf_dir(spark, sf_dir):
+    """Round-10 verdict item 7: the memo used to run emb.count() on
+    every call just to pick the collect-vs-persist path — one tiny
+    Spark job per consumer query. Now one count job per (app, sf_dir)."""
+
+    class CountingFrame:
+        def __init__(self, df):
+            self._df, self.n = df, 0
+
+        def count(self):
+            self.n += 1
+            return self._df.count()
+
+    cf = CountingFrame(_emb(spark, sf_dir))
+    _memo._NVEC.clear()
+    a = _memo.corpus_count_cached(spark, cf, sf_dir)
+    b = _memo.corpus_count_cached(spark, cf, sf_dir)
+    assert a == b and cf.n == 1  # second call served from the cache
+    _memo._NVEC.clear()
+
+
 def test_graph_memo_frame_path_builds_once(spark, sf_dir, monkeypatch):
     emb = _emb(spark, sf_dir)
     calls = {"n": 0}

@@ -277,3 +277,55 @@ def test_compact_rerun_unchanged_horizon_is_noop(spark, tmp_path):
     )
     assert spark.read.parquet(root).count() == 400
     assert not os.path.exists(os.path.join(root, ".compact_old"))  # swap debris gone
+
+
+def test_compact_crash_between_swap_renames_recovers(spark, tmp_path):
+    """Round-10 ADVICE: if a crash lands between rename(consolidated →
+    .compact_old) and rename(tmp → consolidated), the aside dir holds
+    the ONLY copy of previously consolidated rows. The next compaction
+    must fold those rows back in — not rmtree them as debris. The
+    post-swap crash (consolidated present AND aside present) must
+    still treat the aside as debris, without double-counting."""
+    import shutil
+
+    from flink_application_spark.streaming.sinks import (
+        compact_batches,
+        idempotent_batch_write,
+    )
+
+    root = str(tmp_path / "sink")
+    rows = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("event_date")
+    )
+    for b in range(2):
+        idempotent_batch_write(
+            rows.filter(F.col("id") % 2 == b), root, b,
+            partition_by=("event_date",),
+        )
+    compact_batches(spark, root, min_live_batch=2, partition_by=("event_date",))
+    consolidated = os.path.join(root, "_batch=-3")
+    assert os.path.isdir(consolidated)
+    # --- crash BETWEEN the two renames: consolidated gone, aside only copy
+    os.rename(consolidated, os.path.join(root, ".compact_old"))
+    idempotent_batch_write(
+        spark.range(300, 400).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("event_date")
+        ),
+        root, 2, partition_by=("event_date",),
+    )
+    compact_batches(spark, root, min_live_batch=3, partition_by=("event_date",))
+    assert spark.read.parquet(root).count() == 400  # nothing lost
+    assert not os.path.exists(os.path.join(root, ".compact_old"))
+    # --- crash AFTER the swap (before the aside rmtree): aside is a
+    # duplicate of rows already inside the new consolidated — debris
+    new_consolidated = glob.glob(os.path.join(root, "_batch=-*"))[0]
+    shutil.copytree(new_consolidated, os.path.join(root, ".compact_old"))
+    idempotent_batch_write(
+        spark.range(400, 450).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("event_date")
+        ),
+        root, 3, partition_by=("event_date",),
+    )
+    compact_batches(spark, root, min_live_batch=4, partition_by=("event_date",))
+    assert spark.read.parquet(root).count() == 450  # no double-count
+    assert not os.path.exists(os.path.join(root, ".compact_old"))
