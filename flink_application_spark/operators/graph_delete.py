@@ -11,8 +11,13 @@ candidates (the same greedy search the serving path runs, self and
 deleted ids excluded) and its adjacency re-fills to top-k from
 (surviving edges ∪ beam candidates). Unaffected vertices keep their
 edges (their re-rank is the identity). Repair restores OUT-degree;
-back-links arrive the next time an insert or rebuild touches the
-neighborhood — the standard asymmetry of local repair.
+the BACK-LINK half (round-10 verdict item 4, on by default) then
+restores IN-degree: each repaired vertex proposes itself to its
+post-repair neighbors (one reversed equi-join — d² is symmetric, no
+re-scoring) and those neighbors' lists re-prune to top-k, the same
+shrink step the insert path runs. Vertices receiving no proposal
+keep their exact rows. With ``backlink=False`` the classic
+out-degree-only local repair remains available.
 
 Exact-integer throughout (the shared recipe): ppm vectors, BIGINT d²,
 (d2 ASC, id ASC) ties, entry points = the `beam` smallest SURVIVING
@@ -50,6 +55,7 @@ def graph_delete_batch(
     beam: int,
     hops: int,
     entry_ids: list[int],
+    backlink: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Remove `delete_ids` from the graph and locally repair.
 
@@ -103,6 +109,28 @@ def graph_delete_batch(
     updated = _prune_topk(
         survivors.unionByName(repair).dropDuplicates(["src", "dst"]), k
     )
+    if backlink:
+        # back-link half: every repaired vertex proposes itself to its
+        # post-repair out-neighbors (reversed edges — d² is symmetric,
+        # so the proposal reuses the stored distance); the receiving
+        # lists re-prune to top-k. One equi-join + the shared window.
+        props = (
+            updated.select("src", "dst", "d2")
+            .join(
+                affected.select(F.col("vec_id").alias("src")),
+                "src",
+                "left_semi",
+            )
+            .select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "d2"
+            )
+        )
+        updated = _prune_topk(
+            updated.select("src", "dst", "d2")
+            .unionByName(props)
+            .dropDuplicates(["src", "dst"]),
+            k,
+        )
     return updated, coords_new
 
 
@@ -117,6 +145,7 @@ def graph_delete_largest(
     base_graph: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backlink: bool = True,
 ) -> DataFrame:
     """End-to-end demonstration: NN-Descent-build the full-corpus
     graph (or take `base_graph` over exactly that corpus — the session
@@ -148,7 +177,8 @@ def graph_delete_largest(
         .collect()
     ]
     updated, _ = graph_delete_batch(
-        graph, coords, dels, k=k, beam=beam, hops=hops, entry_ids=entry_ids
+        graph, coords, dels, k=k, beam=beam, hops=hops, entry_ids=entry_ids,
+        backlink=backlink,
     )
     q.unpersist()
     return updated.select(
@@ -172,11 +202,13 @@ def graph_delete_oracle_sql(
     search_beam: int = 8,
     search_hops: int = 3,
     n_queries: int = 5,
+    backlink: bool = True,
 ) -> str:
     """Full replay: the NN-Descent unroll over the WHOLE corpus, the
     prune, one repair beam chain for all affected vertices, the
-    re-fill — then optionally the serving search over the repaired
-    graph.
+    re-fill, the back-link re-prune (``backlink=True``, the operator
+    default — one more CTE stage) — then optionally the serving
+    search over the repaired graph.
 
     mode='graph'  → the repaired adjacency (vec_id, nbr_id, d2, rank);
     mode='search' → beam search for the first `n_queries` vec_ids over
@@ -258,12 +290,33 @@ def graph_delete_oracle_sql(
   ) WHERE rank <= {k}
 )"""
     )
+    final_g = "gdel"
+    if backlink:
+        # the back-link re-prune: repaired vertices' post-repair edges,
+        # reversed, proposed to their dst lists (d² symmetric), then
+        # the shared top-k shrink — DISTINCT on (src, dst, d2) dedups
+        # proposals that duplicate existing edges (equal exact d²)
+        parts.append(
+            f"""gbl AS MATERIALIZED (
+  SELECT src, dst, d2, rank FROM (
+    SELECT src, dst, d2,
+           row_number() OVER (PARTITION BY src ORDER BY d2 ASC, dst ASC)
+             AS rank
+    FROM (SELECT DISTINCT src, dst, d2 FROM (
+            SELECT src, dst, d2 FROM gdel
+            UNION ALL
+            SELECT g.dst AS src, g.src AS dst, g.d2
+            FROM gdel g SEMI JOIN aff a ON a.query_id = g.src))
+  ) WHERE rank <= {k}
+)"""
+        )
+        final_g = "gbl"
     if mode == "graph":
         body = ",\n".join(parts)
         return (
             f"WITH {body}\n"
             f"SELECT src AS vec_id, dst AS nbr_id, d2,"
-            f" CAST(rank AS INT) AS rank FROM gdel"
+            f" CAST(rank AS INT) AS rank FROM {final_g}"
         )
     assert mode == "search"
     parts.append(
@@ -283,7 +336,7 @@ def graph_delete_oracle_sql(
             else f"""SELECT query_id, qv, vec_id FROM sb{t - 1}
     UNION
     SELECT b.query_id, b.qv, g.dst AS vec_id
-    FROM sb{t - 1} b JOIN gdel g ON g.src = b.vec_id"""
+    FROM sb{t - 1} b JOIN {final_g} g ON g.src = b.vec_id"""
         )
         parts.append(
             f"""sb{t} AS MATERIALIZED (

@@ -69,11 +69,14 @@ def _repaired(spark: SparkSession, sf_dir: str) -> DataFrame:
     "largest vec_ids' rows and in-edges from the exact NN-Descent "
     "graph, then every vertex that lost a neighbor beam-searches the "
     "PRUNED graph (beam=8, 2 hops, deleted ids unscorable) and "
-    "re-fills to top-6 from surviving ∪ found candidates; untouched "
-    "vertices keep their edges. At scale: the affected set is ≤ |D|·k "
-    "in-neighbors found by ids-only anti-joins, repair touches "
-    "|A|·beam·(k+1) candidates per hop — no rebuild, corpus never "
-    "scanned.",
+    "re-fills to top-6 from surviving ∪ found candidates; the "
+    "back-link half then proposes each repaired vertex to its new "
+    "neighbors and re-prunes those lists (restores IN-degree — the "
+    "repaired region stays reachable); untouched vertices keep their "
+    "edges. At scale: the affected set is ≤ |D|·k in-neighbors found "
+    "by ids-only anti-joins, repair touches |A|·beam·(k+1) candidates "
+    "per hop, the back-link adds one reversed equi-join + window — no "
+    "rebuild, corpus never scanned.",
     tags=("embeddings", "similarity", "ann", "knn-graph", "maintenance", "exact"),
 )
 def q_graph_ann_delete_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

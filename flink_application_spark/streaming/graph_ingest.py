@@ -10,14 +10,18 @@ with the same wave split — pinned by tests/test_graph_insert.py.
 
 Batches may also be MIXED CDC-style changelogs: with an ``op`` column
 ('insert' | 'delete'), a batch's deletions apply FIRST against the
-pre-batch graph (`operators/graph_delete.py` — prune + local repair),
-then its insertions beam-search the post-delete graph. Deleted ids
-append to an additive tombstone store (``deletes/_batch=<id>``) so
-replay and coordinate reconstruction stay strictly-before and
-idempotent; entry points are re-derived per batch as the `beam`
-smallest SURVIVING vertex ids (for insert-only streams over the
-largest-ids-arrive-last convention this equals the frozen base-entry
-convention, keeping the stream == batch pin intact).
+pre-batch graph (`operators/graph_delete.py` — prune + local repair +
+back-link), then its insertions beam-search the post-delete graph.
+Deleted ids append to an additive tombstone store
+(``deletes/_batch=<id>``) so replay and coordinate reconstruction
+stay strictly-before and idempotent; tombstones are BATCH-AWARE
+(round-10 ADVICE): an id deleted in batch N and re-inserted in batch
+M >= N survives reconstruction with its latest coordinates, so
+delete-then-reinsert and same-batch upserts stay scorable. Entry
+points are re-derived per batch as the `beam` smallest SURVIVING
+vertex ids (for insert-only streams over the largest-ids-arrive-last
+convention this equals the frozen base-entry convention, keeping the
+stream == batch pin intact).
 
 Replay safety (the shared store contract): a replayed batch reads the
 newest graph snapshot STRICTLY BEFORE itself and coordinate batches
@@ -128,34 +132,52 @@ class GraphIngest:
             )
         return spark.read.parquet(self._base_graph)
 
-    def _coords(self, spark: SparkSession, before: int | None = None) -> DataFrame:
-        out = spark.read.parquet(self._base_coords)
-        dirs = [
-            d
-            for d in committed_batch_dirs(self._vec_dir)
-            if before is None
-            or int(re.search(r"_batch=(\d+)$", d).group(1)) < before
-        ]
-        if dirs:
-            out = out.unionByName(
-                spark.read.option("basePath", self._vec_dir)
-                .parquet(*dirs)
-                .select("vec_id", "e")
-            )
-        ddirs = [
-            d
-            for d in committed_batch_dirs(self._del_dir)
-            if before is None
-            or int(re.search(r"_batch=(\d+)$", d).group(1)) < before
-        ]
-        if ddirs:
-            gone = (
-                spark.read.option("basePath", self._del_dir)
-                .parquet(*ddirs)
-                .select("vec_id")
-            )
-            out = out.join(gone, "vec_id", "left_anti")
+    def _batched_dirs(self, root: str, before: int | None) -> list[tuple[int, str]]:
+        out = []
+        for d in committed_batch_dirs(root):
+            bid = int(re.search(r"_batch=(\d+)$", d).group(1))
+            if before is None or bid < before:
+                out.append((bid, d))
         return out
+
+    def _coords(self, spark: SparkSession, before: int | None = None) -> DataFrame:
+        # Tombstones are BATCH-AWARE: an id deleted in batch N and
+        # re-inserted in batch M >= N survives with its batch-M
+        # coordinates (within one CDC batch, deletes apply before
+        # inserts, so a same-batch delete+insert keeps the insert).
+        # Base coordinates carry batch -1.
+        out = (
+            spark.read.parquet(self._base_coords)
+            .select("vec_id", "e")
+            .withColumn("_b", F.lit(-1))
+        )
+        for bid, d in self._batched_dirs(self._vec_dir, before):
+            out = out.unionByName(
+                spark.read.parquet(d)
+                .select("vec_id", "e")
+                .withColumn("_b", F.lit(bid))
+            )
+        dels = self._batched_dirs(self._del_dir, before)
+        if dels:
+            gone = None
+            for bid, d in dels:
+                g = spark.read.parquet(d).select("vec_id").withColumn(
+                    "_db", F.lit(bid)
+                )
+                gone = g if gone is None else gone.unionByName(g)
+            gone = gone.groupBy("vec_id").agg(F.max("_db").alias("_db"))
+            out = (
+                out.join(gone, "vec_id", "left")
+                .filter(F.col("_db").isNull() | (F.col("_b") >= F.col("_db")))
+                .drop("_db")
+            )
+        # latest insert wins per id (upsert semantics); a no-op for
+        # insert-only unique-id streams, keeping the stream==batch pin
+        return (
+            out.groupBy("vec_id")
+            .agg(F.max_by("e", "_b").alias("e"))
+            .select("vec_id", "e")
+        )
 
     def _entry_ids(self, coords: DataFrame) -> list[int]:
         """The `beam` smallest SURVIVING vertex ids — re-derived per

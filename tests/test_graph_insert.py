@@ -213,11 +213,58 @@ def test_upsert_stream_equals_sequential_operators(spark, sf_dir, tmp_path):
     assert not any(s in gone or d in gone for s, d, _, _ in got)
 
 
+def test_delete_then_reinsert_restores_vertex(spark, sf_dir, tmp_path):
+    """Batch-aware tombstones: an id deleted in batch N and re-inserted
+    in a LATER batch M comes back — present in coordinate
+    reconstruction (so it is scorable as a search/repair candidate)
+    and fully wired in the graph (k out-edges, >=1 in-edge). Also the
+    same-batch upsert: delete+insert of one id within one changelog
+    batch keeps the insert (deletes apply first)."""
+    emb, base, ins_ids = _split(spark, sf_dir)
+    a, b = ins_ids[0], ins_ids[1]
+    st = GraphIngest(str(tmp_path / "store"), k=_K, beam=_BEAM, hops=_HOPS)
+    st.seed_from_embeddings(spark, base)
+
+    def batch(ins, dels):
+        f = emb.filter(F.col("vec_id").isin([int(i) for i in ins])).withColumn(
+            "op", F.lit("insert")
+        )
+        if dels:
+            f = f.unionByName(
+                emb.filter(F.col("vec_id").isin([int(i) for i in dels]))
+                .withColumn("op", F.lit("delete"))
+            )
+        return f.select("vec_id", "embedding", "op")
+
+    st.process_batch(batch([a, b], []), 0)       # insert a, b
+    st.process_batch(batch([], [a]), 1)          # delete a
+    gone = st._coords(spark)
+    assert gone.filter(F.col("vec_id") == int(a)).count() == 0
+    st.process_batch(batch([a], []), 2)          # re-insert a
+    coords = st._coords(spark)
+    assert coords.filter(F.col("vec_id") == int(a)).count() == 1
+    g = st.graph(spark).persist()
+    assert g.filter(F.col("src") == int(a)).count() == _K
+    assert g.filter(F.col("dst") == int(a)).count() >= 1
+    # same-batch upsert of b: delete+insert in one changelog batch
+    st.process_batch(batch([b], [b]), 3)
+    coords = st._coords(spark)
+    assert coords.filter(F.col("vec_id") == int(b)).count() == 1
+    g2 = st.graph(spark)
+    assert g2.filter(F.col("src") == int(b)).count() == _K
+    # no id ever appears twice in reconstruction
+    n_ids = coords.count()
+    assert coords.select("vec_id").distinct().count() == n_ids
+    g.unpersist()
+
+
 def test_delete_prunes_and_repairs(spark, sf_dir):
-    """graph_delete contracts: deleted ids vanish from BOTH edge
-    endpoints, every affected vertex re-fills to k out-edges, and
-    vertices that never touched a deleted id keep their exact edge
-    set (the local-repair locality claim)."""
+    """graph_delete contracts (backlink=False — the pure local-repair
+    stage): deleted ids vanish from BOTH edge endpoints, every
+    affected vertex re-fills to k out-edges, and vertices that never
+    touched a deleted id keep their exact edge set (the local-repair
+    locality claim). The default back-link half is pinned separately
+    in test_delete_backlink_restores_in_edges."""
     from flink_application_spark.operators.graph_delete import graph_delete_largest
     from flink_application_spark.operators.nndescent_exact import nn_descent_exact
 
@@ -228,7 +275,8 @@ def test_delete_prunes_and_repairs(spark, sf_dir):
     )
     base = nn_descent_exact(emb, k=_K, n_iter=3).persist()
     repaired = graph_delete_largest(
-        emb, k=_K, beam=_BEAM, hops=_HOPS, n_delete=_NI, base_graph=base
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_delete=_NI, base_graph=base,
+        backlink=False,
     ).persist()
     n = emb.count()
     # deleted ids gone from both endpoints; every survivor has k edges
@@ -257,6 +305,84 @@ def test_delete_prunes_and_repairs(spark, sf_dir):
     assert before == after
     base.unpersist()
     repaired.unpersist()
+
+
+def test_delete_backlink_restores_in_edges(spark, sf_dir):
+    """Round-10 verdict item 4 — the back-link half of delete repair:
+    after the out-degree re-fill, every repaired vertex proposes
+    itself to its post-repair neighbors and those lists re-prune.
+    Contracts: (a) CONNECTIVITY — every repaired vertex has >=1
+    in-edge in the final graph (pure local repair leaves the repaired
+    region pointed-at by nobody new); (b) out-degree stays exactly k
+    for every survivor; (c) vertices receiving NO proposal keep their
+    exact rows vs the backlink-free graph."""
+    from flink_application_spark.operators.graph_delete import graph_delete_largest
+    from flink_application_spark.operators.nndescent_exact import nn_descent_exact
+
+    emb = _emb(spark, sf_dir)
+    dels = sorted(
+        r["vec_id"]
+        for r in emb.orderBy(F.col("vec_id").desc()).limit(_NI).collect()
+    )
+    base = nn_descent_exact(emb, k=_K, n_iter=3).persist()
+    g0 = graph_delete_largest(  # out-degree-only repair
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_delete=_NI, base_graph=base,
+        backlink=False,
+    ).persist()
+    g1 = graph_delete_largest(  # default: with back-links
+        emb, k=_K, beam=_BEAM, hops=_HOPS, n_delete=_NI, base_graph=base,
+    ).persist()
+    n = emb.count()
+    repaired = sorted(
+        r["vec_id"]
+        for r in base.filter(F.col("nbr_id").isin(dels))
+        .filter(~F.col("vec_id").isin(dels))
+        .select("vec_id")
+        .distinct()
+        .collect()
+    )
+    # (a) connectivity: every repaired vertex is pointed at
+    in_deg = {
+        r["nbr_id"]
+        for r in g1.filter(F.col("nbr_id").isin([int(i) for i in repaired]))
+        .select("nbr_id")
+        .distinct()
+        .collect()
+    }
+    assert in_deg == set(repaired)
+    # (b) degree + size invariants unchanged by the back-link pass
+    assert g1.count() == (n - _NI) * _K
+    assert (
+        g1.groupBy("vec_id").count().filter(F.col("count") != _K).count() == 0
+    )
+    assert g1.filter(
+        F.col("vec_id").isin(dels) | F.col("nbr_id").isin(dels)
+    ).count() == 0
+    # (c) locality of the back-link pass: only proposal receivers
+    # (dsts of repaired vertices' post-repair edges) can change
+    receivers = [
+        int(r["nbr_id"])
+        for r in g0.filter(F.col("vec_id").isin([int(i) for i in repaired]))
+        .select("nbr_id")
+        .distinct()
+        .collect()
+    ]
+    outside0 = sorted(
+        tuple(r)
+        for r in g0.filter(~F.col("vec_id").isin(receivers))
+        .select("vec_id", "nbr_id", "d2", "rank")
+        .collect()
+    )
+    outside1 = sorted(
+        tuple(r)
+        for r in g1.filter(~F.col("vec_id").isin(receivers))
+        .select("vec_id", "nbr_id", "d2", "rank")
+        .collect()
+    )
+    assert outside0 == outside1
+    base.unpersist()
+    g0.unpersist()
+    g1.unpersist()
 
 
 def test_replay_is_noop_and_crash_partial_invisible(spark, sf_dir, tmp_path):
