@@ -39,7 +39,13 @@ from flink_application_spark.operators.nndescent_exact import (
     nn_descent_exact,
 )
 
-__all__ = ["graph_ann_search_topk", "exact_topk_int", "graph_ann_oracle_sql"]
+__all__ = [
+    "graph_ann_search_topk",
+    "graph_ann_routed_search_topk",
+    "exact_topk_int",
+    "graph_ann_oracle_sql",
+    "graph_ann_routed_oracle_sql",
+]
 
 _D2 = (
     "aggregate(zip_with(e, qv, (a, b) -> (a - b) * (a - b)),"
@@ -79,6 +85,19 @@ def graph_ann_search_topk(
         "qv",
         F.explode(F.array(*[F.lit(int(v)) for v in ent])).alias("vec_id"),
     )
+    beam_df = _hop_search(q, edges, frontier, beam=beam, hops=hops)
+    q.unpersist()
+    return beam_df.filter(F.col("rank") <= k).select(
+        "query_id", "vec_id", "d2q", "rank"
+    )
+
+
+def _hop_search(
+    q: DataFrame, edges: DataFrame, frontier: DataFrame, *, beam: int, hops: int
+) -> DataFrame:
+    """The shared greedy-expansion kernel: score the frontier, then
+    `hops` rounds of expand-out-neighbors / score / keep-top-beam.
+    Self always excluded from scoring."""
 
     def _score_topb(cand: DataFrame) -> DataFrame:
         scored = (
@@ -107,6 +126,63 @@ def graph_ann_search_topk(
             .dropDuplicates(["query_id", "vec_id"])
         )
         beam_df = _score_topb(cand).localCheckpoint()
+    return beam_df
+
+
+def graph_ann_routed_search_topk(
+    emb: DataFrame,
+    cents: list[list[int]],
+    k: int = 6,
+    *,
+    beam: int = 8,
+    hops: int = 3,
+    n_queries: int = 5,
+    graph: DataFrame,
+) -> DataFrame:
+    """IVF-ROUTED entry points (round-10 verdict item 5 — the
+    HNSW-upper-layer role played by the exact k-means centroids): the
+    fixed smallest-vec_id entry set costs extra hops on a 100× corpus
+    (layer-0-only GNNS); here each query routes to its nearest trained
+    centroid (the same exact-integer argmin the IVF index uses, ties →
+    cluster ascending) and enters the graph at that cluster's `beam`
+    CENTROID-CLOSEST members — per-cluster entry lists are
+    query-independent, precomputable, and O(k_centroids·beam) ids.
+    Search then proceeds exactly as `graph_ann_search_topk`.
+
+    `cents` are trained ppm centroids (`kmeans_fit_exact`); at scale
+    they come from the session memo so the fit is shared with the IVF
+    queries. Returns (query_id, vec_id, d2q, rank) — bit-replayable by
+    `graph_ann_routed_oracle_sql`."""
+    from flink_application_spark.operators.kmeans_exact import _assign_expr
+
+    if k > beam:
+        raise ValueError(f"k ({k}) must be <= beam ({beam})")
+    q = quantize_ppm(emb).persist()
+    edges = graph.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+    assigned = q.select(
+        "vec_id", "e", F.expr(_assign_expr(cents)).alias("b")
+    ).select(
+        "vec_id",
+        "e",
+        F.col("b.d2").alias("d2c"),
+        F.col("b.cluster").alias("cluster"),
+    )
+    w_ent = Window.partitionBy("cluster").orderBy(
+        F.col("d2c").asc(), F.col("vec_id").asc()
+    )
+    entries = (
+        assigned.withColumn("rnk", F.row_number().over(w_ent))
+        .filter(F.col("rnk") <= beam)
+        .select("cluster", "vec_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"), "cluster"
+    )
+    # the entry table is k_centroids·beam ids — always the broadcast side
+    frontier = queries.join(F.broadcast(entries), "cluster").select(
+        "query_id", "qv", "vec_id"
+    )
+    beam_df = _hop_search(q, edges, frontier, beam=beam, hops=hops)
     q.unpersist()
     return beam_df.filter(F.col("rank") <= k).select(
         "query_id", "vec_id", "d2q", "rank"
@@ -208,6 +284,114 @@ def graph_ann_oracle_sql(
             f"FROM {prev} WHERE rank <= {k}"
         )
     assert mode == "recall"
+    return _recall_tail(body, prev, d2, k)
+
+
+def graph_ann_routed_oracle_sql(
+    k: int = 6,
+    *,
+    beam: int = 8,
+    hops: int = 3,
+    n_queries: int = 5,
+    graph_k: int = 6,
+    graph_iters: int = 3,
+    km_k: int = 8,
+    km_iters: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the IVF-routed entry search: the NN-Descent
+    unroll (the graph), the PREFIXED exact-k-means unroll (the
+    router), one final-assignment stage against the trained centroids
+    (the same d2·k+cluster aggregate argmin as the training rounds),
+    the per-cluster entry lists, then the standard per-hop beam
+    stages seeded from the query's own cluster's entries."""
+    from flink_application_spark.operators.kmeans_exact import (
+        kmeans_exact_cte_parts_prefixed,
+    )
+
+    parts = _unroll_parts(graph_k, graph_iters, graph_k)
+    parts.extend(
+        kmeans_exact_cte_parts_prefixed(
+            km_k,
+            km_iters,
+            dim,
+            prefix="r",
+            q_sql="rq AS MATERIALIZED (SELECT vec_id, e FROM q)",
+        )
+    )
+    T, KT = graph_iters, km_iters
+    d2c = (
+        "list_sum(list_transform(list_zip(q.e, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts.append(
+        f"""fa AS MATERIALIZED (
+  SELECT vec_id, e, best % {km_k} AS cluster, best // {km_k} AS d2c FROM (
+    SELECT q.vec_id, any_value(q.e) AS e,
+           min({d2c} * {km_k} + c.cluster) AS best
+    FROM q CROSS JOIN rc{KT} c
+    GROUP BY q.vec_id
+  )
+)"""
+    )
+    parts.append(
+        f"""rent AS MATERIALIZED (
+  SELECT cluster, vec_id FROM (
+    SELECT cluster, vec_id,
+           row_number() OVER (
+             PARTITION BY cluster ORDER BY d2c ASC, vec_id ASC
+           ) AS rnk
+    FROM fa
+  ) WHERE rnk <= {beam}
+)"""
+    )
+    parts.append(
+        f"""rqs AS MATERIALIZED (
+  SELECT vec_id AS query_id, e AS qv, cluster FROM fa WHERE vec_id < {n_queries}
+)"""
+    )
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(c.e, s.qv),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    prev = None
+    for t in range(hops + 1):
+        cand = (
+            "SELECT s.query_id, s.qv, rent.vec_id"
+            " FROM rqs s JOIN rent ON rent.cluster = s.cluster"
+            if t == 0
+            else f"""SELECT query_id, qv, vec_id FROM rsb{t - 1}
+    UNION
+    SELECT b.query_id, b.qv, g.dst AS vec_id
+    FROM rsb{t - 1} b JOIN g{T} g ON g.src = b.vec_id"""
+        )
+        parts.append(
+            f"""rsb{t} AS MATERIALIZED (
+  SELECT query_id, qv, vec_id, d2q, rank FROM (
+    SELECT s.query_id, s.qv, s.vec_id, {d2} AS d2q,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY {d2} ASC, s.vec_id ASC
+           ) AS rank
+    FROM (SELECT DISTINCT query_id, qv, vec_id FROM ({cand})) s
+    JOIN q c ON c.vec_id = s.vec_id
+    WHERE s.vec_id <> s.query_id
+  ) WHERE rank <= {beam}
+)"""
+        )
+        prev = f"rsb{t}"
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, vec_id, d2q, CAST(rank AS INT) AS rank "
+        f"FROM {prev} WHERE rank <= {k}"
+    )
+
+
+def _recall_tail(body: str, prev: str, d2: str, k: int) -> str:
+    """The recall-mode oracle tail (exact linear scan + hit join) —
+    shared text, split out so the routed oracle could be added above
+    without duplicating it."""
     return f"""WITH {body},
 exact AS MATERIALIZED (
   SELECT query_id, vec_id FROM (

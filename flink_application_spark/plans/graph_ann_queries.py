@@ -22,9 +22,14 @@ from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.graph_ann import (
     exact_topk_int,
     graph_ann_oracle_sql,
+    graph_ann_routed_oracle_sql,
+    graph_ann_routed_search_topk,
     graph_ann_search_topk,
 )
-from flink_application_spark.plans._memo import nn_descent_graph_cached
+from flink_application_spark.plans._memo import (
+    kmeans_fit_exact_cached,
+    nn_descent_graph_cached,
+)
 from flink_application_spark.plans.registry import register
 
 _K = 6
@@ -72,6 +77,42 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _GRAPH_ITERS)
     return graph_ann_search_topk(
         emb, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ, graph=g
+    )
+
+
+@register(
+    "emb_graph_ann_routed_search",
+    graph_ann_routed_oracle_sql(
+        k=_K,
+        beam=_BEAM,
+        hops=_HOPS,
+        n_queries=_NQ,
+        graph_k=_K,
+        graph_iters=_GRAPH_ITERS,
+        km_k=8,
+        km_iters=5,
+    ),
+    doc="IVF-ROUTED graph-ANN serving (round-10 verdict item 5 — the "
+    "HNSW-upper-layer role): each query routes to its nearest exact "
+    "k-means centroid (the SAME memoized fit the trained-IVF queries "
+    "use — zero extra training per session) and enters the graph at "
+    "that cluster's 8 centroid-closest members instead of the fixed "
+    "smallest-vec_id set; the standard beam search then runs "
+    "unchanged. Per-cluster entry lists are query-independent, "
+    "precomputable, O(k_centroids·beam) ids, broadcast — on a 100× "
+    "corpus routed entries land the beam inside the right region "
+    "immediately, where layer-0-only GNNS pays extra hops crossing "
+    "the graph. Whole chain (NN-Descent build + k-means training + "
+    "routing + search) replays as one MATERIALIZED CTE pipeline.",
+    tags=("embeddings", "similarity", "ann", "knn-graph", "serving",
+          "routing", "exact"),
+)
+def q_graph_ann_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    g, _ = nn_descent_graph_cached(spark, emb, sf_dir, _K, _GRAPH_ITERS)
+    cents, _ = kmeans_fit_exact_cached(spark, emb, sf_dir, 8, 5)
+    return graph_ann_routed_search_topk(
+        emb, cents, k=_K, beam=_BEAM, hops=_HOPS, n_queries=_NQ, graph=g
     )
 
 
