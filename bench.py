@@ -278,18 +278,33 @@ def flinkconf_throughput(
     from flink_application_spark.hocon import parse_hocon_file
     from flink_application_spark.plans.cdr import cdr_views
 
+    # Event-volume replication (round-10 verdict item 6): the 1×
+    # workload's 5–12 s wall made events/sec a small-denominator
+    # metric with a 2.2× historical noise band (18.9k r07 → 8.5k r08 →
+    # 18.2k r09 → 10.5k r10 on byte-identical code paths). 6× the
+    # events pushes the timed wall past ~30 s so round-over-round
+    # comparison measures the pipeline, not trigger/startup jitter.
+    # Replicas shift unique_cdr_id only — same keys, same sessions,
+    # 6× the scoring/join/window work, which is what a throughput
+    # denominator should count. NOT comparable to pre-r11 absolute
+    # events/sec (the workload changed); the replicas count is
+    # recorded in the bench line.
+    _FC_REPLICAS = 6
     root = tempfile.mkdtemp(prefix="bench_flinkconf_")
     try:
         v = cdr_views(spark, sf_dir)
         src = v["cdr_src"].withColumn(
             "start_time", F.col("start_time").cast("timestamp")
         )
-        src.write.parquet(f"{root}/src")
+        for rep in range(_FC_REPLICAS):
+            src.withColumn(
+                "unique_cdr_id", F.col("unique_cdr_id") + F.lit(rep * 100_000_000)
+            ).write.mode("append").parquet(f"{root}/src")
         v["imsi_msisdn"].write.parquet(f"{root}/imsi_msisdn")
         v["ms_ip"].withColumn(
             "start_time", F.col("start_time").cast("timestamp")
         ).write.parquet(f"{root}/ms_ip")
-        n_events = src.count()
+        n_events = spark.read.parquet(f"{root}/src").count()  # all replicas
         cfg = flink_conf_to_config(
             parse_hocon_file("/root/reference/src/main/resources/flink.conf"),
             overrides={
@@ -514,6 +529,10 @@ def format_stdout_line(result: dict, limit: int = 1900) -> str:
         # all live in BENCH_LOCAL like the other shed statics
         "flinkconf_wall_sec",
         "flinkconf_compact_wall_sec",
+        # static workload descriptor + derivable count (rate × wall);
+        # the r11 6×-replica re-basing note lives in BENCH_LOCAL
+        "flinkconf_replicas",
+        "flinkconf_events",
         # derivable: post = consolidated + live-batch files; the pre/
         # post pair on the line carries the reduction proof
         "flinkconf_compact_files_consolidated",
@@ -739,6 +758,12 @@ def main() -> None:
         # TTL foreachBatch → 110 MB rolled sink) — the parity runtime
         "flinkconf_events_per_sec": round(fc_events / fc_wall, 1),
         "flinkconf_wall_sec": round(fc_wall, 3),
+        # r11+: the workload is 6 replicas of the cdr fixture (wall
+        # >= ~30 s — round-10 verdict item 6 killed the 5-12 s
+        # small-denominator band); absolute events/sec is NOT
+        # comparable to pre-r11 rounds
+        "flinkconf_replicas": 6,
+        "flinkconf_events": fc_events,
         # config-gated post-run compaction on the parity path (the
         # Flink filesystem-sink auto-compaction option → app.
         # compact_sink): fold count + file collapse, rows asserted

@@ -161,87 +161,77 @@ def _load_all() -> None:
 # queries. This list IS that window, curated explicitly (import order
 # alone can't express it once queries live in many modules).
 #
-# Round-10 rotation (verdict item 1: clear the r04 evidence cohort and
-# start on r05; the round-9 judge re-verified all 248 green today, but
-# driver rows are the durable record). The window front-loads (a) the
-# two round-10 additions — incremental graph maintenance
-# (emb_graph_ann_insert_*), sampled the round they land; (b) the FULL
-# 21-name r04 residue from the round-9 comment; (c) the CDR core's
-# three highest-value r06 names (the flagship enrichment path —
-# entry() smokes it every round but its newest driver rows are r06);
-# then (d) the first 22 of the 35 r05-evidence names in lexical order.
-# The 13-name r05 residue that did not fit (emb_semdedup_cluster_stats
-# and events_funnel_time_to_convert, displaced late by the round-10
-# delete pair, plus events_hll_user_rollup,
-# events_props_variant_stats, events_seasonal_baseline_anomaly,
-# market_basket_part_pairs, pipe_syntax_returnflag_stats,
-# semi_anti_join, set_ops_customers, source_boilerplate_ngrams,
-# source_segment_dup_profile, stats_price_discount_correlation,
-# vocab_zipf_slope) rotates into round 11 with the remaining r06
-# cohort — after which no query's newest driver row is older than r06.
-# Everything not listed keeps its import-order position.
+# Round-11 rotation (round-10 verdict item 1: rotate onto the r05/r06
+# evidence cohorts). The window front-loads (a) the round-11 addition
+# — IVF-routed graph-ANN serving (emb_graph_ann_routed_search),
+# sampled the round it lands — and the round-11 SEMANTICS UPGRADE —
+# the delete pair now runs the back-link half (in-edge restoration,
+# operators/graph_delete.py), so its r10 rows describe the old
+# behavior and it re-samples; then (b) the FULL 13-name r05 residue
+# from the round-10 comment; then (c) the first 34 of the 40
+# r06-evidence names in lexical order (emb_lr_train_profile in the
+# raw r06 rows is the sanctioned-rename OLD name of
+# emb_lr_train_exact_profile, whose own evidence is r08 — skipped).
+# The 5-name r06 residue that did not fit (emb_lsh_multiprobe_topk,
+# emb_multiprobe_recall_curve, emb_radius_search,
+# emb_radius_search_ann, source_quality_bootstrap_ci) rotates into
+# round 12 — after which no query's newest driver row is older than
+# r07. Everything not listed keeps its import-order position.
 SAMPLE_WINDOW = [
-    # round-10 additions, sampled the round they land: incremental
-    # kNN-graph maintenance — HNSW layer-0 insert in micro-batch
-    # form over the exact NN-Descent base graph (insert + post-insert
-    # serving) and deletion with local repair (prune + repair +
-    # post-delete serving), all oracle-exact
-    # (operators/graph_insert.py, operators/graph_delete.py)
-    "emb_graph_ann_insert_graph",
-    "emb_graph_ann_insert_search",
+    # round-11 addition + the back-link semantics upgrade
+    "emb_graph_ann_routed_search",
     "emb_graph_ann_delete_graph",
     "emb_graph_ann_delete_search",
-    # the full 21-name r04-evidence residue from the round-9 comment
-    "emb_sq8_adc_topk",
-    "emb_sq8_codes",
-    "emb_sq8_recon_error",
-    "events_anomaly_zscore",
-    "events_ewma_daily_anomaly",
-    "events_key_skew_profile",
-    "events_mad_by_type",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_top_trigram_paths",
-    "events_two_level_rollup",
-    "events_user_activity_entropy",
-    "events_value_histogram",
-    "full_outer_customer_orders",
-    "json_props_stats",
-    "nation_revenue_share",
-    "rollup_order_revenue",
-    "snapshot_diff_orders",
-    "source_quality_wilson",
-    "unpivot_lineitem_metrics",
-    "window_range_frame_trailing_hour",
-    # CDR core refresh (newest driver rows r06; the reference-parity
-    # flagship, its as-of variant, and the md5-replay generator)
-    "cdr_enrichment_full",
-    "cdr_enrich_path_b_asof",
-    "cdr_generated_sample",
-    # first 22 of the 35 r05-evidence names, lexical order (the
-    # 13-name residue above rotates in round 11)
-    "corpus_gate_attrition",
-    "corpus_mixture_materialized",
-    "corpus_source_contamination_matrix",
-    "doc_cdc_chunk_dedup_report",
-    "doc_chunk_exact_dedup_groups",
-    "doc_chunk_sliding_window",
-    "doc_compression_ratio",
-    "doc_rolling_hash",
-    "doc_segment_dedup_scrub",
-    "doc_signal_correlations",
-    "doc_simgraph_pagerank",
-    "doc_top_vocab",
-    "doc_winnowing_shared_pairs",
-    "emb_ivfadc_trained_topk",
-    "emb_kmeans_fit_profile",
-    "emb_label_noise_knn",
-    "emb_lsh_ndcg",
-    "emb_matryoshka_recall",
-    "emb_opq_pq_compare",
-    "emb_pca_top2_projection",
-    "emb_pca_top_component",
-    "emb_pq_trained_adc_topk",
+    # the full 13-name r05-evidence residue from the round-10 comment
+    "emb_semdedup_cluster_stats",
+    "events_funnel_time_to_convert",
+    "events_hll_user_rollup",
+    "events_props_variant_stats",
+    "events_seasonal_baseline_anomaly",
+    "market_basket_part_pairs",
+    "pipe_syntax_returnflag_stats",
+    "semi_anti_join",
+    "set_ops_customers",
+    "source_boilerplate_ngrams",
+    "source_segment_dup_profile",
+    "stats_price_discount_correlation",
+    "vocab_zipf_slope",
+    # first 34 of the 40 r06-evidence names, lexical order (the
+    # 6-name residue above rotates in round 12)
+    "agg_approx_sketches",
+    "cdr_dim_exploded",
+    "cdr_dim_validity_intervals",
+    "cdr_enrich_path_a",
+    "cdr_enrich_path_a_left",
+    "cdr_enrich_path_b",
+    "cdr_exploded",
+    "cdr_exploded_udtf",
+    "cdr_src_extended",
+    "corpus_curation_funnel",
+    "doc_bigram_lm_score",
+    "doc_bloom_dedup_audit",
+    "doc_containment_join",
+    "doc_dedup_canonical_near",
+    "doc_dedup_keep_best_quality",
+    "doc_dedup_keep_canonical",
+    "doc_dedup_pipeline_stats",
+    "doc_dup_components",
+    "doc_exact_dedup_groups",
+    "doc_hybrid_rrf_search",
+    "doc_jaccard_similarity_join",
+    "doc_lsh_recall_audit",
+    "doc_minhash_estimate_vs_exact",
+    "doc_minhash_signatures",
+    "doc_near_dup_pairs_minhash_lsh",
+    "doc_quality_scores",
+    "emb_cosine_topk_ann",
+    "emb_cosine_topk_bruteforce",
+    "emb_ivf_full_probe_exact",
+    "emb_ivf_recall_curve",
+    "emb_knn_classify",
+    "emb_knn_classify_ann",
+    "emb_label_noise_knn_ann",
+    "emb_lsh_ann_topk",
 ]
 
 

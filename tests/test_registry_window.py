@@ -21,45 +21,32 @@ import sys
 
 from flink_application_spark.plans.registry import REGISTRY, _load_all
 
-# Round-10 window contract: the non-negotiables are the two round-10
-# additions (incremental graph maintenance — the driver must
-# hash-check them the round they land), the 21-name r04-evidence
-# residue this rotation exists to clear, and the CDR-core refresh
+# Round-11 window contract: the non-negotiables are the round-11
+# addition (IVF-routed graph-ANN serving — the driver must hash-check
+# it the round it lands), the delete pair whose semantics changed this
+# round (the back-link half — its r10 rows describe the old behavior),
+# and the 13-name r05-evidence residue this rotation exists to clear
 # (the full window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
-    # round-10 additions (incremental graph maintenance: insert +
-    # delete) — sampled the round they land
-    "emb_graph_ann_insert_graph",
-    "emb_graph_ann_insert_search",
+    # round-11 addition + the back-link semantics upgrade
+    "emb_graph_ann_routed_search",
     "emb_graph_ann_delete_graph",
     "emb_graph_ann_delete_search",
-    # the r04-evidence residue (oldest driver rows in the registry)
-    "emb_sq8_adc_topk",
-    "emb_sq8_codes",
-    "emb_sq8_recon_error",
-    "events_anomaly_zscore",
-    "events_ewma_daily_anomaly",
-    "events_key_skew_profile",
-    "events_mad_by_type",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_top_trigram_paths",
-    "events_two_level_rollup",
-    "events_user_activity_entropy",
-    "events_value_histogram",
-    "full_outer_customer_orders",
-    "json_props_stats",
-    "nation_revenue_share",
-    "rollup_order_revenue",
-    "snapshot_diff_orders",
-    "source_quality_wilson",
-    "unpivot_lineitem_metrics",
-    "window_range_frame_trailing_hour",
-    # CDR core refresh (flagship enrichment path, newest rows r06)
-    "cdr_enrichment_full",
-    "cdr_enrich_path_b_asof",
-    "cdr_generated_sample",
+    # the r05-evidence residue (oldest driver rows in the registry)
+    "emb_semdedup_cluster_stats",
+    "events_funnel_time_to_convert",
+    "events_hll_user_rollup",
+    "events_props_variant_stats",
+    "events_seasonal_baseline_anomaly",
+    "market_basket_part_pairs",
+    "pipe_syntax_returnflag_stats",
+    "semi_anti_join",
+    "set_ops_customers",
+    "source_boilerplate_ngrams",
+    "source_segment_dup_profile",
+    "stats_price_discount_correlation",
+    "vocab_zipf_slope",
 }
 
 # Deliberate renames: the ONLY sanctioned way a driver-sampled name may
