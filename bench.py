@@ -247,6 +247,22 @@ def ingest_throughput(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Event-volume replication for the flinkconf parity metric (round-10
+# verdict item 6): the 1× workload's 5-12 s wall made events/sec a
+# small-denominator metric with a 2.2× historical noise band (18.9k
+# r07 -> 8.5k r08 -> 18.2k r09 -> 10.5k r10 on byte-identical code
+# paths). Measured marginal rate is ~100k events/s at sf0.1 on top of
+# ~4-5 s of fixed trigger/startup overhead (6× only reached a 6.1 s
+# wall; 30× measured 17.4 s at a ~172k ev/s warm marginal rate), so 60
+# replicas put the timed wall past ~30 s and make the metric
+# marginal-rate-dominated. Replicas shift unique_cdr_id only — same
+# keys, same sessions, 60× the scoring/join/window work, which is what
+# a throughput denominator should count. NOT comparable to pre-r11
+# absolute events/sec (the workload changed); the replica count is
+# recorded in BENCH_LOCAL.
+FC_REPLICAS = 60
+
+
 def flinkconf_throughput(
     spark, sf_dir: str, exercise_compaction: bool = False
 ) -> tuple[float, int, dict]:
@@ -278,25 +294,13 @@ def flinkconf_throughput(
     from flink_application_spark.hocon import parse_hocon_file
     from flink_application_spark.plans.cdr import cdr_views
 
-    # Event-volume replication (round-10 verdict item 6): the 1×
-    # workload's 5–12 s wall made events/sec a small-denominator
-    # metric with a 2.2× historical noise band (18.9k r07 → 8.5k r08 →
-    # 18.2k r09 → 10.5k r10 on byte-identical code paths). 6× the
-    # events pushes the timed wall past ~30 s so round-over-round
-    # comparison measures the pipeline, not trigger/startup jitter.
-    # Replicas shift unique_cdr_id only — same keys, same sessions,
-    # 6× the scoring/join/window work, which is what a throughput
-    # denominator should count. NOT comparable to pre-r11 absolute
-    # events/sec (the workload changed); the replicas count is
-    # recorded in the bench line.
-    _FC_REPLICAS = 6
     root = tempfile.mkdtemp(prefix="bench_flinkconf_")
     try:
         v = cdr_views(spark, sf_dir)
         src = v["cdr_src"].withColumn(
             "start_time", F.col("start_time").cast("timestamp")
         )
-        for rep in range(_FC_REPLICAS):
+        for rep in range(FC_REPLICAS):
             src.withColumn(
                 "unique_cdr_id", F.col("unique_cdr_id") + F.lit(rep * 100_000_000)
             ).write.mode("append").parquet(f"{root}/src")
@@ -758,11 +762,11 @@ def main() -> None:
         # TTL foreachBatch → 110 MB rolled sink) — the parity runtime
         "flinkconf_events_per_sec": round(fc_events / fc_wall, 1),
         "flinkconf_wall_sec": round(fc_wall, 3),
-        # r11+: the workload is 6 replicas of the cdr fixture (wall
-        # >= ~30 s — round-10 verdict item 6 killed the 5-12 s
+        # r11+: the workload is FC_REPLICAS replicas of the cdr fixture
+        # (wall >= ~30 s — round-10 verdict item 6 killed the 5-12 s
         # small-denominator band); absolute events/sec is NOT
         # comparable to pre-r11 rounds
-        "flinkconf_replicas": 6,
+        "flinkconf_replicas": FC_REPLICAS,
         "flinkconf_events": fc_events,
         # config-gated post-run compaction on the parity path (the
         # Flink filesystem-sink auto-compaction option → app.

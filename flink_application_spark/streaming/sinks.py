@@ -408,7 +408,15 @@ class SizeCalibratedRoller:
             self.max_records = 1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if self.max_records is None:
+        first = self.max_records is None
+        if first:
+            # the calibration sample re-evaluates the micro-batch plan
+            # (limit() does not avoid upstream aggregations — the
+            # enrichment's session-window agg ran TWICE on batch 0, the
+            # whole stream for availableNow runs). Persist for the
+            # sample + real write, release immediately; later batches
+            # calibrate from footers and never pay this.
+            batch_df = batch_df.persist()
             self._sample_calibrate(batch_df)
         sub = idempotent_batch_write(
             batch_df,
@@ -417,6 +425,8 @@ class SizeCalibratedRoller:
             partition_by=self.partition_by,
             max_records_per_file=self.max_records,
         )
+        if first:
+            batch_df.unpersist()
         self._absorb(sub)
 
 
