@@ -331,7 +331,10 @@ def flinkconf_throughput(
         )
         t0 = time.perf_counter()
         q = run(spark, cfg)
-        q.awaitTermination(300)
+        # 60x events: a slow box's wall can pass 100 s — give the
+        # availableNow query real headroom (a timeout return here
+        # would leave it running into the next timed run)
+        q.awaitTermination(600)
         n_out = spark.read.parquet(f"{root}/sink").count()
         wall = time.perf_counter() - t0
         assert n_out > 0

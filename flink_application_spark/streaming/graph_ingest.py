@@ -149,23 +149,31 @@ class GraphIngest:
         out = (
             spark.read.parquet(self._base_coords)
             .select("vec_id", "e")
-            .withColumn("_b", F.lit(-1))
+            .withColumn("_b", F.lit(-1).cast("long"))
         )
-        for bid, d in self._batched_dirs(self._vec_dir, before):
+        ins = self._batched_dirs(self._vec_dir, before)
+        if ins:
+            # ONE read over all committed batch dirs — basePath
+            # surfaces the `_batch` dir key as a column (the
+            # compact_batches discipline), so the batch id rides the
+            # rows instead of one union branch per dir (O(n_batches)
+            # driver-side plan cost on a long-lived stream otherwise)
             out = out.unionByName(
-                spark.read.parquet(d)
-                .select("vec_id", "e")
-                .withColumn("_b", F.lit(bid))
+                spark.read.option("basePath", self._vec_dir)
+                .parquet(*[d for _, d in ins])
+                .select(
+                    "vec_id", "e", F.col("_batch").cast("long").alias("_b")
+                )
             )
         dels = self._batched_dirs(self._del_dir, before)
         if dels:
-            gone = None
-            for bid, d in dels:
-                g = spark.read.parquet(d).select("vec_id").withColumn(
-                    "_db", F.lit(bid)
-                )
-                gone = g if gone is None else gone.unionByName(g)
-            gone = gone.groupBy("vec_id").agg(F.max("_db").alias("_db"))
+            gone = (
+                spark.read.option("basePath", self._del_dir)
+                .parquet(*[d for _, d in dels])
+                .select("vec_id", F.col("_batch").cast("long").alias("_db"))
+                .groupBy("vec_id")
+                .agg(F.max("_db").alias("_db"))
+            )
             out = (
                 out.join(gone, "vec_id", "left")
                 .filter(F.col("_db").isNull() | (F.col("_b") >= F.col("_db")))
