@@ -125,6 +125,12 @@ EMB_QUERIES = [
     # affected set is ≤ |D|·k in-neighbors regardless of corpus size)
     "emb_graph_ann_insert_graph",
     "emb_graph_ann_delete_graph",
+    # round-11: deletion now includes the back-link re-prune (one more
+    # reversed equi-join + window over the repaired region — still
+    # bounded by the affected set) and the IVF-routed serving search
+    # (adds the exact k-means fit + per-cluster entry window; routing
+    # itself is a broadcast join, corpus-size-independent per query)
+    "emb_graph_ann_routed_search",
 ]
 
 # Round-6 additions swept on replicated DOCUMENTS (round-6 verdict
@@ -155,6 +161,8 @@ ORACLE_TIMED = {
     "emb_graph_ann_search_topk",
     "emb_graph_ann_insert_graph",
     "emb_graph_ann_delete_graph",
+    # round-11: NN-Descent unroll + prefixed kmeans unroll + routing
+    "emb_graph_ann_routed_search",
 }
 
 
@@ -170,6 +178,8 @@ def _clear_training_memos() -> None:
 
     _memo._KMEANS.clear()
     _memo._GRAPH.clear()
+    _memo._NVEC.clear()
+    _memo._SEMDEDUP.clear()
     lr_queries._FIT_CACHE.clear()
 
 
