@@ -36,8 +36,73 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from flink_application_spark.functions.vectors import cosine
 from flink_application_spark.operators.kmeans import assign_clusters, init_centroids
+
+
+def _close_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+    """(id_b, cos) for every within-cluster pair id_a < id_b whose
+    ROUNDED cosine clears ``threshold`` — the pair stage of
+    ``semdedup_flags`` as Arrow-batched numpy.
+
+    The old form joined `assigned` with itself on cluster and evaluated
+    `functions.vectors.cosine` (three zip_with/aggregate folds) per
+    pair; Catalyst higher-order functions run interpreted, which made
+    the ~250k sf0.1 pairs cost ~4.5 s (guide §4.2). Here each task
+    takes its clusters' vectors once and accumulates all pairwise dot
+    products per COORDINATE (``dotm += outer(x[:,j], x[:,j])`` for
+    j = 0..d−1), which performs the IDENTICAL left-to-right float64
+    op sequence as the fold — acc starts at 0.0 and adds one product
+    per coordinate — so every raw cosine is bit-equal (pinned in
+    tests/test_semdedup.py). Norms come from the accumulated diagonal
+    (same fold order), and the final HALF_UP round stays Spark-side
+    (`F.round` — numpy rounds half-even, the one op that may NOT move
+    to Python); numpy only pre-filters at threshold − 1e-6, strictly
+    wider than any value the exact rounded filter keeps.
+
+    Scale shape is unchanged: one shuffle on cluster (the SemDeDup
+    blocking key), pair work bounded per cluster, embeddings cross the
+    Python boundary once per task and only the (id, raw-cos) survivors
+    come back."""
+    import numpy as np
+    import pandas as pd
+
+    spread = assigned.sparkSession.sparkContext.defaultParallelism
+    margin = float(threshold) - 1e-6
+
+    def gen(batches):
+        # a partition may arrive as several Arrow batches; a cluster
+        # must be pairwise-complete, so concat before grouping
+        chunks = [b for b in batches]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for _cl, g in pdf.groupby("cluster", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            x = np.array(g["embedding"].tolist(), dtype=np.float64)
+            dotm = np.zeros((n, n), dtype=np.float64)
+            for j in range(x.shape[1]):  # fold order: one add per coord
+                c = x[:, j]
+                dotm += np.outer(c, c)
+            nrm = np.sqrt(np.diagonal(dotm).copy())
+            cosm = dotm / np.outer(nrm, nrm)
+            iu = np.triu_indices(n, 1)  # row < col ⇒ id_a < id_b
+            cos = cosm[iu]
+            m = cos >= margin
+            if m.any():
+                yield pd.DataFrame(
+                    {"id_b": ids[iu[1]][m], "cos_raw": cos[m]}
+                )
+
+    cand = assigned.select("vec_id", "embedding", "cluster").repartition(
+        spread, "cluster"
+    ).mapInPandas(gen, "id_b bigint, cos_raw double")
+    return cand.select(
+        "id_b", F.round(F.col("cos_raw"), 6).alias("cos")
+    ).filter(F.col("cos") >= threshold)
 
 
 def assign_with_split(
@@ -128,21 +193,7 @@ def semdedup_flags(
             "vec_id", "embedding", "cluster"
         )
     assigned = assigned.persist()
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cluster"
-    )
-    close_pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    close_pairs = _close_pairs_arrow(assigned, threshold)
     drops = close_pairs.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_close_smaller"),
         F.max("cos").alias("max_sim_smaller"),

@@ -49,29 +49,15 @@ MEMO_EDGE_BUDGET = 1_000_000
 _GRAPH_SCHEMA = "vec_id bigint, nbr_id bigint, d2 bigint, rank int"
 
 
-_SEMDEDUP: dict[tuple, DataFrame] = {}
-
-
-def semdedup_flags_cached(
-    spark: SparkSession, builder, sf_dir: str, tag: str, threshold: float, k: int
-) -> DataFrame:
-    """The SemDeDup verdict frame (operators/semdedup.semdedup_flags —
-    an eagerly-checkpointed, embedding-free (vec_id, cluster, kept, …)
-    frame), computed once per (application, sf_dir, input-tag,
-    threshold, k) and shared by its consumer queries. Round 10's
-    operator-level persists accidentally provided this reuse via the
-    Spark cache manager while leaking blocks (round-10 ADVICE); the
-    round-11 materialize-and-unpersist fix made the operator hygienic
-    but re-ran the pair join per call — this memo is the deliberate
-    form of the sharing, same discipline as the kmeans/NN-Descent
-    artifacts above. ``builder`` constructs the input frame; it is
-    only invoked on a miss."""
-    key = (spark.sparkContext.applicationId, sf_dir, tag, threshold, k)
-    if key not in _SEMDEDUP:
-        from flink_application_spark.operators.semdedup import semdedup_flags
-
-        _SEMDEDUP[key] = semdedup_flags(builder(), threshold=threshold, k=k)
-    return _SEMDEDUP[key]
+# NOTE (optimization round 11): the r11-build _SEMDEDUP verdict memo
+# was REMOVED — its consumer queries are bench-timed, and a timed
+# sample must compute from the parquet inputs, not replay a module
+# memo. The Arrow pair stage (operators/semdedup._close_pairs_arrow)
+# makes the honest per-call cost cheap instead. The memos below hold
+# driver-side TRAINING artifacts for queries outside the bench
+# headline; they are keyed by applicationId (never survive a process)
+# and every invocation of bench.py/the driver gate recomputes them
+# from parquet.
 
 
 def kmeans_fit_exact_cached(

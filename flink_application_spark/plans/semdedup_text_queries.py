@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flink_application_spark.catalog import register_views
 from flink_application_spark.functions.vectors import norm
-from flink_application_spark.plans._memo import semdedup_flags_cached
+from flink_application_spark.operators.semdedup import semdedup_flags
 from flink_application_spark.plans.registry import register
 from flink_application_spark.plans.vectorize_queries import (
     _oracle_sql,
@@ -86,19 +86,16 @@ FROM assigned s LEFT JOIN drops d ON d.id_b = s.vec_id
     tags=("documents", "dedup", "clustering", "vectorize"),
 )
 def q_doc_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build():
-        docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-        return (
-            hashing_trick_features(docs)
-            .select(F.col("doc_id").alias("vec_id"), "embedding")
-            .filter(
-                F.col("embedding").isNotNull() & (norm(F.col("embedding")) > 0)
-            )
-        )
-
-    return semdedup_flags_cached(
-        spark, build, sf_dir, "doc_hashing", _T, _K
-    ).select(
+    docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
+    vecs = (
+        hashing_trick_features(docs)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .filter(F.col("embedding").isNotNull() & (norm(F.col("embedding")) > 0))
+    )
+    # computed per call (the r11 session memo is gone — see
+    # plans/semdedup_queries._flags); the Arrow pair stage keeps the
+    # honest cost gate-cheap
+    return semdedup_flags(vecs, threshold=_T, k=_K).select(
         F.col("vec_id").alias("doc_id"),
         "cluster",
         "kept",

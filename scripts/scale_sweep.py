@@ -179,7 +179,6 @@ def _clear_training_memos() -> None:
     _memo._KMEANS.clear()
     _memo._GRAPH.clear()
     _memo._NVEC.clear()
-    _memo._SEMDEDUP.clear()
     lr_queries._FIT_CACHE.clear()
 
 

@@ -41,6 +41,43 @@ def test_semdedup_verdict_contracts(spark, sf_dir):
     flags.unpersist()
 
 
+def test_close_pairs_arrow_bit_equals_fold(spark, sf_dir):
+    """The Arrow pair stage (numpy per-coordinate accumulation) must be
+    BIT-equal to the zip_with/aggregate fold form it replaced — same
+    left-to-right float64 op sequence, final HALF_UP round Spark-side.
+    Compared as multisets of (id_b, cos)."""
+    from flink_application_spark.functions.vectors import cosine
+    from flink_application_spark.operators.kmeans import (
+        assign_clusters,
+        init_centroids,
+    )
+    from flink_application_spark.operators.semdedup import _close_pairs_arrow
+
+    emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    e = emb.filter(F.col("embedding").isNotNull())
+    cents = init_centroids(e, 8, "vec_id")
+    assigned = (
+        assign_clusters(e, cents).select("vec_id", "embedding", "cluster").persist()
+    )
+    new = _close_pairs_arrow(assigned, _T)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cluster"
+    )
+    fold = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= _T)
+    )
+    assert new.count() == fold.count() > 0
+    assert new.exceptAll(fold).count() == 0
+    assert fold.exceptAll(new).count() == 0
+    assigned.unpersist()
+
+
 def test_semdedup_threshold_monotone(spark, sf_dir):
     """Raising the threshold can only keep MORE vectors."""
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
