@@ -33,6 +33,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """``cosine(a, b)`` as an Arrow-batched pandas_udf, bit-equal to
+    the fold form (pinned in tests/test_similarity_arrow.py): per
+    batch, dot and both norms accumulate in the SAME left-to-right
+    coordinate order as the zip_with/aggregate folds (one add per
+    coordinate, acc from 0.0), and the division happens in the same
+    op order — dot / (norm_a * norm_b). Returns the RAW double;
+    callers keep ``F.round`` Spark-side (HALF_UP ≠ numpy half-even).
+
+    Use for joins that score MANY pairs: Catalyst higher-order
+    functions run interpreted (~7 µs/pair — guide §4.1), so a
+    million-candidate scorer spends seconds in lambda dispatch that
+    the vectorized path does in milliseconds (transfer-bound). For a
+    handful of pairs the fold form is fine and avoids the Arrow
+    round-trip.
+
+    NULL inputs and length-mismatched pairs yield NULL, matching the
+    fold's zip_with padding semantics. (A non-NULL vector containing
+    NULL ELEMENTS arrives in pandas as NaN and propagates as NaN
+    where the fold yields NULL — no fixture or corpus this engine
+    reads has element-level NULLs; the equality pins would catch one
+    appearing.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # hint-less signature: `from __future__ import annotations`
+    # stringifies hints beyond pyspark's resolver (see kmeans.py)
+    @pandas_udf("double")
+    def _cos(xa, xb):
+        out = pd.array([None] * len(xa), dtype="Float64")
+        mask = (xa.notna() & xb.notna()).to_numpy()
+        if not mask.any():
+            return pd.Series(out)
+        idx = np.flatnonzero(mask)
+        la = np.fromiter((len(v) for v in xa.iloc[idx]), dtype=np.int64)
+        lb = np.fromiter((len(v) for v in xb.iloc[idx]), dtype=np.int64)
+        same = la == lb
+        for d in np.unique(la[same]):
+            rows = idx[same & (la == d)]
+            if d == 0:
+                # fold on empty arrays: 0.0 / (0.0 * 0.0) = NaN
+                out[rows] = float("nan")
+                continue
+            A = np.array(xa.iloc[rows].tolist(), dtype=np.float64)
+            B = np.array(xb.iloc[rows].tolist(), dtype=np.float64)
+            dp = np.zeros(len(rows), dtype=np.float64)
+            na = np.zeros(len(rows), dtype=np.float64)
+            nb = np.zeros(len(rows), dtype=np.float64)
+            for j in range(int(d)):  # fold order: one add per coord
+                dp += A[:, j] * B[:, j]
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            out[rows] = dp / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
 def sign_bits(a: Column, n_bits: int) -> Column:
     """Axis-aligned random-hyperplane LSH bucket: the sign pattern of the
     first ``n_bits`` coordinates as a '01' string. Cheap, deterministic,

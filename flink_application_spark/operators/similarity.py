@@ -18,7 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from flink_application_spark.functions.vectors import cosine, sign_bits
+from flink_application_spark.functions.vectors import (
+    cosine,
+    cosine_arrow,
+    sign_bits,
+)
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -446,7 +450,13 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+            # Arrow-vectorized pair scoring, bit-equal to the fold
+            # (functions.vectors.cosine_arrow): full-corpus-as-queries
+            # consumers (emb_label_noise_knn_ann) push ~1M candidate
+            # pairs through here; the interpreted fold cost seconds
+            F.round(cosine_arrow(F.col("qv"), F.col("embedding")), 6).alias(
+                "cosine"
+            ),
         )
         .distinct()  # a (query, vec) pair can meet in several probed lists
     )
@@ -510,7 +520,10 @@ def ivf_candidates_seeded(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+            # Arrow pair scoring (bit-equal to the fold; see ivf_topk)
+            F.round(cosine_arrow(F.col("qv"), F.col("embedding")), 6).alias(
+                "cosine"
+            ),
         )
         .distinct()  # probe lists are distinct clusters, but keep the
         # trained-path invariant explicit: one row per (query, vec)

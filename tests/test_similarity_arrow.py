@@ -49,6 +49,91 @@ def test_arrow_equals_fold_with_null_and_ragged_embeddings(spark):
     assert nulls, "expected NULL cosines for the null-embedding query"
 
 
+def test_cosine_arrow_bit_equals_fold_pairwise(spark):
+    """The generic pairwise Arrow cosine (functions.vectors.cosine_arrow,
+    the ivf_topk/ivf_candidates_seeded scorer) must be BIT-equal to the
+    fold composition dot/(norm·norm) on every joined pair, including
+    NULL and ragged rows (NULL both sides) and the driver embeddings."""
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.functions.vectors import cosine, cosine_arrow
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, [0.5, 0.25]), (9003, [1.0, 2.0, 3.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    corpus = emb.unionByName(extra)
+    q = corpus.filter(F.col("vec_id").isin(0, 1, 9001, 9002)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q))
+    both = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("c_fold"),
+        F.round(cosine_arrow(F.col("qv"), F.col("embedding")), 6).alias("c_arrow"),
+    )
+    assert both.count() > 0
+    assert (
+        both.filter(F.col("c_fold").eqNullSafe(F.col("c_arrow")) == F.lit(False))
+        .count()
+        == 0
+    )
+
+
+def test_ivf_seeded_scorer_unchanged_by_arrow_swap(spark):
+    """ivf_candidates_seeded (now Arrow-scored) must return the exact
+    rows the fold scorer produced — re-derive them with the fold here."""
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.functions.vectors import cosine
+    from flink_application_spark.operators.kmeans import (
+        assign_clusters,
+        init_centroids,
+    )
+    from flink_application_spark.operators.pq import d2_lit_sql
+    from flink_application_spark.operators.similarity import ivf_candidates_seeded
+
+    emb = load_table(spark, SF, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    got = ivf_candidates_seeded(
+        emb.filter(F.col("vec_id") < 5), emb, n_centroids=16, n_probe=4
+    )
+    cents = init_centroids(emb, 16, "vec_id")
+    assigned = assign_clusters(emb, cents).select("vec_id", "embedding", "cluster")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('d2', {d2_lit_sql('qv', c)}, 'cluster', {i})"
+            for i, c in enumerate(cents)
+        )
+        + ")"
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(F.slice(F.array_sort(cand_arr), 1, 4)).alias("p"),
+    ).select("query_id", "qv", F.col("p.cluster").alias("cluster"))
+    want = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_topk_rank_and_tiebreak(spark):
     # two corpus vectors exactly tied in cosine → lower vec_id first
     rows = [
