@@ -857,18 +857,18 @@ FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20)
     "ratio WITHOUT the log — same ranking monotonicity, but every "
     "intermediate derives from exact integer counts so both engines "
     "compute bit-identical doubles (the repo-wide log-free discipline). "
-    "Shape: all four inputs (tf, df, doc-length, corpus stats) are "
-    "written against ONE (doc_id, token) count aggregate; Catalyst "
-    "then specializes each branch — the query-term IN-filter pushes "
-    "THROUGH the aggregate to just after the scan-local explode, so "
-    "the tf/df shuffles carry only matching tokens, while the "
-    "doc-length and corpus-stats branches (which genuinely need the "
-    "full corpus) share a single full aggregate via AQE ReusedExchange "
-    "(the explicit not-null guards keep those subtrees canonically "
-    "identical). stats is a broadcast 1-row cross join; top-20 via "
-    "TakeOrdered (no global sort). At 100 TB you'd additionally "
-    "materialize the (doc,token) aggregate once as a table and derive "
-    "all branches from it.",
+    "Shape (optimization round 11 — guide §2.3/§2.4): every per-doc "
+    "input (doc length, per-term tf) is SCAN-LOCAL — dl = "
+    "size(filter(tokens)), tf_t = size(toks) − size(array_remove("
+    "toks, t)) — so NO token-level explode/shuffle exists at all; the "
+    "old form shuffled every (doc_id, token) pair into a corpus-wide "
+    "aggregate just to derive these counts (~1M rows at sf0.1, the "
+    "dominant cost). What remains is a 1-row stats aggregate, a "
+    "|terms|-key df aggregate over matching docs only, and broadcast "
+    "joins; every count is the same exact integer, so all derived "
+    "doubles are bit-identical (verified 0-diff vs the old plan at "
+    "sf0.1 and oracle-green at the gate SFs). stats is a broadcast "
+    "1-row cross join; top-20 via TakeOrdered (no global sort).",
     tags=("text", "search", "documents"),
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,23 +876,49 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
-    # the explicit not-null guards make every branch's scan subtree
-    # canonically identical (joins otherwise inject isnotnull() on
-    # their own key only), which is what lets AQE reuse one exchange
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).filter(
-        (F.col("token") != "")
-        & F.col("doc_id").isNotNull()
-        & F.col("token").isNotNull()
+    toks = F.filter(
+        tokens(F.col("text")), lambda t: (t != "") & t.isNotNull()
     )
-    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    perdoc = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            *[
+                (F.size("toks") - F.size(F.array_remove("toks", t)))
+                .cast("bigint")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        # docs with zero (non-empty) tokens never entered the old
+        # (doc_id, token) aggregate — keep them out of n/avgdl
+        .filter(F.col("dl") > 0)
+    )
+    dl = perdoc.select("doc_id", "dl")
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = tc.filter(F.col("token").isin(_BM25_TERMS))
+    tf = (
+        perdoc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("token"),
+                            F.col(f"tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.token", "s.tf")
+        .filter(F.col("tf") > 0)
+    )
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     term = ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * (
         F.col("tf") * 2.2
