@@ -30,6 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Vertex-count ceiling for broadcasting the (id, deg) vertex table in
+# pagerank's per-round rebase join: (8B id + 8B deg + overhead) ≈ 24 B/
+# row → ~50 MB at the cap, comfortably under executor broadcast budgets.
+# Above it the rebase stays a shuffle join (the 100 TB shape).
+BROADCAST_VERTS_MAX = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -61,10 +67,20 @@ def pagerank(
         verts.unpersist()
         return verts.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree is ROUND-INVARIANT: join it to the vertex set once and
+    # carry `deg` on the rank frame, instead of re-joining out_deg
+    # inside every round (one join × iters removed — guide §2.4); the
+    # dangling filter then needs no join at all.
+    vdeg = verts.join(out_deg, "id", "left").persist()
+    vdeg.count()
+    # the per-round rebase join's dim side is the (id, deg) vertex
+    # table — broadcast it when the vertex count (already collected)
+    # is bounded, shuffle-join above. ~24 B/row → ≤ ~50 MB broadcast
+    # at the cap; a 100× corpus takes the shuffle path unchanged.
+    dim = F.broadcast(vdeg) if n <= BROADCAST_VERTS_MAX else vdeg
 
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    ranks = vdeg.select("id", "deg").withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
-        with_deg = ranks.join(out_deg, "id", "left")
         # dangling vertices (no out-edges) leak their mass; collect it
         # as a scalar and hand it back uniformly. Undirected graphs
         # can't have dangling vertices (mirroring makes every vertex a
@@ -76,34 +92,37 @@ def pagerank(
             dangling = 0.0
         else:
             dangling = (
-                with_deg.filter(F.col("deg").isNull())
+                ranks.filter(F.col("deg").isNull())
                 .agg(F.sum("rank"))
                 .collect()[0][0]
                 or 0.0
             )
         contribs = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .join(e, with_deg["id"] == e["src"])
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks["id"] == e["src"])
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = verts.join(contribs, "id", "left").select(
+        ranks = dim.join(contribs, "id", "left").select(
             "id",
+            "deg",
             (
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
             ).alias("rank"),
         )
         # lineage truncation every 3rd round (and on the last) instead
         # of every round: the plan stays bounded while 2/3 of the
-        # materialization jobs disappear. The directed path needs the
-        # per-round dangling collect anyway, so it checkpoints every
-        # round to keep that collect cheap.
+        # materialization jobs disappear (deeper gaps measured SLOWER —
+        # Catalyst time on 5-round plans outgrew the saved jobs). The
+        # directed path needs the per-round dangling collect anyway,
+        # so it checkpoints every round to keep that collect cheap.
         if (not undirected) or it % 3 == 2 or it == iters - 1:
             ranks = ranks.localCheckpoint()
     # localCheckpoint materialized the final ranks; the loop inputs can
     # release their storage (long-lived sessions run this repeatedly)
     e.unpersist()
     verts.unpersist()
-    return ranks
+    vdeg.unpersist()
+    return ranks.select("id", "rank")

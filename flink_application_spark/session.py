@@ -18,6 +18,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Local-mode Python workers inherit THIS process's env, and resolve
+    # module-by-reference UDF functions (e.g. the CEP automaton's
+    # helpers) by importing flink_application_spark on the worker.
+    # Launching the driver from any cwd other than the repo root used
+    # to crash those workers with ModuleNotFoundError (the worker's
+    # sys.path gets the driver cwd, nothing else repo-related) — pin
+    # the package root into PYTHONPATH before the JVM starts.
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _root + (os.pathsep + _pp if _pp else "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
