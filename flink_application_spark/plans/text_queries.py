@@ -875,12 +875,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from flink_application_spark.functions.text import tokens
 
+    from flink_application_spark.catalog import fan_out
+
     docs = _docs(spark, sf_dir)
     toks = F.filter(
         tokens(F.col("text")), lambda t: (t != "") & t.isNotNull()
     )
     perdoc = (
-        docs.filter(F.col("doc_id").isNotNull())
+        # the tokenize + per-term counts are interpreted HOF work over
+        # every token; spread the single-row-group scan first (2× at
+        # sf0.1; per-doc counts are scan-local so results are
+        # partitioning-invariant, and the one float sum downstream is
+        # per-doc over the explode's array order — unchanged)
+        fan_out(docs.filter(F.col("doc_id").isNotNull()).select("doc_id", "text"))
         .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
