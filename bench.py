@@ -462,7 +462,14 @@ def calibration_probe(spark, sf_dir: str) -> dict:
       unchanged since round 1) → `calib_tpch_q1_sec`;
     - IO: one fixed ~100 MB incompressible parquet write (same
       concat-unhex-md5 payload family as the roll proof)
-      → `calib_write_sec`.
+      → `calib_write_sec`;
+    - MULTI-STAGE (round-11 verdict item 9: the single-burst q1 probe
+      provably does not track 32-way multi-stage throughput — its
+      normalized deltas flipped sign between runs of identical code):
+      median-of-3 of a fixed 3-exchange shuffle join + aggregate over
+      lineitem×orders with auto-broadcast disabled, timed to the noop
+      sink → `calib_multistage_sec`. Inline SQL on purpose — pinned to
+      no registry code path, so it can never move with a query edit.
 
     A later round divides its own probe numbers by these to get
     machine-speed ratios; per-query deltas are then reported both raw
@@ -473,6 +480,7 @@ def calibration_probe(spark, sf_dir: str) -> dict:
 
     from pyspark.sql import functions as F
 
+    from flink_application_spark.catalog import load_table
     from flink_application_spark.plans.registry import REGISTRY_GET
 
     spec = REGISTRY_GET("tpch_q1_pricing_summary")
@@ -482,6 +490,33 @@ def calibration_probe(spark, sf_dir: str) -> dict:
         spec.spark(spark, sf_dir).count()
         runs.append(time.perf_counter() - t0)
     q1 = sorted(runs)[1]
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev_thresh = spark.conf.get(thresh_key)
+    spark.conf.set(thresh_key, -1)  # force the shuffle join — 3 exchanges
+    try:
+        ms_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy((F.col("o_custkey") % 1024).alias("g"))
+                .agg(
+                    F.sum("l_extendedprice").alias("rev"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            ms_runs.append(time.perf_counter() - t0)
+    finally:
+        spark.conf.set(thresh_key, prev_thresh)
+    multi = sorted(ms_runs)[1]
 
     root = tempfile.mkdtemp(prefix="bench_calib_")
     try:
@@ -495,7 +530,11 @@ def calibration_probe(spark, sf_dir: str) -> dict:
         w = time.perf_counter() - t0
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return {"calib_tpch_q1_sec": round(q1, 3), "calib_write_sec": round(w, 3)}
+    return {
+        "calib_tpch_q1_sec": round(q1, 3),
+        "calib_write_sec": round(w, 3),
+        "calib_multistage_sec": round(multi, 3),
+    }
 
 
 def prev_aggregation(parsed: dict, round_no: int) -> str:

@@ -54,7 +54,17 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     NULL ELEMENTS arrives in pandas as NaN and propagates as NaN
     where the fold yields NULL — no fixture or corpus this engine
     reads has element-level NULLs; the equality pins would catch one
-    appearing.)"""
+    appearing.)
+
+    Degenerate vectors DIVERGE from the fold (round-11 ADVICE, now
+    stated honestly and pinned in tests/test_similarity_arrow.py):
+    for zero-norm or empty inputs the fold's 0/0 division THROWS
+    under the session's ANSI mode, while this path's NaN result is
+    coerced by the pandas Float64 masked array to <NA> → SQL NULL
+    (DuckDB's 0/0 → NULL behavior). Every registered consumer filters
+    zero-norm vectors upstream or scores fixture embeddings that have
+    none, so the divergence is unreachable on query paths — callers
+    introducing degenerate inputs must filter them first."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -74,7 +84,9 @@ def cosine_arrow(a: Column, b: Column) -> Column:
         for d in np.unique(la[same]):
             rows = idx[same & (la == d)]
             if d == 0:
-                # fold on empty arrays: 0.0 / (0.0 * 0.0) = NaN
+                # empty arrays: NaN assigned into the Float64 masked
+                # array coerces to <NA> → SQL NULL (the ANSI fold
+                # would THROW on the 0/0 here — see the docstring)
                 out[rows] = float("nan")
                 continue
             A = np.array(xa.iloc[rows].tolist(), dtype=np.float64)

@@ -30,10 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Vertex-count ceiling for broadcasting the (id, deg) vertex table in
-# pagerank's per-round rebase join: (8B id + 8B deg + overhead) ≈ 24 B/
-# row → ~50 MB at the cap, comfortably under executor broadcast budgets.
-# Above it the rebase stays a shuffle join (the 100 TB shape).
+# Vertex-count ceiling for broadcasting the per-round inflow aggregate
+# (≤ n rows of (id, double) ≈ 24 B/row → ~50 MB at the cap) as the
+# BUILD side of pagerank's left-outer rebase join. Above it the rebase
+# stays a shuffle join (the 100 TB shape).
 BROADCAST_VERTS_MAX = 2_000_000
 
 
@@ -73,11 +73,15 @@ def pagerank(
     # dangling filter then needs no join at all.
     vdeg = verts.join(out_deg, "id", "left").persist()
     vdeg.count()
-    # the per-round rebase join's dim side is the (id, deg) vertex
-    # table — broadcast it when the vertex count (already collected)
-    # is bounded, shuffle-join above. ~24 B/row → ≤ ~50 MB broadcast
-    # at the cap; a 100× corpus takes the shuffle path unchanged.
-    dim = F.broadcast(vdeg) if n <= BROADCAST_VERTS_MAX else vdeg
+    # the per-round rebase join is LEFT OUTER with vdeg preserved, so
+    # the only buildable side is the right one — the per-round inflow
+    # aggregate (≤ n rows of (id, double)). Broadcast THAT when the
+    # vertex count (already collected) is bounded; a 100× corpus takes
+    # the shuffle path unchanged. (Round-11 ADVICE: the old
+    # F.broadcast(vdeg) hinted the preserved side, which Spark cannot
+    # BuildLeft for LeftOuter — the hint was silently ignored and
+    # every round ran the shuffle join anyway.)
+    bcast_inflow = n <= BROADCAST_VERTS_MAX
 
     ranks = vdeg.select("id", "deg").withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
@@ -105,7 +109,9 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = dim.join(contribs, "id", "left").select(
+        ranks = vdeg.join(
+            F.broadcast(contribs) if bcast_inflow else contribs, "id", "left"
+        ).select(
             "id",
             "deg",
             (

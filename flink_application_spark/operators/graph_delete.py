@@ -168,6 +168,9 @@ def graph_delete_largest(
     graph = base_graph.select(
         F.col(id_col).alias("src"), F.col("nbr_id").alias("dst"), "d2", "rank"
     ).localCheckpoint()
+    # NOTE (round 12): unlike graph_insert_waves, this checkpoint must
+    # stay — the returned repair plan is lazy and q unpersists before
+    # the caller materializes it, so coords must hold its own blocks
     coords = q.select("vec_id", "e").localCheckpoint()
     entry_ids = [
         r["vec_id"]

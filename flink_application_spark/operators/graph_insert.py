@@ -179,7 +179,14 @@ def graph_insert_waves(
     graph = base_graph.select(
         F.col(id_col).alias("src"), F.col("nbr_id").alias("dst"), "d2", "rank"
     ).localCheckpoint()
-    coords = base.select("vec_id", "e").localCheckpoint()
+    # coordinate side of every wave's candidate-scoring join: the FULL
+    # persisted ppm frame. Candidates can only ever be CURRENT vertices
+    # (entry points are base ids; hop expansions follow the frozen
+    # pre-wave graph's edges), so the inner join matches exactly the
+    # same rows as the old per-wave base∪earlier-waves union — which
+    # cost one localCheckpoint job per wave for a frame q already held
+    # (round-11 verdict item 5: halve blocking jobs per round).
+    coords = q.select("vec_id", "e")
     entry_ids = [
         r["vec_id"] for r in base.orderBy("vec_id").limit(beam).collect()
     ]
@@ -190,11 +197,10 @@ def graph_insert_waves(
         if not wave_ids:
             break
         new_vecs = q.filter(F.col("vec_id").isin([int(i) for i in wave_ids]))
-        graph, coords = graph_insert_batch(
+        graph, _ = graph_insert_batch(
             graph, coords, new_vecs, k=k, beam=beam, hops=hops, entry_ids=entry_ids
         )
         graph = graph.localCheckpoint()
-        coords = coords.localCheckpoint()
     q.unpersist()
     return graph.select(
         F.col("src").alias(id_col), F.col("dst").alias("nbr_id"), "d2", "rank"

@@ -103,20 +103,126 @@ def _pred_expr(weights: list[list[int]]) -> str:
 
 def _scored(q: DataFrame, weights: list[list[int]]) -> DataFrame:
     """(vec_id, label, e, rqs, pred): residuals in 1e6 units per class
-    and the argmax prediction, all under the CURRENT weights."""
+    and the argmax prediction, all under the CURRENT weights.
+
+    The 650-literal score array is projected ONCE (`_sc`) and both
+    derivations read the projected column — the old form inlined the
+    array into rqs AND pred, so every plan carried (and Catalyst
+    analyzed) three copies of it per round (round-11 verdict item 6:
+    per-round plan cost is a real fraction of the gate wall)."""
     arr = _score_arr(weights)
     rqs = (
-        f"transform({arr}, x -> CAST(round(CAST(x.s -"
+        "transform(_sc, x -> CAST(round(CAST(x.s -"
         f" IF(label = x.cls, {ONEHOT}L, 0L) AS DOUBLE) / 1000000.0D)"
         " AS BIGINT))"
     )
+    pred = (
+        "element_at(array_sort(transform(_sc,"
+        " x -> named_struct('ns', -x.s, 'cls', x.cls))), 1).cls"
+    )
     return q.select(
+        "vec_id", "label", "e", F.expr(arr).alias("_sc")
+    ).select(
         "vec_id",
         "label",
         "e",
         F.expr(rqs).alias("rqs"),
-        F.expr(_pred_expr(weights)).alias("pred"),
+        F.expr(pred).alias("pred"),
     )
+
+
+# Rows per Arrow gradient chunk: bounds the exact int64 matmul —
+# |rq·v| ≤ ~1e13 at observed residual/coordinate magnitudes, so a
+# 65536-row chunk's cell sum stays ≤ ~6.6e17 ≪ 2⁶³; chunk partials
+# then combine in DECIMAL(38,0) Spark-side (exact, associative).
+_GRAD_CHUNK = 65_536
+
+
+# Tag row for the fused per-round pass: metrics ride the gradient
+# exchange as (class = -1, pos0 = 0 → Σ lrow, pos0 = 1 → Σ ok).
+_METRICS_CLASS = -1
+
+
+def _round_cells(scored: DataFrame) -> DataFrame:
+    """ONE Arrow pass per GD round (guide §4.2 + §2.6 job-count
+    discipline): exact int64 gradient partials (class, pos0,
+    g = Σ rq·v — a single RᵀE matmul per chunk instead of the
+    n·C·(d+1)-row double-posexplode the first form shuffled into the
+    650-cell aggregate) PLUS the round metrics as two tagged partial
+    rows per task (class = -1). The per-row metric values (`lrow`,
+    `ok`) are computed SPARK-SIDE in the input projection — their
+    round()/IF() semantics stay in the engine, Python only sums exact
+    integers (associative, so task/chunk order cannot change totals).
+    Everything downstream combines in one DECIMAL(38,0) aggregate —
+    the whole round costs ONE job where the first form cost two
+    (metrics agg + gradient agg), each ~0.3 s of fixed sub-second-job
+    overhead at the gate SF. Bit-identical trajectory pinned by
+    tests/test_lr_exact.py and the unrolled DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    chunk = _GRAD_CHUNK
+
+    def part(batches):
+        lsum = 0
+        csum = 0
+        nonempty = False
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                ch = pdf.iloc[lo : lo + chunk]
+                if not len(ch):
+                    continue
+                nonempty = True
+                lr = ch["lrow"].dropna()  # NULL lrow rows: old sum skipped
+                if len(lr):
+                    lsum += int(lr.astype("int64").sum())
+                csum += int(ch["ok"].sum())
+                rlist = ch["rqs"].tolist()
+                elist = ch["e"].tolist()
+                # rows grouped by e-dimension: fixtures are fixed-dim,
+                # but a ragged corpus must not silently mis-shape the
+                # matmul (the posexplode form handled it per-element)
+                by_d: dict[int, list[int]] = {}
+                for i, ev in enumerate(elist):
+                    by_d.setdefault(len(ev), []).append(i)
+                for d, idxs in by_d.items():
+                    if d == 0:
+                        continue
+                    R = np.array([rlist[i] for i in idxs], dtype=np.int64)
+                    E = np.array([elist[i] for i in idxs], dtype=np.int64)
+                    G = R.T @ E  # C×d exact int64 (chunk bound above)
+                    C = G.shape[0]
+                    yield pd.DataFrame(
+                        {
+                            "class": np.repeat(
+                                np.arange(C, dtype=np.int32), d
+                            ),
+                            "pos0": np.tile(np.arange(d, dtype=np.int32), C),
+                            "g": G.ravel(),
+                        }
+                    )
+        if nonempty:
+            yield pd.DataFrame(
+                {
+                    "class": np.array([_METRICS_CLASS] * 2, dtype=np.int32),
+                    "pos0": np.array([0, 1], dtype=np.int32),
+                    "g": np.array([lsum, csum], dtype=np.int64),
+                }
+            )
+
+    inputs = scored.select(
+        "rqs",
+        "e",
+        # per-row squared-loss term, the engine-side round() intact
+        F.expr(
+            "CAST(round(CAST(aggregate(rqs, 0L, (acc, x) -> acc + x * x)"
+            " AS DOUBLE) / 1000.0D) AS BIGINT)"
+        ).alias("lrow"),
+        # NULL pred (ragged-row cascade) counts 0, exactly like the
+        # old sum(IF(pred = label, 1, 0))
+        F.expr("IF(pred = label, 1, 0)").alias("ok"),
+    )
+    return inputs.mapInPandas(part, "class int, pos0 int, g long")
 
 
 def lr_fit_exact(
@@ -142,37 +248,27 @@ def lr_fit_exact(
     weights = [[0] * d1 for _ in range(k_classes)]
     prof: list[tuple[int, int, int, int]] = []
     for t in range(1, iters + 1):
-        # materialize the scored frame once per round so the wide
-        # literal-weight scoring expression is analyzed and codegen'd
-        # a single time (the r03 lesson: literal-heavy plans cost more
-        # to CONSTRUCT than to run at these row counts)
-        scored = _scored(q, weights).persist()
-        m = scored.agg(
-            F.expr(
-                "CAST(sum(CAST(round(CAST(aggregate(rqs, 0L,"
-                " (acc, x) -> acc + x * x) AS DOUBLE) / 1000.0D)"
-                " AS BIGINT)) AS BIGINT)"
-            ).alias("loss_mu"),
-            F.expr("sum(IF(pred = label, 1, 0))").alias("correct"),
-        ).collect()[0]
-        # exact integer gradient cells; DECIMAL(38,0) accumulator for
-        # HUGEINT headroom. Current weights ride in as a broadcast
-        # 650-row frame (not literals — halves plan size); the update
-        # expression — same text as the oracle's w{t} stage — rounds
-        # inside the engine.
+        # one fused action per round (see _round_cells): the scored
+        # projection is computed once inside it — no persist barrier,
+        # no second scan, no second job. Current weights ride in as a
+        # broadcast 650-row frame; the update expression — same text
+        # as the oracle's w{t} stage — rounds inside the engine
+        # (metrics rows have no matching w and pass through with
+        # w_new NULL on the left join).
+        scored = _scored(q, weights)
         wdf = spark.createDataFrame(
             [(c, p, w) for c, wv in enumerate(weights) for p, w in enumerate(wv)],
             "class int, pos0 int, w bigint",
         )
-        upd = (
-            scored.select(F.posexplode("rqs").alias("class", "rq"), "e")
-            .select("class", "rq", F.posexplode("e").alias("pos0", "v"))
+        rows = (
+            _round_cells(scored)
             .groupBy("class", "pos0")
-            .agg(F.expr("sum(CAST(rq * v AS DECIMAL(38,0)))").alias("g"))
-            .join(F.broadcast(wdf), ["class", "pos0"])
+            .agg(F.expr("sum(CAST(g AS DECIMAL(38,0)))").alias("g"))
+            .join(F.broadcast(wdf), ["class", "pos0"], "left")
             .select(
                 "class",
                 "pos0",
+                "g",
                 F.expr(
                     "CAST(round(CAST(w AS DOUBLE)"
                     f" - {STEP_SQL} * (CAST(g AS DOUBLE)"
@@ -182,13 +278,19 @@ def lr_fit_exact(
             )
             .collect()
         )
-        scored.unpersist()
+        loss_mu = correct = 0
         new_w = [list(wv) for wv in weights]
-        for r in upd:
-            new_w[r["class"]][r["pos0"]] = int(r["w_new"])
+        for r in rows:
+            if r["class"] == _METRICS_CLASS:
+                if r["pos0"] == 0:
+                    loss_mu = int(r["g"])
+                else:
+                    correct = int(r["g"])
+            else:
+                new_w[r["class"]][r["pos0"]] = int(r["w_new"])
         weights = new_w
         w_l1 = sum(abs(v) for wv in weights for v in wv)
-        prof.append((t, int(m["loss_mu"]), int(m["correct"]), w_l1))
+        prof.append((t, loss_mu, correct, w_l1))
     q.unpersist()
     return weights, prof
 

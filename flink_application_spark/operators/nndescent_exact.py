@@ -143,8 +143,39 @@ def nn_descent_exact(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    graph = _topk_int(_directed_int(_score_pairs_int(init, q)), k).localCheckpoint()
-    scored_ever = init.localCheckpoint()
+    # ONE eager checkpoint seeds both loop states: graph rows tagged
+    # 'g', scored-ever pairs tagged 'e' — and each round truncates both
+    # lineages with ONE blocking job instead of two (round-11 verdict
+    # item 5: 8 eager checkpoints at gate scale were overhead-dominated;
+    # the builder's earlier eager=False attempt measured WORSE, so the
+    # fix is fewer jobs, not lazier ones). The `fresh` subtree feeds
+    # both tags; its shuffles dedupe via ReusedExchange inside the one
+    # union plan. Filtering a tag back out of the checkpointed frame is
+    # a narrow scan of materialized blocks.
+    def _fuse(graph_df: DataFrame, ever_df: DataFrame) -> DataFrame:
+        return graph_df.select(
+            "src", "dst", "d2", "rank", F.lit("g").alias("_tag")
+        ).unionByName(
+            ever_df.select(
+                F.col("id_a").alias("src"),
+                F.col("id_b").alias("dst"),
+                F.lit(None).cast("long").alias("d2"),
+                F.lit(None).cast("int").alias("rank"),
+                F.lit("e").alias("_tag"),
+            )
+        ).localCheckpoint()
+
+    def _split(state_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        return (
+            state_df.filter(F.col("_tag") == "g").select("src", "dst", "d2", "rank"),
+            state_df.filter(F.col("_tag") == "e").select(
+                F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+            ),
+        )
+
+    graph, scored_ever = _split(
+        _fuse(_topk_int(_directed_int(_score_pairs_int(init, q)), k), init)
+    )
 
     for it in range(n_iter):
         intro = graph.filter(F.col("rank") <= sk)
@@ -163,11 +194,13 @@ def nn_descent_exact(
             .dropDuplicates(["id_a", "id_b"])
         )
         fresh = cand.join(scored_ever, ["id_a", "id_b"], "left_anti")
-        scored_ever = scored_ever.unionByName(fresh).localCheckpoint()
         scored = _directed_int(_score_pairs_int(fresh, q))
-        merged = _topk_int(
-            graph.select("src", "dst", "d2").unionByName(scored), k
-        ).localCheckpoint()
+        merged, scored_ever = _split(
+            _fuse(
+                _topk_int(graph.select("src", "dst", "d2").unionByName(scored), k),
+                scored_ever.unionByName(fresh),
+            )
+        )
         if _profile is not None:
             row = (
                 merged.join(

@@ -38,6 +38,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from flink_application_spark.operators.kmeans import assign_clusters, init_centroids
 
+# Pair-stage row-block budget, in float64 cells (~64 MB per block):
+# bounds the Arrow worker's dot-matrix allocation at
+# max(1, _PAIR_BLOCK_ELEMS // cluster_size) rows per block.
+_PAIR_BLOCK_ELEMS = 8_000_000
+
 
 def _close_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     """(id_b, cos) for every within-cluster pair id_a < id_b whose
@@ -62,12 +67,25 @@ def _close_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
     Scale shape is unchanged: one shuffle on cluster (the SemDeDup
     blocking key), pair work bounded per cluster, embeddings cross the
     Python boundary once per task and only the (id, raw-cos) survivors
-    come back."""
+    come back.
+
+    Worker memory is BOUNDED (round-11 ADVICE, medium): the pair dot
+    matrix accumulates in ROW BLOCKS of ≤ _PAIR_BLOCK_ELEMS float64
+    cells (~64 MB at the default), never the dense n×n the first form
+    allocated — an unguarded 125k-vector cluster would have needed
+    ~125 GB there. Within each block the per-coordinate left-to-right
+    add order is preserved exactly (one `outer` add per coordinate j,
+    acc from 0.0), so every cell's float64 op sequence — hence every
+    cosine — is unchanged (the bit-equality pin covers both shapes;
+    tests also force multi-block via a monkeypatched block size). The
+    residual per-cluster footprint is the n×d input matrix itself plus
+    one block — O(n·d + block), linear in cluster size."""
     import numpy as np
     import pandas as pd
 
     spread = assigned.sparkSession.sparkContext.defaultParallelism
     margin = float(threshold) - 1e-6
+    block_elems = _PAIR_BLOCK_ELEMS  # snapshot: plain closure capture
 
     def gen(batches):
         # a partition may arrive as several Arrow batches; a cluster
@@ -83,19 +101,30 @@ def _close_pairs_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
             g = g.sort_values("vec_id")
             ids = g["vec_id"].to_numpy()
             x = np.array(g["embedding"].tolist(), dtype=np.float64)
-            dotm = np.zeros((n, n), dtype=np.float64)
-            for j in range(x.shape[1]):  # fold order: one add per coord
-                c = x[:, j]
-                dotm += np.outer(c, c)
-            nrm = np.sqrt(np.diagonal(dotm).copy())
-            cosm = dotm / np.outer(nrm, nrm)
-            iu = np.triu_indices(n, 1)  # row < col ⇒ id_a < id_b
-            cos = cosm[iu]
-            m = cos >= margin
-            if m.any():
-                yield pd.DataFrame(
-                    {"id_b": ids[iu[1]][m], "cos_raw": cos[m]}
-                )
+            d = x.shape[1]
+            # norms first: the same one-add-per-coordinate fold the
+            # old diagonal accumulation performed
+            nrm2 = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                nrm2 += x[:, j] * x[:, j]
+            nrm = np.sqrt(nrm2)
+            blk = max(1, int(block_elems // n))
+            for r0 in range(0, n - 1, blk):
+                r1 = min(r0 + blk, n - 1)
+                # columns r0+1.. only (upper triangle: id_a < id_b);
+                # per-coordinate add order within the block matches
+                # the dense form's bit-for-bit
+                db = np.zeros((r1 - r0, n - (r0 + 1)), dtype=np.float64)
+                for j in range(d):
+                    db += np.outer(x[r0:r1, j], x[r0 + 1 :, j])
+                cosb = db / np.outer(nrm[r0:r1], nrm[r0 + 1 :])
+                rr, cc = np.triu_indices(r1 - r0, 0, n - (r0 + 1))
+                cos = cosb[rr, cc]
+                m = cos >= margin
+                if m.any():
+                    yield pd.DataFrame(
+                        {"id_b": ids[r0 + 1 + cc[m]], "cos_raw": cos[m]}
+                    )
 
     cand = assigned.select("vec_id", "embedding", "cluster").repartition(
         spread, "cluster"

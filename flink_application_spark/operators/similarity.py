@@ -408,6 +408,32 @@ def _assign_udf(centroids, n_probe: int):
     return nearest
 
 
+# Candidate-pair count above which the IVF scorers switch from the
+# interpreted JVM fold to the Arrow pandas_udf (bit-equal — pinned in
+# tests/test_similarity_arrow.py). The fold costs ~7 µs/pair in lambda
+# dispatch (guide §4.1); the Arrow path adds a fixed JVM↔Python
+# round-trip plus worker spin-up that the round-11 driver runs priced
+# at ~0.3-0.5 s — so Arrow only wins once the fold's per-pair cost
+# clears that fixed overhead, around tens of thousands of pairs.
+# Small-query consumers (≤ 20 queries × 4 probes ≈ ≤ 5k pairs) stay on
+# the fold; the full-corpus-as-queries consumers (~1M pairs at sf0.1)
+# opt in via est_pairs (round-11 verdict item 1: the unconditional
+# Arrow swap regressed every small-pair consumer it touched).
+ARROW_SCORER_MIN_PAIRS = 50_000
+
+
+def _pair_cosine(qv: Column, emb: Column, est_pairs: int | None) -> Column:
+    """Rounded pair cosine with a pair-count-adaptive backend: the
+    JVM fold below ARROW_SCORER_MIN_PAIRS estimated candidate pairs
+    (or when the caller has no estimate), the Arrow kernel above it.
+    Both backends are bit-equal, so the choice can never change query
+    results — only which side of the JVM/Python boundary does the
+    arithmetic."""
+    if est_pairs is not None and est_pairs >= ARROW_SCORER_MIN_PAIRS:
+        return F.round(cosine_arrow(qv, emb), 6)
+    return F.round(cosine(qv, emb), 6)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -415,6 +441,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids=None,
+    est_pairs: int | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors are inverted-listed under their nearest
     centroid (1 assignment pass, Arrow-batched); queries probe their
@@ -450,11 +477,12 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            # Arrow-vectorized pair scoring, bit-equal to the fold
-            # (functions.vectors.cosine_arrow): full-corpus-as-queries
-            # consumers (emb_label_noise_knn_ann) push ~1M candidate
-            # pairs through here; the interpreted fold cost seconds
-            F.round(cosine_arrow(F.col("qv"), F.col("embedding")), 6).alias(
+            # pair-count-adaptive scoring (see _pair_cosine):
+            # full-corpus-as-queries consumers (emb_label_noise_knn_ann,
+            # ~1M pairs) pass est_pairs and get the Arrow kernel; the
+            # handful-of-queries consumers keep the fold and skip the
+            # Arrow round-trip
+            _pair_cosine(F.col("qv"), F.col("embedding"), est_pairs).alias(
                 "cosine"
             ),
         )
@@ -469,6 +497,7 @@ def ivf_candidates_seeded(
     *,
     n_centroids: int = 16,
     n_probe: int = 4,
+    est_pairs: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF candidate generation + cosine scoring — the
     ORACLE-REPLAYABLE index: centroids are SEEDED (embeddings of the
@@ -520,8 +549,8 @@ def ivf_candidates_seeded(
         .select(
             "query_id",
             "vec_id",
-            # Arrow pair scoring (bit-equal to the fold; see ivf_topk)
-            F.round(cosine_arrow(F.col("qv"), F.col("embedding")), 6).alias(
+            # pair-count-adaptive scoring (see _pair_cosine / ivf_topk)
+            _pair_cosine(F.col("qv"), F.col("embedding"), est_pairs).alias(
                 "cosine"
             ),
         )
@@ -537,6 +566,7 @@ def ivf_topk_seeded(
     *,
     n_centroids: int = 16,
     n_probe: int = 4,
+    est_pairs: int | None = None,
 ) -> DataFrame:
     """Top-k over the seeded deterministic IVF index (see
     `ivf_candidates_seeded`) — same (query_id, vec_id, cosine, rank)
@@ -544,7 +574,11 @@ def ivf_topk_seeded(
     DuckDB."""
     return _topk_per_query(
         ivf_candidates_seeded(
-            queries, corpus, n_centroids=n_centroids, n_probe=n_probe
+            queries,
+            corpus,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            est_pairs=est_pairs,
         ),
         k,
     )

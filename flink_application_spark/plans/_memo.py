@@ -28,6 +28,10 @@ _GRAPH: dict[tuple, tuple[str, object, list]] = {}
 # to run its own emb.count() just to pick the collect-vs-persist path
 # (one tiny Spark job per consumer query; round-10 verdict item 7)
 _NVEC: dict[tuple, int] = {}
+# verified near-dup pair frames per (applicationId, sf_dir, threshold)
+_PAIRS: dict[tuple, DataFrame] = {}
+# near-dup component maps per (applicationId, sf_dir, threshold)
+_COMPONENTS: dict[tuple, DataFrame] = {}
 
 
 def corpus_count_cached(spark: SparkSession, emb: DataFrame, sf_dir: str) -> int:
@@ -58,6 +62,66 @@ _GRAPH_SCHEMA = "vec_id bigint, nbr_id bigint, d2 bigint, rank int"
 # headline; they are keyed by applicationId (never survive a process)
 # and every invocation of bench.py/the driver gate recomputes them
 # from parquet.
+
+
+def near_dup_pairs_cached(
+    spark: SparkSession, docs: DataFrame, sf_dir: str, threshold: float
+) -> DataFrame:
+    """The verified MinHash-LSH near-dup pair set (id_a, id_b, jaccard)
+    over the sf_dir documents table — ONE shingle→sign→band→verify
+    pipeline per session, shared by the GATE-ONLY consumers that each
+    re-ran it from scratch (doc_dedup_canonical_near,
+    doc_dedup_keep_best_quality, doc_dup_components,
+    corpus_source_contamination_matrix — round-11 verdict item 7).
+
+    Same discipline as the kNN-graph memo: keyed by applicationId
+    (never survives a process — every driver gate / bench invocation
+    recomputes from parquet), persisted executor-side (the pair set is
+    corpus-proportional in the worst case, so no driver collect), and
+    a pure function of (application, sf_dir, threshold) by the
+    operator's own exactness contract. The BENCH-HEADLINE consumers
+    (doc_near_dup_pairs_minhash_lsh, doc_dedup_pipeline_stats) keep
+    their inline computation — a timed sample must do its own work."""
+    from pyspark import StorageLevel
+
+    from flink_application_spark.operators.minhash import (
+        verified_near_dup_pairs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, float(threshold))
+    if key not in _PAIRS:
+        p = verified_near_dup_pairs(docs, threshold=threshold).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        p.count()  # materialize now — consumers share the blocks
+        _PAIRS[key] = p
+    return _PAIRS[key]
+
+
+def near_dup_components_cached(
+    spark: SparkSession, docs: DataFrame, sf_dir: str, threshold: float
+) -> DataFrame:
+    """(v, component) — connected components of the memoized near-dup
+    pair graph. The iterative min-label loop is the DOMINANT cost of
+    the three gate-only component consumers (measured: the pair
+    pipeline alone is ~0.5 s at sf0.01 while each CC run is ~1.5 s),
+    and all three run it over the identical edge set — one loop per
+    session, same memo discipline as the pair frame above."""
+    from pyspark import StorageLevel
+
+    from flink_application_spark.operators.components import (
+        connected_components,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, float(threshold))
+    if key not in _COMPONENTS:
+        pairs = near_dup_pairs_cached(spark, docs, sf_dir, threshold)
+        comp = connected_components(
+            pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        comp.count()  # materialize now — consumers share the blocks
+        _COMPONENTS[key] = comp
+    return _COMPONENTS[key]
 
 
 def kmeans_fit_exact_cached(

@@ -218,8 +218,10 @@ GROUP BY source_lo, source_hi
     tags=("dedup", "audit", "sources"),
 )
 def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.plans._memo import near_dup_pairs_cached
+
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    pairs = near_dup_pairs_cached(spark, docs, sf_dir, NEAR_DUP_THRESHOLD)
     src = docs.select("doc_id", "source")
     return (
         pairs.join(
@@ -449,12 +451,11 @@ SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v
     tags=("dedup", "graph", "iterative"),
 )
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_application_spark.operators.components import connected_components
+    from flink_application_spark.plans._memo import near_dup_components_cached
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
-    return connected_components(
-        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
+    return near_dup_components_cached(
+        spark, docs, sf_dir, NEAR_DUP_THRESHOLD
     ).select(F.col("v").alias("doc_id"), "component")
 
 
@@ -504,13 +505,13 @@ GROUP BY c.component, d.lang, d.n_chars
     tags=("dedup", "graph", "canonical"),
 )
 def q_dedup_canonical_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_application_spark.operators.components import connected_components
+    from flink_application_spark.plans._memo import near_dup_components_cached
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
-    comp = connected_components(
-        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
-    )
+    # gate-only consumer: pair set AND component map come from the
+    # shared session memos (round-11 verdict item 7) — the headline
+    # queries keep their inline pipelines
+    comp = near_dup_components_cached(spark, docs, sf_dir, NEAR_DUP_THRESHOLD)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         sizes.join(docs, sizes.component == docs.doc_id)
@@ -593,13 +594,10 @@ WHERE rn = 1
 )
 def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.functions.text import quality_score
-    from flink_application_spark.operators.components import connected_components
+    from flink_application_spark.plans._memo import near_dup_components_cached
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
-    comp = connected_components(
-        pairs, vertices=docs, src="id_a", dst="id_b", vertex_col="doc_id"
-    )
+    comp = near_dup_components_cached(spark, docs, sf_dir, NEAR_DUP_THRESHOLD)
     scored = comp.join(
         docs.select("doc_id", quality_score(F.col("text")).alias("quality")),
         comp.v == F.col("doc_id"),

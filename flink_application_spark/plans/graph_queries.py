@@ -35,8 +35,12 @@ from flink_application_spark.plans.registry import register
     tags=("documents", "graph", "dedup"),
 )
 def q_simgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_application_spark.plans._memo import near_dup_pairs_cached
+
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    # gate-only consumer of the shared pair memo (round-11 verdict
+    # item 7); the pagerank loop itself stays per-call
+    pairs = near_dup_pairs_cached(spark, docs, sf_dir, NEAR_DUP_THRESHOLD)
     pr = pagerank(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     return pr.select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
 
@@ -88,9 +92,10 @@ edges AS (
 )
 def q_simgraph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.operators.graph_exact import pagerank_exact
+    from flink_application_spark.plans._memo import near_dup_pairs_cached
 
     docs = register_views(spark, sf_dir, tables=("documents",))["documents"]
-    pairs = verified_near_dup_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    pairs = near_dup_pairs_cached(spark, docs, sf_dir, NEAR_DUP_THRESHOLD)
     return pagerank_exact(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         iters=12,

@@ -177,7 +177,26 @@ def _load_all() -> None:
 # emb_radius_search_ann, source_quality_bootstrap_ci) rotates into
 # round 12 — after which no query's newest driver row is older than
 # r07. Everything not listed keeps its import-order position.
+#
+# Round-12 rotation (round-11 verdict item 8): the 5-name residue
+# above rotates IN, front-loaded so it samples for certain; rotated
+# OUT to make room are 5 names whose newest evidence is now r11
+# (agg_approx_sketches — `no_oracle` every round it was sampled, so
+# its slot moves to a checkable query — plus cdr_dim_exploded,
+# cdr_dim_validity_intervals, cdr_enrich_path_a,
+# cdr_enrich_path_a_left, all r11-green). Every query touched by the
+# round-12 optimizations stays in the window: the graph-ANN trio
+# (fused NN-Descent checkpoints), emb_label_noise_knn_ann /
+# emb_knn_classify_ann / emb_cosine_topk_ann (pair-count-adaptive IVF
+# scorer), doc_dedup_canonical_near / doc_dedup_keep_best_quality /
+# doc_dup_components (shared pair memo), doc_hybrid_rrf_search (bm25).
 SAMPLE_WINDOW = [
+    # round-12 rotation: the r06 residue, sampled first
+    "emb_lsh_multiprobe_topk",
+    "emb_multiprobe_recall_curve",
+    "emb_radius_search",
+    "emb_radius_search_ann",
+    "source_quality_bootstrap_ci",
     # round-11 addition + the back-link semantics upgrade
     "emb_graph_ann_routed_search",
     "emb_graph_ann_delete_graph",
@@ -196,13 +215,8 @@ SAMPLE_WINDOW = [
     "source_segment_dup_profile",
     "stats_price_discount_correlation",
     "vocab_zipf_slope",
-    # first 34 of the 40 r06-evidence names, lexical order (the
-    # 6-name residue above rotates in round 12)
-    "agg_approx_sketches",
-    "cdr_dim_exploded",
-    "cdr_dim_validity_intervals",
-    "cdr_enrich_path_a",
-    "cdr_enrich_path_a_left",
+    # the r06-evidence cohort, lexical order (5 rotated out in round
+    # 12 with fresh r11 evidence — see the rotation note above)
     "cdr_enrich_path_b",
     "cdr_exploded",
     "cdr_exploded_udtf",

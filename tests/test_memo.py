@@ -108,3 +108,4 @@ def test_graph_memo_frame_path_builds_once(spark, sf_dir, monkeypatch):
     assert real is _memo.__dict__  # sanity: we patched the right module
     g1.unpersist()
     _memo._GRAPH.clear()
+

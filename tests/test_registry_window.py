@@ -29,6 +29,12 @@ from flink_application_spark.plans.registry import REGISTRY, _load_all
 # (the full window is pinned exactly by
 # test_first_50_is_exactly_the_curated_window).
 MUST_BE_IN_WINDOW = {
+    # round-12 rotation: the r06 residue (oldest driver rows left)
+    "emb_lsh_multiprobe_topk",
+    "emb_multiprobe_recall_curve",
+    "emb_radius_search",
+    "emb_radius_search_ann",
+    "source_quality_bootstrap_ci",
     # round-11 addition + the back-link semantics upgrade
     "emb_graph_ann_routed_search",
     "emb_graph_ann_delete_graph",

@@ -134,6 +134,78 @@ def test_ivf_seeded_scorer_unchanged_by_arrow_swap(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_cosine_arrow_degenerate_vectors_yield_null(spark):
+    """Round-11 ADVICE: zero-norm and empty vectors are where the
+    Arrow path DIVERGES from the fold — the ANSI fold throws
+    DIVIDE_BY_ZERO on the 0/0, the Arrow path returns SQL NULL (the
+    NaN is coerced by the pandas Float64 masked array; DuckDB's
+    0/0 → NULL). Pin the intended NULL so the divergence stays
+    documented behavior, not an accident."""
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.functions.vectors import cosine_arrow
+
+    rows = [
+        (1, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero-norm left
+        (2, [1.0, 2.0, 3.0], [0.0, 0.0, 0.0]),  # zero-norm right
+        (3, [], []),                              # empty both sides
+        (4, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),  # control: well-formed
+    ]
+    df = spark.createDataFrame(
+        rows, "pid: long, a: array<double>, b: array<double>"
+    )
+    got = {
+        r["pid"]: r["c"]
+        for r in df.select(
+            "pid", cosine_arrow(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is not None and abs(got[4] - 1.0) < 1e-9
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_scorer_is_pair_count_adaptive(spark):
+    """Round-11 verdict item 1: the scorer backend must follow the
+    estimated candidate-pair count — JVM fold (no Python boundary) for
+    small consumers, Arrow only above ARROW_SCORER_MIN_PAIRS — and the
+    two backends must return identical rows either way."""
+    from pyspark.sql import functions as F
+
+    from flink_application_spark.operators.similarity import (
+        ARROW_SCORER_MIN_PAIRS,
+        ivf_candidates_seeded,
+    )
+
+    emb = load_table(spark, SF, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    fold_default = ivf_candidates_seeded(q, emb, n_centroids=16, n_probe=4)
+    fold_small = ivf_candidates_seeded(
+        q, emb, n_centroids=16, n_probe=4,
+        est_pairs=ARROW_SCORER_MIN_PAIRS - 1,
+    )
+    arrow_big = ivf_candidates_seeded(
+        q, emb, n_centroids=16, n_probe=4,
+        est_pairs=ARROW_SCORER_MIN_PAIRS,
+    )
+    # plan shape: the _cos Arrow scorer must be absent below the
+    # threshold (or with no estimate) and present at/above it. (The
+    # centroid-assignment UDF contributes its own ArrowEvalPython in
+    # every variant — the scorer is the node that switches.)
+    assert "_cos(" not in _physical(fold_default)
+    assert "_cos(" not in _physical(fold_small)
+    assert "_cos(" in _physical(arrow_big)
+    # value equality: the backend choice can never change results
+    rows_fold = sorted(map(tuple, fold_default.collect()))
+    rows_arrow = sorted(map(tuple, arrow_big.collect()))
+    assert rows_fold == rows_arrow and len(rows_fold) > 0
+
+
 def test_topk_rank_and_tiebreak(spark):
     # two corpus vectors exactly tied in cosine → lower vec_id first
     rows = [
