@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from flink_application_spark.catalog import register_views
 from flink_application_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_fold,
     cosine_near_dup_pairs,
     lsh_ann_topk,
 )
@@ -54,7 +55,12 @@ WHERE rank <= 10
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
-    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    # |Q| = 5 → ~10k pairs: the small-pair regime where the JVM fold
+    # beats the Arrow matrix path's fixed round-trip (round-12 A/B:
+    # 0.71–0.80 s vs 0.90–1.21 s at sf0.1; bit-identical — pinned by
+    # tests/test_similarity_arrow.py). This also makes the registered
+    # doc literally true again: the embeddings never leave the JVM.
+    return brute_force_topk_fold(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
 @register(
@@ -490,7 +496,9 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_centroids,
     )
     from flink_application_spark.operators.pq import d2_lit_sql
-    from flink_application_spark.operators.similarity import brute_force_topk
+    from flink_application_spark.operators.similarity import (
+        brute_force_topk_fold,
+    )
 
     emb = register_views(spark, sf_dir, tables=("embeddings",))["embeddings"]
     emb = emb.filter(F.col("embedding").isNotNull())
@@ -544,9 +552,14 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RC_K)
         .select("n_probe", "query_id", "vec_id")
     )
-    exact = brute_force_topk(q.select(F.col("query_id").alias("vec_id"),
-                                      F.col("qv").alias("embedding")),
-                             emb, k=_RC_K).select(
+    # exact side: |Q| = 5 over the corpus ≈ 10k pairs — the same
+    # small-pair regime as the round-12 adaptive IVF scorer, where the
+    # JVM fold beats the Arrow matrix path's fixed round-trip (A/B at
+    # sf0.1: fold 0.71–0.80 s vs arrow 0.90–1.21 s; bit-identical
+    # results, pinned by tests/test_similarity_arrow.py)
+    exact = brute_force_topk_fold(q.select(F.col("query_id").alias("vec_id"),
+                                           F.col("qv").alias("embedding")),
+                                  emb, k=_RC_K).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
     return (
@@ -731,7 +744,7 @@ GROUP BY a.n_probes
 def q_multiprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_application_spark.functions.vectors import dot, norm, sign_bits
     from flink_application_spark.operators.similarity import (
-        brute_force_topk,
+        brute_force_topk_fold,
         multiprobe_buckets,
     )
 
@@ -784,7 +797,11 @@ def q_multiprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _MPC_K)
         .select("n_probes", "query_id", "vec_id")
     )
-    exact = brute_force_topk(queries, emb, k=_MPC_K).select(
+    # small-|Q| consumer (~tens of k pairs): the JVM fold beats the
+    # Arrow matrix path's fixed round-trip here (round-12 same-session
+    # A/B in OPTIMIZATION_r12.md; bit-identical results, pinned by
+    # tests/test_similarity_arrow.py)
+    exact = brute_force_topk_fold(queries, emb, k=_MPC_K).select(
         "query_id", F.col("vec_id").alias("x_vec_id")
     )
     return (
