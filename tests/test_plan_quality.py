@@ -55,6 +55,11 @@ INTENTIONALLY_QUADRATIC = {
     "emb_matryoshka_recall",
     "emb_lsh_ndcg",
     "emb_ivf_recall_curve",  # recall@k vs the exact ranking IS the eval
+    "emb_multiprobe_recall_curve",  # same class-b shape as
+    # emb_ivf_recall_curve (its docstring always said so); absent here
+    # only because the old Arrow exact side hid the |Q|·|C| scan inside
+    # MapInPandas where the canary cannot see it — the round-12 fold
+    # form plans the same work as an explicit broadcast NLJ
     "emb_graph_ann_recall",  # recall vs the exact ranking IS the eval; the
     # "quadratic" side is the LINEAR n_queries·n broadcast flat scan
     # (exact_topk_int) — the serving path is emb_graph_ann_search_topk
